@@ -1,0 +1,83 @@
+"""Headline benchmark: GRF-synthesize -> FFT -> binned-Cl pipelines/sec.
+
+BASELINE.json north star: >= 1000 pipelines/sec at 2048^2 fp32 on one
+TPU v5e chip. The pipeline per sim (reference call stack SURVEY §3.1):
+  1. draw complex white noise on the Fourier plane,
+  2. multiply by the precomputed covsqrt (lensed TT theory),
+  3. unitary inverse FFT -> real CMB map          [the map materializes],
+  4. raw forward FFT -> |.|^2 * area/npix^2       [FourierCalc.f2power],
+  5. radial bin into 1D bandpowers                 [stats.bin2D].
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from orphics_tpu import rect_geometry
+    from orphics_tpu import maps
+    from orphics_tpu.ops import fourier as F
+    from orphics_tpu.ops.binning import Bin2D
+    from orphics_tpu.models import grf, theory
+
+    n = int(os.environ.get("BENCH_N", 2048))
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    px = 0.5  # arcmin
+    geom = rect_geometry(width_arcmin=n * px, px_res_arcmin=px)
+    assert geom.shape == (n, n)
+
+    th = theory.default_theory()
+    ells = np.arange(th.lpad + 1)
+    cltt = np.asarray(th.lCl("TT", ells))
+    covsqrt = grf.spec2flat(geom, cltt[None, None], exp=0.5, dtype=jnp.float32)[0, 0]
+
+    edges = np.arange(80, 8000, 80.0)
+    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    norm = jnp.float32(geom.area / geom.npix ** 2)
+
+    def pipeline(key):
+        kr, ki = jax.random.split(key)
+        eta = (jax.random.normal(kr, geom.shape, jnp.float32)
+               + 1j * jax.random.normal(ki, geom.shape, jnp.float32))
+        kmap = covsqrt * eta
+        imap = F.ifft2(kmap, geom, "ortho").real      # the simulated map
+        kobs = jnp.fft.fft2(imap)                      # analysis FFT (raw)
+        p2d = (kobs.conj() * kobs).real * norm
+        _, p1d = binner.bin(p2d)
+        return p1d
+
+    step = jax.jit(jax.vmap(pipeline))
+
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, batch)
+    # warmup/compile
+    out = step(keys)
+    out.block_until_ready()
+
+    nrep = int(os.environ.get("BENCH_REPS", 20))
+    t0 = time.perf_counter()
+    for i in range(nrep):
+        keys = jax.random.split(jax.random.PRNGKey(i + 1), batch)
+        out = step(keys)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    rate = nrep * batch / dt
+
+    print(json.dumps({
+        "metric": f"grf_fft_bin_pipelines_per_sec_{n}x{n}_fp32",
+        "value": round(rate, 2),
+        "unit": "pipelines/s",
+        "vs_baseline": round(rate / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

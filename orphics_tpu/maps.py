@@ -1,0 +1,106 @@
+"""Facade mirroring the reference's ``orphics.maps`` public API.
+
+Thin, reference-shaped wrappers over the TPU-native implementations in
+``orphics_tpu.ops`` / ``orphics_tpu.models``. Users of the reference
+(``orphics/maps.py``) should find the same names here; functions take a
+:class:`~orphics_tpu.geometry.Geometry` instead of ``(shape, wcs)`` and JAX
+PRNG keys instead of integer seeds.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .geometry import Geometry, rect_geometry, arcmin, degree
+from .ops import fourier as _F
+from .ops.binning import Bin2D, bin_in_annuli
+from .models import grf as _grf
+from .models.grf import MapGen, spec2flat, harm2map, map2harm, cmb_ps, white_noise
+
+__all__ = [
+    "rect_geometry", "Geometry", "MapGen", "FourierCalc", "binned_power",
+    "mask_kspace", "filter_map", "gauss_beam", "wfactor", "spec2flat",
+    "harm2map", "map2harm", "cmb_ps", "white_noise", "interp",
+]
+
+mask_kspace = _F.mask_kspace
+filter_map = _F.filter_map
+gauss_beam = _F.gauss_beam
+
+
+def interp(x, y, fill_value=0.0):
+    """1D linear interpolator factory (reference's ubiquitous
+    ``maps.interp(ells, cls)(modlmap)`` idiom)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+
+    def f(xq):
+        return jnp.interp(jnp.asarray(xq), x, y, left=fill_value, right=fill_value)
+
+    return f
+
+
+class FourierCalc:
+    """Reference-shaped wrapper (``orphics/maps.py:1594``) over
+    :mod:`orphics_tpu.ops.fourier`. Precomputes nothing mutable — geometry
+    grids are jit-constants — but keeps the familiar method surface."""
+
+    def __init__(self, geom: Geometry, iau: bool = False):
+        self.geom = geom
+        self.iau = iau
+        self.normfact = geom.area / geom.npix ** 2
+
+    def fft(self, emap):
+        return _F.fft2(emap, self.geom, "raw")
+
+    def ifft(self, kmap):
+        return _F.ifft2(kmap, self.geom, "raw")
+
+    def iqu2teb(self, emap):
+        k = _F.fft2(emap, self.geom, "raw")
+        if k.ndim >= 3 and k.shape[-3] == 3:
+            k = _F.iqu2teb(k, self.geom, iau=self.iau)
+        return k
+
+    def f2power(self, kmap1, kmap2, pixel_units=False):
+        return _F.f2power(kmap1, kmap2, self.geom, pixel_units)
+
+    def f1power(self, map1, kmap2, pixel_units=False):
+        k1 = self.iqu2teb(map1)
+        return _F.f2power(k1, kmap2, self.geom, pixel_units), k1
+
+    def power2d(self, emap=None, emap2=None, kmap=None, kmap2=None):
+        return _F.power2d(emap, emap2, self.geom, iau=self.iau,
+                          kmap1=kmap, kmap2=kmap2)
+
+
+def wfactor(n: int, mask, sq: bool = True, pixsizemap=None):
+    """Mask spectral-window correction w_n = <mask^n> (area weighted).
+
+    Reference ``orphics/maps.py:932``.
+    """
+    m = jnp.asarray(mask)
+    w = m ** n
+    if pixsizemap is not None:
+        return jnp.sum(w * pixsizemap) / jnp.sum(pixsizemap)
+    return jnp.mean(w)
+
+
+def binned_power(imap, bin_edges=None, binner: Bin2D = None, imap2=None,
+                 mask=1.0, geom: Geometry = None, fc: FourierCalc = None):
+    """Map(s) -> masked, binned 1D power with the w2 correction.
+
+    Reference ``orphics/maps.py:1350`` ``binned_power``. Accepts a
+    precomputed :class:`Bin2D` for jitted pipelines.
+    """
+    if fc is None:
+        fc = FourierCalc(geom)
+    geom = fc.geom
+    if binner is None:
+        binner = Bin2D(np.asarray(geom.modlmap()), bin_edges)
+    m2 = imap if imap2 is None else imap2
+    p2d, _, _ = fc.power2d(imap * mask, m2 * mask)
+    w2 = wfactor(2, jnp.broadcast_to(jnp.asarray(mask), (geom.ny, geom.nx)))
+    cents, p1d = binner.bin(p2d / w2)
+    return cents, p1d

@@ -1,0 +1,163 @@
+"""Device-mesh ensemble runtime — the MPI replacement.
+
+Replaces the reference's ``orphics/mpi.py`` (``mpi_distribute``/
+``distribute``, ``fakeMpiComm``) and the MPI ensemble loops of SURVEY §3.5:
+
+  * task distribution over ranks        ->  PRNG keys split over a batch
+                                            axis, shard_map'd over a mesh
+  * ``MPI.Allreduce`` of suff. stats    ->  ``jax.lax.psum`` over the mesh
+  * ``fakeMpiComm`` serial fallback     ->  a 1-device mesh (always works)
+
+Design: the user writes a per-simulation function ``fn(key) -> pytree of
+1D vectors`` and calls :func:`ensemble`; we vmap it within each device in
+chunks, scan over chunks, accumulate :class:`SuffStats` in-register, and
+psum across the ``sims`` mesh axis. One compiled program, no host traffic
+until the final reduced pytree.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .statistics import SuffStats
+
+__all__ = ["get_mesh", "distribute", "mpi_distribute", "ensemble",
+           "ensemble_stats"]
+
+
+def get_mesh(shape=None, axis_names=("sims", "grid"), devices=None) -> Mesh:
+    """Build a device mesh. Default: all devices on the ``sims`` axis and a
+    trivial ``grid`` axis (flat-sky ensembles are data-parallel first; the
+    grid axis is for sharding very large maps / covariance rows)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axis_names=axis_names)
+
+
+def mpi_distribute(num_tasks: int, num_cores: int, allow_empty: bool = False):
+    """Contiguous task chunking with the remainder on the *last* ranks —
+    same assignment policy as reference ``orphics/mpi.py:78`` (rank 0 is
+    never overloaded). Returns a list of task-index lists per core."""
+    if not allow_empty:
+        assert num_cores <= num_tasks, "fewer tasks than cores"
+    base = num_tasks // num_cores
+    rem = num_tasks % num_cores
+    counts = [base + (1 if i >= num_cores - rem else 0) for i in range(num_cores)]
+    out, start = [], 0
+    for c in counts:
+        out.append(list(range(start, start + c)))
+        start += c
+    return out
+
+
+def distribute(nsims: int, key=None, mesh: Optional[Mesh] = None):
+    """Split ``nsims`` tasks into per-device PRNG key batches.
+
+    The key-split is the TPU-native analog of reference
+    ``mpi.distribute(Nsims)`` (``orphics/mpi.py:95``): every task gets an
+    independent, reproducible random stream regardless of device count.
+    Returns (mesh, keys) with keys shaped (ndev, nsims_per_dev, 2).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if mesh is None:
+        mesh = get_mesh()
+    ndev = mesh.devices.size
+    per = math.ceil(nsims / ndev)
+    keys = jax.random.split(key, ndev * per).reshape(ndev, per, -1)
+    return mesh, keys
+
+
+def ensemble_stats(fn: Callable, nsims: int, key=None, mesh: Optional[Mesh] = None,
+                   chunk: int = 1, do_cov: bool = True,
+                   stack_fn: Optional[Callable] = None):
+    """Run ``fn(key) -> dict[str, 1D vector]`` for ``nsims`` independent
+    seeds across the mesh and return fully-reduced :class:`SuffStats` per
+    label (the ``Statistics.allreduce`` pattern of ``orphics/stats.py:1184``
+    compiled into one program).
+
+    ``chunk``: how many sims to vmap together per scan step on each device
+    (trades VMEM/HBM for dispatch overhead).
+    ``stack_fn``: optional ``fn(key) -> dict[str, array]`` of map-like
+    outputs to be stack-summed (``add_to_stack`` analog).
+    """
+    if mesh is None:
+        mesh = get_mesh()
+    ndev = mesh.shape["sims"]
+    per = math.ceil(nsims / ndev / chunk) * chunk
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, ndev * per)
+    keys = keys.reshape(ndev * per, -1)
+
+    probe = jax.eval_shape(fn, jax.random.PRNGKey(0))
+    zeros = {k: SuffStats.zeros(int(np.prod(v.shape)), do_cov, v.dtype)
+             for k, v in probe.items()}
+    if stack_fn is not None:
+        sprobe = jax.eval_shape(stack_fn, jax.random.PRNGKey(0))
+        szeros = {k: SuffStats.zeros_stack(v.shape, v.dtype)
+                  for k, v in sprobe.items()}
+    else:
+        szeros = {}
+
+    def device_body(dev_keys):
+        # dev_keys: (per, 2) on each device
+        nchunks = per // chunk
+
+        def step(state, ck):
+            vals = jax.vmap(fn)(ck)
+            st, sst = state
+            st = {k: st[k].add(vals[k].reshape(chunk, -1)) for k in st}
+            if stack_fn is not None:
+                svals = jax.vmap(stack_fn)(ck)
+                sst = {k: sst[k].add_stack(svals[k]) for k in sst}
+            return (st, sst), 0.0
+
+        ck = dev_keys.reshape(nchunks, chunk, -1)
+        (st, sst), _ = jax.lax.scan(step, (zeros, szeros), ck)
+        st = {k: v.psum("sims") for k, v in st.items()}
+        sst = {k: v.psum("sims") for k, v in sst.items()}
+        return st, sst
+
+    sharded = jax.shard_map(device_body, mesh=mesh,
+                            in_specs=P("sims"),
+                            out_specs=jax.tree_util.tree_map(lambda _: P(), (zeros, szeros)),
+                            check_vma=False)
+    st, sst = jax.jit(sharded)(keys)
+    st.update(sst)
+    return st
+
+
+def ensemble(fn: Callable, nsims: int, key=None, mesh: Optional[Mesh] = None,
+             chunk: int = 1):
+    """Gather (not reduce) per-sim outputs: returns the stacked pytree of
+    ``fn(key)`` over ``nsims`` seeds, computed data-parallel over the mesh.
+    For small outputs (binned spectra); use :func:`ensemble_stats` when
+    only moments are needed."""
+    if mesh is None:
+        mesh = get_mesh()
+    ndev = mesh.shape["sims"]
+    per = math.ceil(nsims / ndev)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, ndev * per).reshape(ndev * per, -1)
+
+    def device_body(dev_keys):
+        return jax.lax.map(fn, dev_keys)
+
+    out_probe = jax.eval_shape(fn, jax.random.PRNGKey(0))
+    sharded = jax.shard_map(device_body, mesh=mesh, in_specs=P("sims"),
+                            out_specs=jax.tree_util.tree_map(lambda _: P("sims"), out_probe),
+                            check_vma=False)
+    out = jax.jit(sharded)(keys)
+    return jax.tree_util.tree_map(lambda v: v[:nsims], out)

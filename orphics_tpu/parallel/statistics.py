@@ -1,0 +1,241 @@
+"""Sufficient-statistics Monte-Carlo accumulator on device meshes.
+
+TPU-native replacement for the reference's MPI reducers:
+``orphics/stats.py:577`` ``Stats`` (tagged Send/Recv gather) and
+``orphics/stats.py:918`` ``Statistics`` (``MPI.Allreduce(IN_PLACE, SUM)`` of
+counts / sums / outer-product cross terms, ``stats.py:1209-1230``).
+
+The reduction shape carries over unchanged — (N, Σx, Σxxᵀ) plus stack sums
+— but the transport becomes ``jax.lax.psum`` over a mesh axis inside
+``shard_map`` (ICI collectives), and intra-chip "ranks" are just a vmap'd
+batch dimension. The accumulator is a pure pytree, so it threads through
+``lax.scan`` loops and jit boundaries.
+
+Derived statistics: mean = Σx/N, cov = (Σxxᵀ − Σx Σxᵀ/N)/(N − ddof),
+identical to ``stats.py:1338-1394``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SuffStats", "Statistics", "Stats", "get_stats"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SuffStats:
+    """Sufficient statistics of a stream of d-vectors (and optional stacks)."""
+
+    n: jnp.ndarray          # scalar sample count
+    s: jnp.ndarray          # (d,) running sum
+    ss: Optional[jnp.ndarray] = None   # (d, d) running sum of outer products
+    stack: Optional[jnp.ndarray] = None  # arbitrary-shape running stack sum
+    nstack: Optional[jnp.ndarray] = None
+
+    def tree_flatten(self):
+        return (self.n, self.s, self.ss, self.stack, self.nstack), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    # ---- constructors ------------------------------------------------
+    @staticmethod
+    def zeros(dim: int, do_cov: bool = True, dtype=jnp.float32) -> "SuffStats":
+        return SuffStats(
+            n=jnp.zeros((), dtype),
+            s=jnp.zeros((dim,), dtype),
+            ss=jnp.zeros((dim, dim), dtype) if do_cov else None,
+        )
+
+    @staticmethod
+    def zeros_stack(shape, dtype=jnp.float32) -> "SuffStats":
+        return SuffStats(n=jnp.zeros((), dtype), s=jnp.zeros((0,), dtype),
+                         ss=None, stack=jnp.zeros(shape, dtype),
+                         nstack=jnp.zeros((), dtype))
+
+    # ---- accumulation (pure) -----------------------------------------
+    def add(self, x) -> "SuffStats":
+        """Add one (d,) sample or a (B, d) batch."""
+        x = jnp.atleast_2d(x)
+        new = dataclasses.replace(
+            self,
+            n=self.n + x.shape[0],
+            s=self.s + x.sum(axis=0),
+        )
+        if self.ss is not None:
+            new = dataclasses.replace(
+                new, ss=self.ss + jnp.einsum("bi,bj->ij", x, x,
+                                             preferred_element_type=self.ss.dtype))
+        return new
+
+    def add_stack(self, arr) -> "SuffStats":
+        """Add one array (or (B, ...) batch) to the running stack sum."""
+        arr = jnp.asarray(arr)
+        if arr.ndim == self.stack.ndim:
+            arr = arr[None]
+        return dataclasses.replace(
+            self, stack=self.stack + arr.sum(axis=0),
+            nstack=self.nstack + arr.shape[0])
+
+    # ---- reduction -----------------------------------------------------
+    def psum(self, axis_name) -> "SuffStats":
+        """All-reduce over a mesh axis (inside shard_map/pmap)."""
+        return jax.tree_util.tree_map(
+            lambda v: jax.lax.psum(v, axis_name) if v is not None else None, self)
+
+    def merge(self, other: "SuffStats") -> "SuffStats":
+        return jax.tree_util.tree_map(
+            lambda a, b: a + b if a is not None else None, self, other)
+
+    # ---- derived statistics --------------------------------------------
+    def mean(self):
+        return self.s / self.n
+
+    def cov(self, ddof: int = 1):
+        m = self.s[:, None] * self.s[None, :] / self.n
+        return (self.ss - m) / (self.n - ddof)
+
+    def var(self, ddof: int = 1):
+        return jnp.diag(self.cov(ddof))
+
+    def std(self, ddof: int = 1):
+        return jnp.sqrt(self.var(ddof))
+
+    def err(self):
+        """Standard error of the mean."""
+        return jnp.sqrt(self.var() / self.n)
+
+    def corr(self, ddof: int = 1):
+        c = self.cov(ddof)
+        d = jnp.sqrt(jnp.diag(c))
+        return c / d[:, None] / d[None, :]
+
+    def stack_mean(self):
+        return self.stack / self.nstack
+
+
+class Statistics:
+    """Label-keyed accumulator with the reference's ``Statistics`` surface
+    (``orphics/stats.py:918``): ``add``/``extend``/``add_stack`` then
+    ``allreduce`` then ``mean/cov/var/stack_mean``.
+
+    State is an explicit dict pytree so it can live inside jitted scan
+    loops; this class is a thin stateful convenience for host-driven use.
+    """
+
+    def __init__(self):
+        self.state: Dict[str, SuffStats] = {}
+
+    def add(self, label: str, x, do_cov: bool = True):
+        x = jnp.atleast_2d(jnp.asarray(x))
+        if label not in self.state:
+            self.state[label] = SuffStats.zeros(x.shape[-1], do_cov, x.dtype)
+        self.state[label] = self.state[label].add(x)
+
+    extend = add  # batch add is the same pure op
+
+    def add_stack(self, label: str, arr, batched: bool = False):
+        """Add a sample array (or, with ``batched``, a (B, ...) batch) to
+        the running stack sum for ``label``."""
+        arr = jnp.asarray(arr)
+        if label not in self.state:
+            shape = arr.shape[1:] if batched else arr.shape
+            self.state[label] = SuffStats.zeros_stack(shape, arr.dtype)
+        self.state[label] = self.state[label].add_stack(arr)
+
+    def allreduce(self, axis_name=None):
+        """On a single controller this is a no-op (all shards already
+        merged); inside shard_map call ``SuffStats.psum`` directly."""
+        return self
+
+    def mean(self, label):
+        return self.state[label].mean()
+
+    def cov(self, label, ddof: int = 1):
+        return self.state[label].cov(ddof)
+
+    def var(self, label, ddof: int = 1):
+        return self.state[label].var(ddof)
+
+    def corr(self, label, ddof: int = 1):
+        return self.state[label].corr(ddof)
+
+    def err(self, label):
+        return self.state[label].err()
+
+    def stack_mean(self, label):
+        return self.state[label].stack_mean()
+
+    # ---- persistence (reference save_reduced/load_reduced,
+    #      stats.py:1455-1530) -----------------------------------------
+    def save_reduced(self, fname: str):
+        out = {}
+        for label, st in self.state.items():
+            for field in ("n", "s", "ss", "stack", "nstack"):
+                v = getattr(st, field)
+                if v is not None:
+                    out[f"{label}__{field}"] = np.asarray(v)
+        np.savez(fname, **out)
+
+    @classmethod
+    def load_reduced(cls, fname: str) -> "Statistics":
+        data = np.load(fname)
+        obj = cls()
+        labels = {}
+        for k in data.files:
+            label, field = k.rsplit("__", 1)
+            labels.setdefault(label, {})[field] = jnp.asarray(data[k])
+        for label, fields in labels.items():
+            obj.state[label] = SuffStats(
+                n=fields.get("n"), s=fields.get("s"), ss=fields.get("ss"),
+                stack=fields.get("stack"), nstack=fields.get("nstack"))
+        return obj
+
+
+class Stats(Statistics):
+    """Back-compat alias of the older accumulator (reference
+    ``orphics/stats.py:577``) — ``add_to_stats``/``add_to_stack``/
+    ``get_stats`` naming."""
+
+    def __init__(self, comm=None):
+        super().__init__()
+
+    def add_to_stats(self, label, x):
+        self.add(label, x)
+
+    def add_to_stack(self, label, arr):
+        self.add_stack(label, arr)
+
+    def get_stacks(self):
+        self.stacks = {k: np.asarray(v.stack_mean())
+                       for k, v in self.state.items() if v.stack is not None}
+        return self.stacks
+
+    def get_stats(self):
+        self.stats = {}
+        for k, v in self.state.items():
+            if v.ss is None:
+                continue
+            self.stats[k] = {
+                "mean": np.asarray(v.mean()),
+                "cov": np.asarray(v.cov()),
+                "corr": np.asarray(v.corr()),
+                "err": np.asarray(v.err()),
+                "N": int(v.n),
+            }
+        return self.stats
+
+
+def get_stats(binned_vectors):
+    """mean/cov/corr/err of a (nsamples, dim) array — reference
+    ``orphics/stats.py:859``."""
+    x = jnp.asarray(binned_vectors)
+    st = SuffStats.zeros(x.shape[-1], dtype=x.dtype).add(x)
+    return {"mean": st.mean(), "cov": st.cov(), "corr": st.corr(),
+            "err": st.err(), "N": int(st.n)}

@@ -1,0 +1,216 @@
+"""Core-slice tests: geometry, Fourier calculus, binning, GRF synthesis.
+
+Validation strategy per SURVEY §4: closed-form identities and independent
+numpy re-derivations of the reference's documented conventions (digitize +
+bincount binning, area/npix^2 power normalization), plus Monte-Carlo
+input-recovery of binned GRF power (the ``demo-grf.ipynb`` pattern).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from orphics_tpu import rect_geometry, Geometry
+from orphics_tpu.ops import fourier as F
+from orphics_tpu.ops.binning import Bin2D
+from orphics_tpu.models import grf, theory
+from orphics_tpu import maps
+
+
+@pytest.fixture(scope="module")
+def geom():
+    return rect_geometry(width_deg=10.0, px_res_arcmin=2.0)
+
+
+@pytest.fixture(scope="module")
+def th():
+    return theory.default_theory()
+
+
+def test_geometry_basics(geom):
+    assert geom.shape == (300, 300)
+    np.testing.assert_allclose(geom.area, geom.npix * geom.pixsize)
+    ml = np.asarray(geom.modlmap())
+    # DC mode at [0,0]; symmetry of |l| grid under reflection
+    assert ml[0, 0] == 0.0
+    np.testing.assert_allclose(ml[1:, 1:], ml[1:, 1:][::-1, ::-1], rtol=1e-5)
+    # matches direct fftfreq computation
+    ly = 2 * np.pi * np.fft.fftfreq(geom.ny, geom.dy)
+    lx = 2 * np.pi * np.fft.fftfreq(geom.nx, geom.dx)
+    expect = np.sqrt(ly[:, None] ** 2 + lx[None, :] ** 2)
+    np.testing.assert_allclose(ml, expect, rtol=2e-6)
+
+
+def test_fft_roundtrip_and_parseval(geom):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, geom.shape)
+    k = F.fft2(x, geom, "ortho")
+    back = F.ifft2(k, geom, "ortho").real
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+    # Parseval under ortho norm
+    np.testing.assert_allclose(float(jnp.sum(jnp.abs(k) ** 2)),
+                               float(jnp.sum(x ** 2)), rtol=1e-5)
+
+
+def test_f2power_matches_numpy_convention(geom):
+    """P2d = Re(conj(F1) F2) * area/npix^2 with raw numpy FFTs
+    (reference orphics/maps.py:1620-1624)."""
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal(geom.shape).astype(np.float32)
+    b = rng.standard_normal(geom.shape).astype(np.float32)
+    ka, kb = np.fft.fft2(a), np.fft.fft2(b)
+    expect = np.real(np.conj(ka) * kb) * geom.area / geom.npix ** 2
+    got = np.asarray(F.f2power(F.fft2(jnp.asarray(a), geom),
+                               F.fft2(jnp.asarray(b), geom), geom))
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=1e-10)
+
+
+def test_queb_rotation_roundtrip(geom):
+    key = jax.random.PRNGKey(2)
+    kmaps = (jax.random.normal(key, (3,) + geom.shape)
+             + 1j * jax.random.normal(jax.random.PRNGKey(3), (3,) + geom.shape))
+    teb = F.iqu2teb(kmaps, geom)
+    back = F.teb2iqu(teb, geom)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(kmaps), atol=1e-4)
+
+
+def test_bin2d_matches_reference_algorithm(geom):
+    """Independent numpy digitize+bincount re-derivation
+    (reference orphics/stats.py:786-797)."""
+    rng = np.random.default_rng(4)
+    data = rng.standard_normal(geom.shape).astype(np.float32)
+    modlmap = np.asarray(geom.modlmap(jnp.float64))
+    edges = np.arange(80, 4000, 80.0)
+    binner = Bin2D(modlmap, edges)
+    cents, res = binner.bin(jnp.asarray(data))
+    dig = np.digitize(modlmap.reshape(-1), edges, right=True)
+    count = np.bincount(dig)[1:-1]
+    expect = np.bincount(dig, data.reshape(-1))[1:-1] / count
+    np.testing.assert_allclose(np.asarray(res), expect, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(cents, (edges[1:] + edges[:-1]) / 2)
+    np.testing.assert_array_equal(binner.counts, count)
+
+
+def test_bin2d_batched(geom):
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((4,) + geom.shape).astype(np.float32)
+    edges = np.arange(80, 4000, 160.0)
+    binner = Bin2D(np.asarray(geom.modlmap()), edges)
+    _, res = binner.bin(jnp.asarray(data))
+    for i in range(4):
+        _, ri = binner.bin(jnp.asarray(data[i]))
+        np.testing.assert_allclose(np.asarray(res[i]), np.asarray(ri), rtol=1e-6)
+
+
+def test_theory_tables(th):
+    """Spot-check the CAMB loader against the raw file values."""
+    import os
+    fn = os.path.join(theory.DATA_DIR, "cosmo2017_10K_acc3_lensedCls.dat")
+    raw = np.loadtxt(fn)
+    l = raw[10, 0]
+    cltt_expected = raw[10, 1] * 2 * np.pi / l / (l + 1)
+    got = float(th.lCl("TT", l))
+    np.testing.assert_allclose(got, cltt_expected, rtol=1e-5)
+    # clkk from lenspotential column 5
+    fn2 = os.path.join(theory.DATA_DIR, "cosmo2017_10K_acc3_lenspotentialCls.dat")
+    raw2 = np.loadtxt(fn2)
+    clkk_expected = raw2[100, 5] * 2 * np.pi / 4.0
+    np.testing.assert_allclose(float(th.gCl("kk", raw2[100, 0])), clkk_expected,
+                               rtol=1e-5)
+    # zero fill beyond lpad
+    assert float(th.lCl("TT", 9500)) == 0.0
+    assert float(th.lCl("TT", 0)) == 0.0
+
+
+def test_grf_recovers_input_power(geom, th):
+    """Monte-Carlo: mean binned power of GRF sims recovers input Cl
+    (demo-grf.ipynb pattern). Knox errors set the tolerance."""
+    lmax = 5000
+    ells = np.arange(lmax + 1)
+    cltt = np.asarray(th.lCl("TT", ells))
+    mgen = grf.MapGen(geom, cltt[None, None, :])
+    edges = np.arange(200, 3000, 200.0)
+    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    fc = maps.FourierCalc(geom)
+
+    @jax.jit
+    def pipe(key):
+        imap = mgen.get_map(key)
+        p2d, _, _ = fc.power2d(imap)
+        _, p1d = binner.bin(p2d)
+        return p1d
+
+    nsims = 48
+    keys = jax.random.split(jax.random.PRNGKey(7), nsims)
+    p1ds = np.asarray(jax.vmap(pipe)(keys))
+    mean = p1ds.mean(axis=0)
+    err = p1ds.std(axis=0, ddof=1) / np.sqrt(nsims)
+    cents, th_binned = binner.bin(jnp.asarray(F.interp1d_to_2d(
+        ells, cltt, geom, dtype=jnp.float64)))
+    th_binned = np.asarray(th_binned)
+    nsig = np.abs(mean - th_binned) / err
+    # every bin within 5 sigma and the mean ratio within 2%
+    assert np.all(nsig < 5.0), nsig
+    ratio = mean / th_binned
+    assert abs(ratio.mean() - 1) < 0.02, ratio
+
+
+def test_grf_pol_te_cross(geom, th):
+    """TE cross-spectrum of polarized GRF sims recovers input (sign and
+    correlation conventions)."""
+    ps = grf.cmb_ps(th, lmax=5000)
+    mgen = grf.MapGen(geom, ps)
+    edges = np.arange(300, 2500, 300.0)
+    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    fc = maps.FourierCalc(geom)
+
+    @jax.jit
+    def pipe(key):
+        imap = mgen.get_map(key)  # (3, ny, nx) I,Q,U
+        p2d, _, _ = fc.power2d(imap)  # (3,3,ny,nx) TEB
+        _, te = binner.bin(p2d[0, 1])
+        _, ee = binner.bin(p2d[1, 1])
+        _, bb = binner.bin(p2d[2, 2])
+        return te, ee, bb
+
+    nsims = 48
+    keys = jax.random.split(jax.random.PRNGKey(11), nsims)
+    te, ee, bb = jax.vmap(pipe)(keys)
+    te, ee, bb = (np.asarray(v) for v in (te, ee, bb))
+    ells = np.arange(5001)
+    for spec, mc in (("TE", te), ("EE", ee), ("BB", bb)):
+        cl = np.asarray(th.lCl(spec, ells))
+        _, thb = binner.bin(jnp.asarray(F.interp1d_to_2d(ells, cl, geom,
+                                                         dtype=jnp.float64)))
+        thb = np.asarray(thb)
+        err = mc.std(axis=0, ddof=1) / np.sqrt(nsims)
+        nsig = np.abs(mc.mean(axis=0) - thb) / err
+        assert np.all(nsig < 5.0), (spec, nsig)
+
+
+def test_binned_power_mask_w2(geom, th):
+    """w2 correction restores power under an apodized-ish mask."""
+    ells = np.arange(5001)
+    cltt = np.asarray(th.lCl("TT", ells))
+    mgen = grf.MapGen(geom, cltt[None, None, :])
+    # smooth mask
+    x = np.asarray(geom.modrmap())
+    mask = jnp.asarray(0.5 * (1 + np.cos(np.pi * np.clip(x / x.max(), 0, 1))))
+    edges = np.arange(500, 2500, 250.0)
+    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    fc = maps.FourierCalc(geom)
+
+    @jax.jit
+    def pipe(key):
+        imap = mgen.get_map(key)
+        _, p1d = maps.binned_power(imap, binner=binner, mask=mask, fc=fc)
+        return p1d
+
+    nsims = 64
+    keys = jax.random.split(jax.random.PRNGKey(13), nsims)
+    p1ds = np.asarray(jax.vmap(pipe)(keys))
+    _, thb = binner.bin(jnp.asarray(F.interp1d_to_2d(ells, cltt, geom,
+                                                     dtype=jnp.float64)))
+    ratio = p1ds.mean(axis=0) / np.asarray(thb)
+    # mode-coupling smears bins; the mean level must be right to a few %
+    assert abs(ratio.mean() - 1) < 0.05, ratio

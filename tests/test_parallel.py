@@ -1,0 +1,105 @@
+"""Closed-form tests of the mesh statistics runtime, parameterized by
+device count — the reference's pattern of writing MPI-reducer expectations
+as functions of world size (``orphics/tests/test_stats.py``), here executed
+on a genuine 8-device virtual CPU mesh.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orphics_tpu.parallel import (SuffStats, Statistics, get_stats, get_mesh,
+                                  mpi_distribute, ensemble, ensemble_stats)
+
+
+def test_mpi_distribute_policy():
+    """Remainder goes to the last ranks (reference orphics/mpi.py:83)."""
+    chunks = mpi_distribute(10, 4)
+    assert [len(c) for c in chunks] == [2, 2, 3, 3]
+    assert sum(chunks, []) == list(range(10))
+    chunks = mpi_distribute(8, 4)
+    assert [len(c) for c in chunks] == [2, 2, 2, 2]
+
+
+def test_suffstats_mean_cov_closed_form():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((500, 7)).astype(np.float64)
+    st = SuffStats.zeros(7, dtype=jnp.float64).add(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(st.mean()), x.mean(axis=0), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(st.cov()), np.cov(x.T, ddof=1),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.var()), x.var(axis=0, ddof=1),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(st.corr()), np.corrcoef(x.T),
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_suffstats_merge_equals_concat():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((100, 3))
+    b = rng.standard_normal((37, 3))
+    st1 = SuffStats.zeros(3, dtype=jnp.float64).add(jnp.asarray(a))
+    st2 = SuffStats.zeros(3, dtype=jnp.float64).add(jnp.asarray(b))
+    merged = st1.merge(st2)
+    both = SuffStats.zeros(3, dtype=jnp.float64).add(jnp.asarray(np.vstack([a, b])))
+    np.testing.assert_allclose(np.asarray(merged.cov()), np.asarray(both.cov()),
+                               rtol=1e-10)
+
+
+def test_statistics_roundtrip_save_load(tmp_path):
+    rng = np.random.default_rng(2)
+    s = Statistics()
+    for _ in range(5):
+        s.extend("p1d", jnp.asarray(rng.standard_normal((8, 4))))
+    s.add_stack("m", jnp.asarray(rng.standard_normal((6, 6))))
+    fname = str(tmp_path / "red.npz")
+    s.save_reduced(fname)
+    s2 = Statistics.load_reduced(fname)
+    np.testing.assert_allclose(np.asarray(s2.mean("p1d")),
+                               np.asarray(s.mean("p1d")))
+    np.testing.assert_allclose(np.asarray(s2.cov("p1d")),
+                               np.asarray(s.cov("p1d")))
+    np.testing.assert_allclose(np.asarray(s2.stack_mean("m")),
+                               np.asarray(s.stack_mean("m")))
+
+
+def test_ensemble_stats_on_mesh():
+    """The psum-reduced ensemble equals the serial computation exactly."""
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+
+    def fn(key):
+        x = jax.random.normal(key, (5,))
+        return {"x": x, "y": 2.0 * x + 1.0}
+
+    nsims = 64
+    st = ensemble_stats(fn, nsims, key=jax.random.PRNGKey(3), mesh=mesh, chunk=4)
+    assert int(st["x"].n) == nsims
+    # serial recomputation with the same key-split
+    keys = jax.random.split(jax.random.PRNGKey(3), nsims)
+    xs = np.asarray(jax.vmap(lambda k: fn(k)["x"])(keys))
+    np.testing.assert_allclose(np.asarray(st["x"].mean()), xs.mean(axis=0),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st["x"].cov()),
+                               np.cov(xs.T, ddof=1), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st["y"].mean()),
+                               2 * xs.mean(axis=0) + 1, rtol=2e-5, atol=1e-5)
+
+
+def test_ensemble_gather_matches_vmap():
+    def fn(key):
+        return {"v": jax.random.normal(key, (3,))}
+
+    out = ensemble(fn, 16, key=jax.random.PRNGKey(5))
+    keys = jax.random.split(jax.random.PRNGKey(5), 16)
+    expect = np.asarray(jax.vmap(lambda k: fn(k)["v"])(keys))
+    np.testing.assert_allclose(np.asarray(out["v"]), expect, rtol=1e-6)
+
+
+def test_get_stats_dict():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((50, 3))
+    d = get_stats(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(d["mean"]), x.mean(axis=0), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d["err"]),
+                               x.std(axis=0, ddof=1) / np.sqrt(50), rtol=1e-3)
