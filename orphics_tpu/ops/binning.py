@@ -23,11 +23,20 @@ at the 1e-6 level even on 2048^2 grids.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 __all__ = ["Bin2D", "bin1d", "bin_in_annuli"]
+
+
+def _default_strategy():
+    env = os.environ.get("ORPHICS_TPU_BIN")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() not in ("cpu",) else "rowcum"
 
 
 class Bin2D:
@@ -43,7 +52,8 @@ class Bin2D:
         bin ``i-1``; values outside the edge range are dropped).
     """
 
-    def __init__(self, modmap, bin_edges):
+    def __init__(self, modmap, bin_edges, strategy: str = None):
+        self.strategy = strategy or _default_strategy()
         modmap = np.asarray(modmap, dtype=np.float64)
         bin_edges = np.asarray(bin_edges, dtype=np.float64)
         self.bin_edges = bin_edges
@@ -65,6 +75,7 @@ class Bin2D:
         wvec[1:-1] = 1.0 / safe_counts
         self._mean_w = jnp.asarray(wvec[dig[perm]].astype(np.float32))
         self._nseg = self.nbins + 2
+        self._dig_dev = jnp.asarray(dig.astype(np.int32))
         self._inv_counts = jnp.asarray((1.0 / safe_counts * (self.counts > 0))
                                        .astype(np.float32))
         # ---- rowcum fast path: valid when one shared column permutation
@@ -83,6 +94,23 @@ class Bin2D:
             self._colperm = jnp.asarray(colperm.astype(np.int32))
             self._pos = jnp.asarray(pos)
 
+    def _pallas_sum(self, data2d, interpret=False):
+        """MXU one-hot matmul segment reduce (see ops.pallas_kernels)."""
+        from .pallas_kernels import bin_matmul
+        lead = data2d.shape[:-2]
+        flat = data2d.reshape(-1, data2d.shape[-2] * data2d.shape[-1])
+        out = bin_matmul(flat, self._dig_dev, self._nseg, interpret=interpret)
+        return out.reshape(lead + (self._nseg,))[..., 1:-1]
+
+    def _dispatch_sum(self, data2d):
+        if self.strategy == "pallas":
+            return self._pallas_sum(data2d)
+        if self._rowcum:
+            return self._rowcum_sum(data2d)
+        flat = data2d.reshape(data2d.shape[:-2] + (-1,))
+        s = jnp.take(flat, self._perm, axis=-1)
+        return _batched_segment_sum(s, self._sorted_ids, self._nseg)[..., 1:-1]
+
     def _rowcum_sum(self, data2d):
         """Scatter-free per-bin sums: column permute -> row cumsum ->
         static boundary gathers -> row reduce."""
@@ -97,12 +125,7 @@ class Bin2D:
 
     def sum(self, data2d):
         """Per-bin sums of ``data2d`` (leading batch dims OK)."""
-        if self._rowcum:
-            return self._rowcum_sum(data2d)
-        flat = data2d.reshape(data2d.shape[:-2] + (-1,))
-        s = jnp.take(flat, self._perm, axis=-1)
-        out = _batched_segment_sum(s, self._sorted_ids, self._nseg)
-        return out[..., 1:-1]
+        return self._dispatch_sum(data2d)
 
     def bin(self, data2d, weights=None):
         """Bin a 2D (or batch of 2D) array into annular means.
@@ -110,31 +133,18 @@ class Bin2D:
         Returns ``(centers, means)``; matches reference
         ``bin2D.bin`` (``orphics/stats.py:790-797``).
         """
-        if self._rowcum:
-            if weights is None:
-                return self.centers, (self._rowcum_sum(data2d)
-                                      * self._inv_counts.astype(data2d.dtype))
-            w = jnp.broadcast_to(jnp.asarray(weights), data2d.shape[-2:])
-            num = self._rowcum_sum(data2d * w)
-            den = self._rowcum_sum(jnp.broadcast_to(w, data2d.shape))
-            return self.centers, num / den
-        flat = data2d.reshape(data2d.shape[:-2] + (-1,))
-        s = jnp.take(flat, self._perm, axis=-1)
         if weights is None:
-            out = _batched_segment_sum(s * self._mean_w, self._sorted_ids, self._nseg)
-            return self.centers, out[..., 1:-1]
-        wflat = jnp.take(weights.reshape(-1), self._perm, axis=-1)
-        num = _batched_segment_sum(s * wflat, self._sorted_ids, self._nseg)[..., 1:-1]
-        den = _batched_segment_sum(jnp.broadcast_to(wflat, s.shape),
-                                   self._sorted_ids, self._nseg)[..., 1:-1]
+            sums = self._dispatch_sum(data2d)
+            return self.centers, sums * self._inv_counts.astype(sums.dtype)
+        w = jnp.broadcast_to(jnp.asarray(weights), data2d.shape[-2:])
+        num = self._dispatch_sum(data2d * w)
+        den = self._dispatch_sum(jnp.broadcast_to(w, data2d.shape))
         return self.centers, num / den
 
     def bin_err(self, data2d):
         """(centers, means, scatter-in-bin error) like the reference err path."""
         cents, means = self.bin(data2d)
-        flat = data2d.reshape(data2d.shape[:-2] + (-1,))
-        s = jnp.take(flat, self._perm, axis=-1)
-        sq = _batched_segment_sum(s * s * self._mean_w, self._sorted_ids, self._nseg)[..., 1:-1]
+        sq = self._dispatch_sum(data2d * data2d) * self._inv_counts.astype(means.dtype)
         counts = jnp.asarray(np.maximum(self.counts, 2), dtype=means.dtype)
         var = (sq - means ** 2) * counts / (counts - 1.0)
         err = jnp.sqrt(jnp.maximum(var, 0.0) / counts)
@@ -150,6 +160,74 @@ def _batched_segment_sum(data, ids, nseg):
     f = lambda v: jax.ops.segment_sum(v, ids, num_segments=nseg,
                                       indices_are_sorted=True)
     return jax.vmap(f)(flat).reshape(lead + (nseg,))
+
+
+class RfftBin2D:
+    """Radial binner over the rfft half-plane that reproduces *full-plane*
+    binning exactly for Hermitian-symmetric data (e.g. the power of a real
+    map): half-plane sums carry multiplicity weight 2 except on the
+    self-conjugate columns (lx=0 and the even-nx Nyquist column), and the
+    divisor is the full-plane bin count.
+    """
+
+    def __init__(self, geom, bin_edges, strategy: str = None):
+        import jax.numpy as _jnp
+        self.strategy = strategy or _default_strategy()
+        full = np.asarray(geom.modlmap(_jnp.float64), dtype=np.float64)
+        half = full[:, :geom.nx // 2 + 1]
+        bin_edges = np.asarray(bin_edges, dtype=np.float64)
+        self.bin_edges = bin_edges
+        self.centers = (bin_edges[1:] + bin_edges[:-1]) / 2.0
+        self.cents = self.centers
+        self.nbins = len(bin_edges) - 1
+        self._nseg = self.nbins + 2
+        digf = np.digitize(full.reshape(-1), bin_edges, right=True)
+        counts_full = np.bincount(digf, minlength=self._nseg)[1:-1]
+        self.counts = counts_full
+        dig = np.digitize(half.reshape(-1), bin_edges, right=True)
+        self._dig_dev = jnp.asarray(dig.astype(np.int32))
+        w = np.full(half.shape, 2.0, dtype=np.float32)
+        w[:, 0] = 1.0
+        if geom.nx % 2 == 0:
+            w[:, -1] = 1.0
+        self._w = jnp.asarray(w)
+        safe = np.where(counts_full == 0, 1, counts_full)
+        self._inv_counts = jnp.asarray(
+            (1.0 / safe * (counts_full > 0)).astype(np.float32))
+        # rowcum fallback structures on the half grid
+        colperm = np.argsort(half.min(axis=0), kind="stable")
+        rows_sorted = half[:, colperm]
+        self._rowcum = bool(np.all(np.diff(rows_sorted, axis=1) >= 0))
+        if self._rowcum:
+            pos = np.empty((half.shape[0], len(bin_edges)), dtype=np.int32)
+            for y in range(half.shape[0]):
+                pos[y] = np.searchsorted(rows_sorted[y], bin_edges, side="right")
+            self._colperm = jnp.asarray(colperm.astype(np.int32))
+            self._pos = jnp.asarray(pos)
+
+    _pallas_sum = Bin2D._pallas_sum
+    _rowcum_sum = Bin2D._rowcum_sum
+
+    def _dispatch_sum(self, d):
+        if self.strategy == "pallas":
+            return self._pallas_sum(d)
+        if self._rowcum:
+            return self._rowcum_sum(d)
+        raise NotImplementedError("segment fallback not provided for rfft binner")
+
+    def bin(self, data2d_half):
+        """(centers, full-plane-equivalent bin means) from half-plane data."""
+        if self.strategy == "pallas":
+            from .pallas_kernels import bin_matmul
+            lead = data2d_half.shape[:-2]
+            flat = data2d_half.reshape(-1, data2d_half.shape[-2]
+                                       * data2d_half.shape[-1])
+            out = bin_matmul(flat, self._dig_dev, self._nseg,
+                             weights=self._w.reshape(-1))
+            sums = out.reshape(lead + (self._nseg,))[..., 1:-1]
+        else:
+            sums = self._dispatch_sum(data2d_half * self._w)
+        return self.centers, sums * self._inv_counts.astype(sums.dtype)
 
 
 def bin1d(x, y, bin_edges):

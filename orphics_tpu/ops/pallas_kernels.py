@@ -1,0 +1,113 @@
+"""Pallas TPU kernels for the hot reductions.
+
+Kernel 1: radial bin segment-reduce as a one-hot matmul on the MXU.
+The per-pixel bin id is a static int32 grid; each block builds the
+(K, NBINS) one-hot membership matrix in registers from an iota compare and
+contracts the (B, K) data block against it. No gathers, no scatters — the
+entire reduction is dense VPU compares + MXU matmuls (the XLA alternatives
+cost 10-100x more: TPU scatter ~130 ms and per-row-index gather ~33 ms for
+an 8x2048^2 batch).
+
+Precision without the 6-pass fp32 (HIGHEST) matmul: the one-hot factor is
+exact in bf16 (values like 0/1/2, and any per-pixel weight that is exact
+in bf16), and the fp32 data is split *in registers* into two bf16 terms
+(hi = bf16(x), lo = bf16(x - hi)) accumulated in fp32 — two MXU passes,
+~16-17 effective mantissa bits per element; bin means of ~1e4 same-sign
+terms come out at ~1e-7 relative error. The fp32 input is read from HBM
+exactly once and no full-size intermediate is materialized.
+
+This is the Pallas replacement for the reference's np.digitize/np.bincount
+hot loop (``orphics/stats.py:786-797``) named in SURVEY §7.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bin_matmul"]
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _bin_reduce_kernel(ids_ref, w_ref, d_ref, out_ref, *, nseg_padded):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    k = d_ref.shape[-1]
+    ids = ids_ref[0, :]                      # (K,) int32
+    seg = jax.lax.broadcasted_iota(jnp.int32, (k, nseg_padded), 1)
+    w = w_ref[0, :]
+    oh = jnp.where(ids[:, None] == seg, w[:, None], 0.0).astype(jnp.bfloat16)
+    d32 = d_ref[:]
+    hi = d32.astype(jnp.bfloat16)
+    lo = (d32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(hi, oh, preferred_element_type=jnp.float32)
+    acc += jnp.dot(lo, oh, preferred_element_type=jnp.float32)
+    out_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("nseg", "block", "interpret"))
+def bin_matmul(data, ids, nseg: int, weights=None, block: int = 8192,
+               interpret: bool = False):
+    """Weighted segment-sum: ``out[b, s] = sum_n data[b, n] * w[n]`` over
+    ``ids[n] == s``, for static int32 ``ids`` (N,) in [0, nseg).
+
+    ``weights`` (optional, (N,) fp32) must be exactly representable in
+    bf16 (binning multiplicity weights are small integers / halves). The
+    main body runs in the Pallas kernel; the tail (< block elements) is a
+    dense XLA einsum against a static one-hot, so no padding copy of the
+    data is made.
+    """
+    b, n = data.shape
+    nseg_p = _round_up(nseg, 128)
+    nmain = (n // block) * block
+    data = data.astype(jnp.float32)
+    ids = ids.astype(jnp.int32)
+    if weights is None:
+        weights = jnp.ones((n,), jnp.float32)
+    else:
+        weights = weights.astype(jnp.float32)
+
+    out = jnp.zeros((b, nseg_p), jnp.float32)
+    if nmain:
+        nblocks = nmain // block
+        grid_spec = pl.GridSpec(
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((b, nseg_p), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            functools.partial(_bin_reduce_kernel, nseg_padded=nseg_p),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, nseg_p), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * nmain * nseg_p,
+                bytes_accessed=b * nmain * 4 + nmain * 8 + b * nseg_p * 4,
+                transcendentals=0,
+            ),
+        )(ids[:nmain].reshape(1, -1), weights[:nmain].reshape(1, -1),
+          data[:, :nmain])
+    if nmain < n:
+        tail_ids = ids[nmain:]
+        onehot = (tail_ids[:, None]
+                  == jnp.arange(nseg_p, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+        onehot = onehot * weights[nmain:, None]
+        out = out + jnp.einsum("bk,ks->bs", data[:, nmain:], onehot,
+                               precision=jax.lax.Precision.HIGHEST)
+    return out[:, :nseg]

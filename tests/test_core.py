@@ -214,3 +214,61 @@ def test_binned_power_mask_w2(geom, th):
     ratio = p1ds.mean(axis=0) / np.asarray(thb)
     # mode-coupling smears bins; the mean level must be right to a few %
     assert abs(ratio.mean() - 1) < 0.05, ratio
+
+
+def test_rfft_binner_matches_full_plane(geom, th):
+    """Half-plane binning with multiplicity weights == full-plane binning,
+    exactly, for the power of a real map."""
+    from orphics_tpu.ops.binning import RfftBin2D
+    rng = np.random.default_rng(21)
+    imap = rng.standard_normal(geom.shape).astype(np.float32)
+    edges = np.arange(80, 4000, 160.0)
+    bfull = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    bhalf = RfftBin2D(geom, edges, strategy="rowcum")
+    pfull = np.abs(np.fft.fft2(imap)) ** 2 * geom.area / geom.npix ** 2
+    phalf = np.abs(np.fft.rfft2(imap)) ** 2 * geom.area / geom.npix ** 2
+    _, r1 = bfull.bin(jnp.asarray(pfull))
+    _, r2 = bhalf.bin(jnp.asarray(phalf.astype(np.float64)))
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), rtol=1e-5)
+
+
+def test_pallas_bin_interpret_mode(geom):
+    """The MXU one-hot bin kernel agrees with the rowcum path (interpreter
+    mode on CPU)."""
+    edges = np.arange(80, 4000, 160.0)
+    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    rng = np.random.default_rng(22)
+    data = jnp.asarray(rng.standard_normal((2,) + geom.shape).astype(np.float32))
+    ref = binner._rowcum_sum(data.astype(jnp.float64))
+    got = binner._pallas_sum(data, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_rand_map_r_statistics(geom, th):
+    """The half-plane irfft synthesis route recovers the input spectrum
+    (statistically identical to the full-plane route)."""
+    from orphics_tpu.ops.binning import RfftBin2D
+    ells = np.arange(5001)
+    cltt = np.asarray(th.lCl("TT", ells))
+    ch = grf.covsqrt_half(geom, ells, cltt, dtype=jnp.float64)
+    edges = np.arange(300, 2500, 200.0)
+    binner = RfftBin2D(geom, edges, strategy="rowcum")
+    norm = geom.area / geom.npix ** 2
+
+    @jax.jit
+    def pipe(key):
+        imap = grf.rand_map_r(key, geom, ch, dtype=jnp.float64)
+        k = jnp.fft.rfft2(imap)
+        p = (k.conj() * k).real * norm
+        return binner.bin(p)[1]
+
+    nsims = 48
+    p1ds = np.asarray(jax.vmap(pipe)(jax.random.split(jax.random.PRNGKey(31), nsims)))
+    _, thb = binner.bin(jnp.asarray(np.interp(
+        np.asarray(geom.modlmap(jnp.float64))[:, :geom.nx // 2 + 1], ells, cltt)))
+    thb = np.asarray(thb)
+    err = p1ds.std(axis=0, ddof=1) / np.sqrt(nsims)
+    nsig = np.abs(p1ds.mean(axis=0) - thb) / err
+    assert np.all(nsig < 5.0), nsig
+    assert abs((p1ds.mean(axis=0) / thb).mean() - 1) < 0.02
