@@ -1,0 +1,199 @@
+"""Internal linear combination (ILC): Fourier-space, spectral, harmonic.
+
+TPU-native re-design of the reference's ILC toolkit
+(``orphics/maps.py:1952-2180`` and ``:371-470``): everything is batched
+linear algebra per (Fourier pixel | ell), expressed as einsums that vmap
+over the spectral axis and jit cleanly.
+
+Conventions follow Delabrouille et al. / arXiv:1006.5599 as in the
+reference: ``silc`` Eq 4, ``cilc`` Eq 18.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["silc", "cilc", "silc_noise", "cilc_noise", "ilc_cov", "ilc_cinv",
+           "ilc_empirical_cov", "calculate_harmonic_coadd_weights",
+           "harmonic_coaddition", "kspace_coadd", "ilc_map_term",
+           "ilc_comb_a_b"]
+
+
+def _def_response(response, cinv):
+    if response is None:
+        return jnp.ones((cinv.shape[0],), cinv.dtype)
+    return jnp.asarray(response, cinv.dtype)
+
+
+def ilc_map_term(kmaps, cinv, response):
+    """response^T . Cinv . kmaps (reference ``orphics/maps.py:2043``)."""
+    return jnp.einsum("k,kl...,l...->...", response, cinv, kmaps)
+
+
+def ilc_comb_a_b(response_a, response_b, cinv):
+    """a^T Cinv b per (pixel|ell) (reference ``orphics/maps.py:2047``)."""
+    return jnp.einsum("k,kl...,l->...", jnp.asarray(response_a), cinv,
+                      jnp.asarray(response_b))
+
+
+def silc(kmaps, cinv, response=None):
+    """Standard ILC of (nfreq, ...) k-maps with (nfreq, nfreq, ...) Cinv
+    (reference ``orphics/maps.py:1952``)."""
+    response = _def_response(response, cinv)
+    return ilc_map_term(kmaps, cinv, response) * silc_noise(cinv, response)
+
+
+def silc_noise(cinv, response=None):
+    """ILC noise power 1 / (a^T Cinv a) (reference ``maps.py:2025``)."""
+    response = _def_response(response, cinv)
+    d = ilc_comb_a_b(response, response, cinv)
+    return jnp.where(jnp.abs(d) > 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+
+
+def cilc(kmaps, cinv, response_a, response_b):
+    """Constrained ILC deprojecting component b (reference ``maps.py:1975``)."""
+    brb = ilc_comb_a_b(response_b, response_b, cinv)
+    arb = ilc_comb_a_b(response_a, response_b, cinv)
+    arM = ilc_map_term(kmaps, cinv, response_a)
+    brM = ilc_map_term(kmaps, cinv, response_b)
+    ara = ilc_comb_a_b(response_a, response_a, cinv)
+    numer = brb * arM - arb * brM
+    norm = ara * brb - arb ** 2
+    return jnp.where(jnp.abs(norm) > 0, numer / jnp.where(norm == 0, 1.0, norm), 0.0)
+
+
+def cilc_noise(cinv, response_a, response_b):
+    """Constrained-ILC noise power (reference ``maps.py:2030``)."""
+    brb = ilc_comb_a_b(response_b, response_b, cinv)
+    ara = ilc_comb_a_b(response_a, response_a, cinv)
+    arb = ilc_comb_a_b(response_a, response_b, cinv)
+    numer = brb ** 2 * ara + arb ** 2 * brb - brb * arb * arb - arb * brb * arb
+    denom = (ara * brb - arb ** 2) ** 2
+    return jnp.where(jnp.abs(denom) > 0, numer / jnp.where(denom == 0, 1.0, denom), 0.0)
+
+
+def ilc_cov(ells, cmb_ps, kbeams, freqs, noises, components=(), fdict=None,
+            narray=None, analysis_beam=1.0, lmins=None, lmaxs=None,
+            noise_only=False, inf=1e30):
+    """Build the beam-deconvolved (nfreq, nfreq, ...) multi-frequency
+    covariance (reference ``orphics/maps.py:2082``): CMB + instrument noise
+    (beam-deconvolved) + foreground components from ``fdict[comp](ells,
+    f1, f2)`` callables."""
+    ells = np.asarray(ells)
+    nfreq = len(freqs)
+    base = np.zeros((nfreq, nfreq) + ells.shape)
+    cov = base + (0.0 if noise_only else np.asarray(cmb_ps) * analysis_beam ** 2)
+    if noise_only:
+        components = ()
+    for i in range(nfreq):
+        for j in range(nfreq):
+            if narray is not None:
+                cov[i, j] += narray[i, j]
+            elif i == j:
+                with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                    instnoise = np.nan_to_num(
+                        np.asarray(noises[i]) * analysis_beam ** 2
+                        / np.asarray(kbeams[i]) ** 2)
+                cov[i, j] = cov[i, j] + instnoise
+            for comp in components:
+                fg = np.nan_to_num(fdict[comp](ells, freqs[i], freqs[j]))
+                fg[np.abs(fg) > 1e90] = 0
+                cov[i, j] = cov[i, j] + fg * analysis_beam ** 2
+            if i == j:
+                if lmins is not None:
+                    cov[i, j][ells < lmins[i]] = inf
+                if lmaxs is not None:
+                    cov[i, j][ells > lmaxs[i]] = inf
+    return cov
+
+
+def ilc_cinv(ells, cmb_ps, kbeams, freqs, noises, components=(), fdict=None,
+             narray=None, eigpow=True, **kw):
+    """Inverse multi-frequency covariance (reference ``maps.py:2146``)."""
+    from .grf import eig_pow
+    cov = np.nan_to_num(ilc_cov(ells, cmb_ps, kbeams, freqs, noises,
+                                components, fdict=fdict, narray=narray, **kw))
+    stack = jnp.moveaxis(jnp.asarray(cov), (0, 1), (-2, -1))
+    if eigpow:
+        cinv = eig_pow(stack, -1.0)
+    else:
+        cinv = jnp.linalg.inv(stack)
+    return jnp.moveaxis(cinv, (-2, -1), (0, 1)), cov
+
+
+def ilc_empirical_cov(kmaps, binner=None, modlmap=None):
+    """Isotropic empirical covariance from k-maps: bin |ki kj*| radially
+    and re-paint on the 2D plane (reference ``maps.py:2053``)."""
+    ncomp = kmaps.shape[0]
+    p = (kmaps[:, None] * kmaps[None, :].conj()).real
+    if binner is None:
+        return p
+    cents, p1d = binner.bin(p)
+    out = jax.vmap(lambda v: jnp.interp(modlmap.reshape(-1), jnp.asarray(cents),
+                                        v).reshape(modlmap.shape))(
+        p1d.reshape(-1, p1d.shape[-1]))
+    return out.reshape(p.shape[:-2] + modlmap.shape)
+
+
+def kspace_coadd(kmaps, kbeams, kncovs, fkbeam=1.0):
+    """Noise-weighted coadd of non-deconvolved k-maps (reference
+    ``orphics/maps.py:1098``): sum(k b f/N) / sum(b^2/N)."""
+    kmaps = jnp.asarray(kmaps)
+    kbeams = jnp.asarray(kbeams)
+    kncovs = jnp.asarray(kncovs)
+    numer = jnp.sum(kmaps * kbeams * fkbeam / kncovs, axis=0)
+    numer = jnp.nan_to_num(numer, posinf=0.0, neginf=0.0)
+    denom = jnp.sum(kbeams ** 2 / kncovs, axis=0)
+    out = numer / denom
+    return jnp.nan_to_num(out, posinf=0.0, neginf=0.0)
+
+
+def calculate_harmonic_coadd_weights(lmax, cl_model, resp_factors, beams):
+    """Per-ell ILC/coadd weights (reference ``orphics/maps.py:371``):
+    w_l = Cinv_l a_l / (a_l^T Cinv_l a_l) with a_l = resp * B_l.
+
+    ``cl_model``: dict[(i,j)] -> C_l of the observed (beam-convolved) sky.
+    Returns (lmax+1, nfreq). Batched inverses ride ``jnp.linalg.inv``.
+    """
+    nfreq = len(beams)
+    for b in beams:
+        if np.asarray(b).size < lmax + 1:
+            raise ValueError("beam transfer does not cover multipole range")
+    cov = np.zeros((lmax + 1, nfreq, nfreq))
+    for i in range(nfreq):
+        for j in range(i, nfreq):
+            spec = np.asarray(cl_model[(i, j)])[: lmax + 1]
+            cov[:, i, j] = cov[:, j, i] = spec
+    if not np.all(np.isfinite(cov)):
+        raise ValueError("non-finite covariance model")
+    resp = np.ones(nfreq) if resp_factors is None else np.asarray(resp_factors)
+    beams_mat = np.vstack([np.asarray(b)[: lmax + 1] for b in beams])
+    a_mat = (resp[:, None] * beams_mat).T                     # (lmax+1, nfreq)
+    cinv = np.zeros_like(cov)
+    cinv[2:] = np.asarray(jnp.linalg.inv(jnp.asarray(cov[2:])))
+    num = np.einsum("lij,lj->li", cinv, a_mat)
+    den = np.einsum("li,li->l", a_mat, num)
+    w = np.zeros_like(num)
+    w[2:] = num[2:] / den[2:, None]
+    if not np.all(np.isfinite(w)):
+        raise ValueError("non-finite weights")
+    return w
+
+
+def harmonic_coaddition(alms, beams, cl_model, target_beam, resp_factors=None,
+                        return_weights=True):
+    """Harmonic coaddition without explicit deconvolution (reference
+    ``orphics/maps.py:442``): alm_out = sum_i almxfl(alm_i, w_li * B_target).
+    """
+    from ..ops.alm import almxfl, getlmax
+    alms = [jnp.asarray(a) for a in alms]
+    lmax = getlmax(alms[0].shape[-1])
+    w = calculate_harmonic_coadd_weights(lmax, cl_model, resp_factors, beams)
+    tb = np.asarray(target_beam)[: lmax + 1]
+    out = 0.0
+    for i, alm in enumerate(alms):
+        out = out + almxfl(alm, jnp.asarray(w[:, i] * tb))
+    if return_weights:
+        return out, w
+    return out
