@@ -1,0 +1,287 @@
+"""Pixel-pixel covariances for small stamps; maximum-likelihood inpainting.
+
+TPU-native re-design of reference ``orphics/pixcov.py``: the brute-force
+inpainting of circular holes (Eq 3 of arXiv:1109.0286). The reference
+distributes an MPI loop over ~1e4 sources, each doing a dense
+O((ncomp n^2)^3) inverse on one rank (``pixcov.py:520-693``); here the
+per-source work is a pure function vmapped into one batched
+inverse/solve/eigh program on the MXU, and the per-map application phase
+(mean infill + covsqrt draw) is a single batched matmul.
+
+Math notes (matching the reference exactly):
+  * the stamp covariance is block-circulant: C[p1, p2] = xi((x1-x2) mod n)
+    with xi = raw_ifft(P2d * npix/area) (``pixcov.py:21-38,87-102``);
+  * IQU ordering is component-major blocks (``pixcov.py:243``);
+  * the common mode of each component is deprojected with a Woodbury
+    correction (``pixcov.py:249-253``);
+  * hole pixels m1, context m2; mean infill = -Cinv[m1,m1]^{-1} Cinv[m1,m2]
+    applied to context; fluctuation drawn with covsqrt =
+    eigpow(inv(Cinv[m1,m1]), 1/2) (``pixcov.py:255-266``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import Geometry, arcmin
+from ..ops import fourier as F
+from .grf import eig_pow
+
+__all__ = [
+    "ps2d_to_mat", "rotate_pol_power", "stamp_pixcov_from_theory",
+    "scov_from_theory", "ncov_ivar_diag", "get_geometry_regions",
+    "make_geometry", "make_geometries_batched", "inpaint_stamp",
+    "inpaint_stamps_batched", "extract_stamps", "insert_stamps", "inpaint",
+    "save_geometries", "load_geometries",
+]
+
+
+def ps2d_to_mat(p2d, geom_stamp: Geometry):
+    """2D power (stamp Fourier grid, physical units) -> (n^2, n^2)
+    block-circulant pixel covariance (reference ``pixcov.py:33`` +
+    the npix/area scaling of ``fcov_to_rcorr`` at ``pixcov.py:87``)."""
+    n_y, n_x = geom_stamp.shape
+    corr = jnp.fft.ifft2(p2d * (geom_stamp.npix / geom_stamp.area)).real
+    iy = np.arange(n_y)
+    ix = np.arange(n_x)
+    dy = (iy[:, None] - iy[None, :]) % n_y        # (n, n)
+    dx = (ix[:, None] - ix[None, :]) % n_x
+    # mat[(i,j),(k,l)] = corr[(k-i)%n, (l-j)%n]
+    mat = corr[dy.T[:, None, :, None], dx.T[None, :, None, :]]
+    return mat.reshape(n_y * n_x, n_y * n_x)
+
+
+def rotate_pol_power(geom: Geometry, cov, iau: bool = False,
+                     inverse: bool = False):
+    """Rotate (3,3,ny,nx) 2D power between TEB and TQU
+    (reference ``pixcov.py:42``)."""
+    prot = F.queb_rotmat(geom, inverse=inverse, iau=iau)
+    rot = jnp.zeros((3, 3) + geom.shape).at[0, 0].set(1.0)
+    rot = rot.at[1:, 1:].set(prot)
+    return jnp.einsum("ab...,bc...,dc...->ad...", rot, cov, rot)
+
+
+def stamp_pixcov_from_theory(geom_stamp: Geometry, cmb2d_TEB, n2d_IQU=0.0,
+                             beam2d=1.0, iau: bool = False):
+    """(ncomp, ncomp, n^2, n^2) stamp covariance from 2D TEB CMB power,
+    beam and IQU noise power (reference ``pixcov.py:67``)."""
+    cmb2d = jnp.asarray(cmb2d_TEB)
+    ncomp = cmb2d.shape[0]
+    if ncomp == 3:
+        cmb2d = rotate_pol_power(geom_stamp, cmb2d, iau=iau, inverse=True)
+    p2d = cmb2d * jnp.asarray(beam2d) ** 2 + n2d_IQU
+    npx = geom_stamp.npix
+    out = jnp.zeros((ncomp, ncomp, npx, npx))
+    for i in range(ncomp):
+        for j in range(i, ncomp):
+            m = ps2d_to_mat(p2d[i, j], geom_stamp)
+            out = out.at[i, j].set(m)
+            if i != j:
+                out = out.at[j, i].set(m)
+    return out
+
+
+def scov_from_theory(geom_stamp: Geometry, theory, beam_fn=None,
+                     ncomp: int = 3, iau: bool = False):
+    """Signal stamp covariance from a TheorySpectra + beam function
+    (reference ``pixcov.py:117``), flattened to component-major
+    (ncomp n^2, ncomp n^2)."""
+    modlmap = geom_stamp.modlmap(jnp.float64)
+    ells = np.arange(theory.lpad + 1)
+
+    def cl2d(spec):
+        return jnp.asarray(np.interp(np.asarray(modlmap), ells,
+                                     np.asarray(theory.lCl(spec, ells)),
+                                     left=0, right=0))
+
+    cmb = jnp.zeros((ncomp, ncomp) + geom_stamp.shape)
+    cmb = cmb.at[0, 0].set(cl2d("TT"))
+    if ncomp > 1:
+        cmb = cmb.at[1, 1].set(cl2d("EE"))
+        cmb = cmb.at[2, 2].set(cl2d("BB"))
+        te = cl2d("TE")
+        cmb = cmb.at[0, 1].set(te).at[1, 0].set(te)
+    beam2d = beam_fn(modlmap) if beam_fn is not None else 1.0
+    cov = stamp_pixcov_from_theory(geom_stamp, cmb, 0.0, beam2d, iau)
+    return _comp_major(cov)
+
+
+def _comp_major(cov4):
+    """(ncomp,ncomp,npix,npix) -> (ncomp*npix, ncomp*npix), component-major
+    blocks (the reference's transpose(0,2,1,3) ordering, pixcov.py:243)."""
+    ncomp, _, npx, _ = cov4.shape
+    return jnp.transpose(cov4, (0, 2, 1, 3)).reshape(ncomp * npx, ncomp * npx)
+
+
+def ncov_ivar_diag(ivar_stamp, ncomp: int = 3):
+    """Diagonal white-noise variance vector (comp-major, len ncomp*n^2)
+    from an ivar stamp; QQ = UU = 2 II (reference ``pixcov.py:104``)."""
+    iv = jnp.asarray(ivar_stamp).reshape(-1)
+    maxvar = 1.0 / jnp.max(jnp.where(iv > 0, iv, -jnp.inf))
+    var = jnp.where(iv > 0, 1.0 / jnp.where(iv > 0, iv, 1.0), maxvar)
+    comps = [var] + [2.0 * var] * (ncomp - 1)
+    return jnp.concatenate(comps[:ncomp])
+
+
+def get_geometry_regions(ncomp: int, n: int, res: float, hole_radius: float):
+    """Static hole (m1) and context (m2) index arrays, comp-major
+    (reference ``pixcov.py:448``)."""
+    y = (np.arange(n) - (n - 1) / 2.0) * res
+    modrmap = np.sqrt(y[:, None] ** 2 + y[None, :] ** 2)
+    a = np.tile(modrmap.reshape(-1), ncomp)
+    m1 = np.where(a < hole_radius)[0]
+    m2 = np.where(a >= hole_radius)[0]
+    return m1, m2
+
+
+@partial(jax.jit, static_argnames=("deproject", "ncomp"))
+def make_geometry(pcov, m1, m2, deproject: bool = True, ncomp: int = 3):
+    """covsqrt + meanmul from a (ncomp n^2, ncomp n^2) pixel covariance
+    (reference ``pixcov.py:193``). Pure function — vmap over stamps.
+    """
+    N = pcov.shape[-1]
+    npx = N // ncomp
+    cinv = jnp.linalg.inv(pcov)
+    if deproject:
+        u = jnp.zeros((N, ncomp))
+        for i in range(ncomp):
+            u = u.at[i * npx:(i + 1) * npx, i].set(1.0)
+        cinvu = jnp.linalg.solve(pcov, u)
+        inner = jnp.linalg.solve(u.T @ cinvu, u.T)
+        cinv = cinv - cinvu @ (inner @ cinv)
+    c11 = cinv[jnp.ix_(m1, m1)]
+    c12 = cinv[jnp.ix_(m1, m2)]
+    meanmul = -jnp.linalg.solve(c11, c12)
+    cov = jnp.linalg.inv(c11)
+    covsqrt = eig_pow(cov, 0.5)
+    return covsqrt, meanmul
+
+
+def make_geometries_batched(scov, ivar_stamps, m1, m2, ncomp: int = 3,
+                            deproject: bool = True):
+    """Batched geometry precompute: one static signal covariance + per-stamp
+    diagonal noise (the vmap replacement for the MPI-over-sources loop of
+    reference ``pixcov.py:520``). Returns (B, nh, nh) covsqrt and
+    (B, nh, nc) meanmul."""
+    m1j = jnp.asarray(m1)
+    m2j = jnp.asarray(m2)
+
+    def one(ivar_stamp):
+        nvar = ncov_ivar_diag(ivar_stamp, ncomp)
+        pcov = scov + jnp.diag(nvar)
+        return make_geometry(pcov, m1j, m2j, deproject=deproject, ncomp=ncomp)
+
+    return jax.vmap(one)(jnp.asarray(ivar_stamps))
+
+
+def inpaint_stamp(stamp, covsqrt, meanmul, m1, m2, key=None):
+    """Max-like fill of the hole of one (ncomp, n, n) stamp (reference
+    ``pixcov.py:296``). Comp-major flattening; key=None for mean-only."""
+    flat = jnp.asarray(stamp).reshape(-1)
+    mean = meanmul @ flat[m2]
+    sim = mean
+    if key is not None:
+        r = jax.random.normal(key, (m1.shape[0],), flat.dtype)
+        sim = mean + covsqrt @ r
+    return flat.at[m1].set(sim).reshape(jnp.shape(stamp))
+
+
+def inpaint_stamps_batched(stamps, covsqrts, meanmuls, m1, m2, keys=None):
+    """vmap of :func:`inpaint_stamp` over (B, ncomp, n, n) stamps."""
+    m1j, m2j = jnp.asarray(m1), jnp.asarray(m2)
+    if keys is None:
+        f = lambda s, c, m: inpaint_stamp(s, c, m, m1j, m2j, None)
+        return jax.vmap(f)(stamps, covsqrts, meanmuls)
+    f = lambda s, c, m, k: inpaint_stamp(s, c, m, m1j, m2j, k)
+    return jax.vmap(f)(stamps, covsqrts, meanmuls, keys)
+
+
+# ------------------------------------------------------------------
+# big-map cutout plumbing
+# ------------------------------------------------------------------
+
+def extract_stamps(imap, pix_coords, n: int):
+    """(B, ..., n, n) stamps centered at integer pixel coords (B, 2)
+    (reference ``extract_cutouts``, ``pixcov.py:865``). Uses vmapped
+    dynamic slices; coords must keep the stamp inside the map."""
+    imap = jnp.asarray(imap)
+    pix = jnp.asarray(pix_coords).astype(jnp.int32)
+    start = pix - n // 2
+
+    def one(s):
+        zero = jnp.zeros((), s.dtype)
+        starts = (zero,) * (imap.ndim - 2) + (s[0], s[1])
+        sizes = imap.shape[:-2] + (n, n)
+        return jax.lax.dynamic_slice(imap, starts, sizes)
+
+    return jax.vmap(one)(start)
+
+
+def insert_stamps(imap, stamps, pix_coords, n: int):
+    """Write stamps back at their locations (sequential scan — stamps may
+    overlap; last writer wins, as in the reference's in-place loop)."""
+    imap = jnp.asarray(imap)
+    pix = jnp.asarray(pix_coords).astype(jnp.int32)
+    start = pix - n // 2
+
+    def body(carry, xs):
+        st, s = xs
+        zero = jnp.zeros((), s.dtype)
+        starts = (zero,) * (imap.ndim - 2) + (s[0], s[1])
+        return jax.lax.dynamic_update_slice(carry, st, starts), 0
+
+    out, _ = jax.lax.scan(body, imap, (jnp.asarray(stamps), start))
+    return out
+
+
+def inpaint(imap, coords_pix, geom: Geometry, theory, beam_fn,
+            ivar=None, noise_uk_arcmin=None, hole_radius_arcmin=5.0,
+            npix_context: int = 40, ncomp: int = None, key=None,
+            deproject: bool = True):
+    """End-to-end joint IQU inpainting of circular holes (reference
+    ``pixcov.py:334``): build the stamp geometry from theory+beam+noise,
+    batch-precompute, extract stamps, fill, re-insert.
+    """
+    imap = jnp.asarray(imap)
+    if ncomp is None:
+        ncomp = imap.shape[0] if imap.ndim == 3 else 1
+    n = npix_context
+    res = min(abs(geom.dy), abs(geom.dx))
+    gstamp = Geometry(n, n, geom.dy, geom.dx)
+    scov = scov_from_theory(gstamp, theory, beam_fn, ncomp=ncomp)
+    m1, m2 = get_geometry_regions(ncomp, n, res, hole_radius_arcmin * arcmin)
+    coords_pix = jnp.asarray(coords_pix)
+    B = coords_pix.shape[0]
+    if ivar is not None:
+        ivar_stamps = extract_stamps(ivar, coords_pix, n)
+    else:
+        iv = 1.0 / ((noise_uk_arcmin * arcmin) ** 2 / geom.pixsize)
+        ivar_stamps = jnp.full((B, n, n), iv)
+    covsqrts, meanmuls = make_geometries_batched(scov, ivar_stamps, m1, m2,
+                                                 ncomp=ncomp,
+                                                 deproject=deproject)
+    stamps = extract_stamps(imap if imap.ndim == 3 else imap[None],
+                            coords_pix, n)
+    keys = jax.random.split(key, B) if key is not None else None
+    filled = inpaint_stamps_batched(stamps, covsqrts, meanmuls, m1, m2, keys)
+    out = insert_stamps(imap if imap.ndim == 3 else imap[None],
+                        filled, coords_pix, n)
+    return out if imap.ndim == 3 else out[0]
+
+
+def save_geometries(fname, covsqrts, meanmuls, m1, m2, meta=None):
+    """Persist batched inpainting geometries (reference saves per-source
+    HDF5, ``pixcov.py:677``; one npz here)."""
+    np.savez(fname, covsqrts=np.asarray(covsqrts),
+             meanmuls=np.asarray(meanmuls), m1=np.asarray(m1),
+             m2=np.asarray(m2), **(meta or {}))
+
+
+def load_geometries(fname):
+    d = np.load(fname)
+    return (jnp.asarray(d["covsqrts"]), jnp.asarray(d["meanmuls"]),
+            d["m1"], d["m2"])
