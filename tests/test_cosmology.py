@@ -1,0 +1,120 @@
+"""Cosmology tests: background distances, growth, EH98 power/sigma8,
+Limber C_l against the shipped CAMB ground truth, Knox forecasts."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from orphics_tpu.models import cosmology as cosmo, theory
+
+
+@pytest.fixture(scope="module")
+def cc():
+    return cosmo.Cosmology()
+
+
+@pytest.fixture(scope="module")
+def lc():
+    return cosmo.LimberCosmology(numz=600)
+
+
+@pytest.fixture(scope="module")
+def th():
+    return theory.default_theory()
+
+
+def test_background_distances(cc):
+    assert abs(cc.hubble_parameter(0.0) - cc.H0) < 1e-6
+    chi1 = cc.comoving_radial_distance(1.0)
+    assert 3200 < chi1 < 3600, chi1  # ~3400 Mpc for Planck-like LCDM
+    assert 13500 < cc.chistar < 14500, cc.chistar
+    # roundtrip z <-> chi
+    z = cc.redshift_at_comoving_radial_distance(chi1)
+    assert abs(z - 1.0) < 1e-3
+    # angular diameter distance relation
+    np.testing.assert_allclose(cc.angular_diameter_distance(1.0), chi1 / 2.0,
+                               rtol=1e-6)
+
+
+def test_growth_normalizations(cc):
+    assert abs(cc.D_growth(1.0) - 1.0) < 1e-6
+    # matter-domination: D ~ a
+    a = np.array([0.002, 0.004, 0.008])
+    d = cc.D_growth(a, norm="matter")
+    np.testing.assert_allclose(d / a, 1.0, rtol=0.02)
+    # growth suppression today for LCDM: D(a=1, matter norm) ~ 0.78
+    d1 = cc.D_growth(1.0, norm="matter")
+    assert 0.7 < d1 < 0.85, d1
+
+
+def test_transfer_limits(cc):
+    k = np.logspace(-4, 1, 200)
+    T = cc.transfer(k)
+    assert abs(T[0] - 1.0) < 1e-3          # T -> 1 at large scales
+    assert np.all(np.diff(T[k > 0.5]) < 0)  # decreasing in the damping tail
+    assert np.all(T > 0) and np.all(T <= 1.001)
+    # no-wiggle and oscillatory agree to ~5%
+    Tn = cc.transfer(k, type="eisenhu")
+    sel = (k > 1e-3) & (k < 1.0)
+    assert np.max(np.abs(T[sel] / Tn[sel] - 1)) < 0.12
+
+
+def test_sigma8_and_As_scaling(cc):
+    s8 = cc.sigma8()
+    assert 0.75 < s8 < 0.92, s8  # DR4-like cosmology
+    # sigma8 ~ sqrt(As)
+    s8_hi = cosmo.s8_from_as(cc.As * 4.0)
+    np.testing.assert_allclose(s8_hi / s8, 2.0, rtol=1e-4)
+    As_t = cosmo.As_from_s8(0.8)
+    np.testing.assert_allclose(cosmo.s8_from_as(As_t), 0.8, rtol=1e-4)
+
+
+def test_limber_clkk_vs_camb_table(lc, th):
+    """Limber + EH98 clkk against the shipped CAMB high-accuracy table.
+    EH98 is a few-% transfer approximation and the table includes
+    nonlinear corrections, so demand ~linear-regime agreement only."""
+    ells = np.arange(30, 400, 20)
+    lc.generateCls(ells)
+    clkk = lc.getCl("cmb", "cmb")
+    clkk_camb = np.asarray(th.gCl("kk", ells))
+    ratio = clkk / clkk_camb
+    # cosmo params differ slightly (DR4 vs 2017) + EH98: allow 20%
+    assert np.all(np.abs(ratio - 1) < 0.25), ratio
+    assert abs(np.median(ratio) - 1) < 0.15, ratio
+
+
+def test_limber_cross_consistency(lc):
+    zs = np.linspace(0.2, 1.6, 100)
+    nz = np.exp(-0.5 * (zs - 0.8) ** 2 / 0.2 ** 2)
+    lc.addNz("g", zs, nz, bias=1.8, ignore_exists=True)
+    lc.addDeltaNz("s1", 1.0, ignore_exists=True)
+    ells = np.arange(40, 800, 40)
+    lc.generateCls(ells)
+    clkk = lc.getCl("cmb", "cmb")
+    clgg = lc.getCl("g", "g")
+    clkg = lc.getCl("cmb", "g")
+    # Cauchy-Schwarz and positivity
+    assert np.all(clkk > 0) and np.all(clgg > 0) and np.all(clkg > 0)
+    assert np.all(clkg ** 2 <= clkk * clgg * (1 + 1e-6))
+    # a source at z=1100-ish reproduces the cmb kernel
+    lc.addDeltaNz("far", 1050.0, ignore_exists=True)
+    lc.generateCls(np.arange(40, 200, 40))
+    r = lc.getCl("far", "far") / lc.getCl("cmb", "cmb")
+    np.testing.assert_allclose(r, 1.0, rtol=0.05)
+
+
+def test_lensforecast_knox(th):
+    lf = cosmo.LensForecast()
+    ells = np.arange(2, 3000)
+    clkk = np.asarray(th.gCl("kk", ells))
+    nls = np.full(ells.shape, 1e-7)
+    lf.loadKK(ells, clkk, ells, nls)
+    edges = np.arange(40, 1000, 80)
+    sn1, errs1 = lf.sn(edges, 0.1, "kk")
+    sn4, errs4 = lf.sn(edges, 0.4, "kk")
+    np.testing.assert_allclose(sn4 / sn1, 2.0, rtol=1e-6)
+    np.testing.assert_allclose(errs1 / errs4, 2.0, rtol=1e-6)
+    assert sn1 > 5  # a decent experiment detects lensing
+    # KnoxCov symmetric usage
+    covs, s1, s2 = lf.KnoxCov("kk", "kk", edges, 0.4)
+    np.testing.assert_allclose(s1, s2, rtol=1e-9)
+    assert np.all(covs > 0)
