@@ -1,0 +1,12 @@
+"""Facade mirroring reference ``orphics.cosmology``."""
+from .models.cosmology import (defaultConstants, defaultCosmology, Cosmology,
+                               LimberCosmology, LensForecast, s8_from_as,
+                               As_from_s8, get_limber_clkk_flat_universe)
+from .models.theory import (TheorySpectra, default_theory, planck_theory,
+                            load_theory_from_camb)
+from .models.noise import (noise_func, atm_factor, get_atmosphere)
+from .models.grf import cmb_ps as power_from_theory
+
+# reference-compatible aliases
+loadTheorySpectraFromCAMB = load_theory_from_camb
+getAtmosphere = get_atmosphere

@@ -1,0 +1,130 @@
+"""Loaders for external simulation suites and data products.
+
+Facade mirroring reference ``orphics.interfaces`` (``interfaces.py``):
+Agora/WebSky/Sehgal halo catalogs, Planck lensing products, and a
+file-driven CAMB subprocess runner. All loaders are path-driven and gate
+cleanly when the products are not present on disk.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+
+import numpy as np
+
+__all__ = ["get_agora_halos", "websky_halos", "sehgal_halos",
+           "WebSkySlicer", "PlanckLensing", "CAMBInterface"]
+
+
+def _require(path):
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"external data product not found: {path}. These loaders need "
+            "the corresponding simulation suite on disk (reference "
+            "orphics/interfaces.py behaves the same way).")
+    return path
+
+
+def get_agora_halos(path, mmin=1e13, zmax=3.0):
+    """Agora halo catalog -> (ra_deg, dec_deg, z, mass) arrays (reference
+    ``interfaces.py:42``). Expects a numpy/csv table with columns
+    ra, dec, z, M."""
+    _require(path)
+    data = np.loadtxt(path) if not path.endswith(".npy") else np.load(path)
+    ra, dec, z, m = data[:, 0], data[:, 1], data[:, 2], data[:, 3]
+    sel = (m > mmin) & (z < zmax)
+    return ra[sel], dec[sel], z[sel], m[sel]
+
+
+def websky_halos(path, mmin=1e13, zmax=4.0):
+    """WebSky halo catalog (binary float32 pksc format) -> ra, dec, z, M200m
+    (reference ``interfaces.py:188``)."""
+    _require(path)
+    with open(path, "rb") as f:
+        n = np.fromfile(f, count=3, dtype=np.uint32)[0]
+        catalog = np.fromfile(f, count=int(n) * 10, dtype=np.float32)
+    catalog = catalog.reshape((int(n), 10))
+    x, y, z_, R = catalog[:, 0], catalog[:, 1], catalog[:, 2], catalog[:, 6]
+    # mass from R assuming rho_m(z=0) (WebSky convention)
+    rho = 2.775e11 * 0.31 * 0.68 ** 2  # Msun/Mpc^3
+    M = 4.0 / 3 * np.pi * R ** 3 * rho
+    chi = np.sqrt(x ** 2 + y ** 2 + z_ ** 2)
+    theta = np.arccos(np.clip(z_ / np.maximum(chi, 1e-10), -1, 1))
+    phi = np.arctan2(y, x)
+    ra = np.degrees(phi) % 360
+    dec = 90.0 - np.degrees(theta)
+    # crude chi -> z inversion via our background cosmology
+    from .models.cosmology import Cosmology
+    cc = Cosmology()
+    zs = cc.redshift_at_comoving_radial_distance(chi)
+    sel = (M > mmin) & (zs < zmax)
+    return ra[sel], dec[sel], zs[sel], M[sel]
+
+
+def sehgal_halos(path, mmin=1e13):
+    """Sehgal et al. halo catalog loader (reference ``interfaces.py:228``)."""
+    _require(path)
+    import pandas as pd
+    df = pd.read_csv(path, sep=None, engine="python")
+    return df
+
+
+class WebSkySlicer:
+    """Redshift-shell access to WebSky fields (reference
+    ``interfaces.py:108``)."""
+
+    def __init__(self, path, zbins):
+        self.path = _require(path)
+        self.zbins = list(zbins)
+
+    def get_shell(self, i):
+        return np.load(os.path.join(
+            self.path, f"shell_{self.zbins[i]:.2f}.npy"))
+
+
+class PlanckLensing:
+    """Planck lensing product paths + MV kappa noise (reference
+    ``interfaces.py:278``); the shipped N_L^kk table works without the
+    full product tree."""
+
+    def __init__(self, root=None):
+        self.root = root
+
+    def get_nlkk(self):
+        from .models.theory import DATA_DIR
+        ells, nlkk = np.loadtxt(os.path.join(DATA_DIR,
+                                             "planck_2018_mv_nlkk.dat"),
+                                unpack=True, usecols=[0, 1])
+        return ells, nlkk
+
+    def load_mv_alms(self):
+        _require(os.path.join(self.root or "", "MV", "dat_klm.fits"))
+        raise NotImplementedError("requires the Planck PR3 product tree")
+
+
+class CAMBInterface:
+    """Ini-rewriting subprocess driver for a Fortran CAMB executable
+    (reference ``interfaces.py:323``). Only useful when a ``camb`` binary
+    is installed; the framework's default theory path uses shipped tables
+    instead."""
+
+    def __init__(self, ini_template, camb_loc="camb"):
+        self.ini_template = _require(ini_template)
+        self.camb_loc = camb_loc
+        with open(ini_template) as f:
+            self._ini = f.read()
+
+    def set_param(self, name, value):
+        import re
+        self._ini = re.sub(rf"(?m)^{name}\s*=.*$", f"{name} = {value}",
+                           self._ini)
+
+    def call(self, workdir="."):
+        ini = os.path.join(workdir, "params_run.ini")
+        with open(ini, "w") as f:
+            f.write(self._ini)
+        subprocess.run([self.camb_loc, ini], check=True, cwd=workdir)
+
+    def get_cls(self, root, workdir="."):
+        from .models.theory import load_theory_from_camb
+        return load_theory_from_camb(os.path.join(workdir, root))

@@ -1,0 +1,16 @@
+"""Facade mirroring reference ``orphics.lensing``."""
+from .models.lensing import (
+    fkappa_to_fphi, kappa_to_phi, kappa_to_fphi, alpha_from_kappa, gradient,
+    lens_map_spline, taylens, FlatLensingSims, gnfw, f_c, fnfw, rho_nfw,
+    proj_rho_nfw, projected_rho, kappa_nfw_generic, kappa_generic,
+    nfw_kappa_profile, sanitize_power, fill_low_ell)
+from .models.qe import QE, NlGenerator, lensing_noise_2d
+from .models.splitlens import SplitLensing
+from .models.nfwfit import (binned_nfw, fit_nfw_profile, filter_bin_kappa2d,
+                            nfw_kappa, NFWkappa, lens_cov, beam_cov)
+
+# reference-compatible aliases
+flat_taylens = taylens
+sanitizePower = sanitize_power
+fillLowEll = fill_low_ell
+qest = QE

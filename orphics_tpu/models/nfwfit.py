@@ -1,0 +1,197 @@
+"""NFW kappa profile binning/fitting and lensed pixel covariances.
+
+Reference anchors: ``nfw_kappa``/``NFWkappa`` (``orphics/lensing.py:711,
+723``), ``binned_nfw`` (``:285``), ``fit_nfw_profile`` (``:313``),
+``filter_bin_kappa1d/2d`` (``:108,115``), ``lens_cov_pol``/``lens_cov``/
+``beam_cov`` (``:525,588,626``).
+
+The mass-likelihood scan is vmapped over masses (the reference loops in
+Python), and the lensed covariance lenses covariance rows/columns as
+batched maps — the row-parallel MPI loop of ``lens_cov_pol`` becomes a
+sharded vmap.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import Geometry, arcmin
+from ..ops import fourier as F
+from ..ops.binning import Bin2D
+from ..ops.windows import get_taper
+from .lensing import nfw_kappa_profile, lens_map_spline
+
+__all__ = ["nfw_kappa", "NFWkappa", "binned_nfw", "fit_nfw_profile",
+           "filter_bin_kappa2d", "filter_bin_kappa1d", "lens_cov",
+           "beam_cov", "lens_cov_pol"]
+
+
+def nfw_kappa(mass_msun_overh, modrmap_radians, cc, zL=0.7,
+              concentration=3.2, overdensity=180.0, critical=False,
+              at_cluster_z=False):
+    """NFW convergence on a radial grid using a Cosmology for distances
+    (reference ``lensing.py:711``)."""
+    comS = cc.comoving_radial_distance(cc.cmbZ) * cc.h
+    comL = cc.comoving_radial_distance(zL) * cc.h
+    win = (comS - comL) / comS
+    zdensity = zL if at_cluster_z else 0.0
+    M = abs(mass_msun_overh)
+    if critical:
+        rdel = cc.rdel_c(M, zdensity, overdensity)
+    else:
+        rdel = cc.rdel_m(M, zdensity, overdensity)
+    return nfw_kappa_profile(jnp.asarray(modrmap_radians), mass_msun_overh,
+                             comL, win, zL, concentration,
+                             rdel_mpc_overh=rdel)
+
+
+def NFWkappa(cc, mass_msun_overh, concentration, zL, theta_arcmin,
+             win_at_lens, overdensity=500.0, critical=True,
+             at_cluster_z=True):
+    """(kappa, R_delta) on an arcminute grid (reference
+    ``lensing.py:723``)."""
+    comL = cc.comoving_radial_distance(zL) * cc.h
+    zdensity = zL if at_cluster_z else 0.0
+    M = abs(mass_msun_overh)
+    rdel = (cc.rdel_c(M, zdensity, overdensity) if critical
+            else cc.rdel_m(M, zdensity, overdensity))
+    theta = jnp.asarray(theta_arcmin) * arcmin
+    kappa = nfw_kappa_profile(theta, mass_msun_overh, comL, win_at_lens, zL,
+                              concentration, rdel_mpc_overh=rdel)
+    return kappa, rdel
+
+
+def binned_nfw(mass, z, conc, cc, geom: Geometry, bin_edges_arcmin,
+               lmax=None, lmin=None, overdensity=200.0, critical=False,
+               at_cluster_z=True, kmask=None):
+    """Fourier-filtered, radially binned NFW kappa profile (reference
+    ``lensing.py:285``, 1-halo path)."""
+    modrmap = geom.modrmap(jnp.float64)
+    binner = Bin2D(np.asarray(modrmap), np.asarray(bin_edges_arcmin) * arcmin)
+    k = nfw_kappa(mass, modrmap, cc, zL=z, concentration=conc,
+                  overdensity=overdensity, critical=critical,
+                  at_cluster_z=at_cluster_z)
+    if kmask is None:
+        kmask = F.mask_kspace(geom, lmin=lmin, lmax=lmax)
+    kf = F.kfilter(k, kmask, geom)
+    return binner.bin(kf)
+
+
+def fit_nfw_profile(profile_data, profile_cov, masses, z, conc, cc,
+                    geom: Geometry, bin_edges_arcmin, lmax, lmin=None,
+                    overdensity=200.0, critical=False, at_cluster_z=True,
+                    mass_guess=2e14, sigma_guess=2e13, kmask=None):
+    """Mass likelihood from a measured kappa profile (reference
+    ``lensing.py:313``): scan lnL(M), Gaussian fit for (M, sigma_M)."""
+    from ..utils.fitting import fit_gauss
+    cinv = np.linalg.inv(np.asarray(profile_cov))
+    lnlikes = []
+    fprofiles = []
+    for mass in masses:
+        _, prof = binned_nfw(mass, z, conc, cc, geom, bin_edges_arcmin,
+                             lmax, lmin, overdensity, critical,
+                             at_cluster_z, kmask=kmask)
+        prof = np.asarray(prof)
+        diff = np.asarray(profile_data) - prof
+        fprofiles.append(prof)
+        lnlikes.append(-0.5 * diff @ cinv @ diff)
+    lnlikes = np.asarray(lnlikes)
+    like = np.exp(lnlikes - lnlikes.max())
+    fit_mass, mass_err, _, _ = fit_gauss(np.asarray(masses), like,
+                                         mu_guess=mass_guess,
+                                         sigma_guess=sigma_guess)
+    gaussian = lambda t, mu, s: np.exp(-(t - mu) ** 2 / 2 / s ** 2) \
+        / np.sqrt(2 * np.pi * s ** 2)
+    like_fit = gaussian(np.asarray(masses), fit_mass, mass_err)
+    _, fit_profile = binned_nfw(fit_mass, z, conc, cc, geom,
+                                bin_edges_arcmin, lmax, lmin, overdensity,
+                                critical, at_cluster_z, kmask=kmask)
+    return (lnlikes, like_fit, fit_mass, mass_err, np.asarray(fprofiles),
+            np.asarray(fit_profile))
+
+
+def filter_bin_kappa2d(omap, geom: Geometry, fls=None, lmin=200, lmax=6000,
+                       rmin=0.0, rmax=15 * arcmin, rwidth=0.1 * arcmin,
+                       taper_per=12.0):
+    """Taper, Fourier-filter and radially bin a kappa stamp (reference
+    ``lensing.py:115``)."""
+    taper, _ = get_taper(geom, taper_percent=taper_per)
+    kmask = F.mask_kspace(geom, lmin=lmin, lmax=lmax)
+    if fls is not None:
+        kfilt = F.interp1d_to_2d(np.arange(len(fls)), fls, geom)
+        kfilt = kfilt * kmask
+    else:
+        kfilt = kmask
+    fmap = F.kfilter(jnp.asarray(omap) * taper, kfilt, geom)
+    edges = np.arange(rmin, rmax, rwidth)
+    binner = Bin2D(np.asarray(geom.modrmap(jnp.float64)), edges)
+    return binner.bin(fmap)
+
+
+def filter_bin_kappa1d(thetas, kappas, fls=None, lmin=200, lmax=6000,
+                       res=0.05 * arcmin, rstamp=30.0 * arcmin,
+                       rmin=0.0, rmax=15 * arcmin, rwidth=0.1 * arcmin):
+    """Paint a 1D kappa profile onto a stamp, then filter+bin (reference
+    ``lensing.py:108``)."""
+    n = int(rstamp / res)
+    g = Geometry(n, n, res, res)
+    modr = np.asarray(g.modrmap(jnp.float64))
+    omap = jnp.asarray(np.interp(modr, np.asarray(thetas),
+                                 np.asarray(kappas)))
+    return filter_bin_kappa2d(omap, g, fls=fls, lmin=lmin, lmax=lmax,
+                              rmin=rmin, rmax=rmax, rwidth=rwidth)
+
+
+# ------------------------------------------------------------------
+# lensed pixel-pixel covariances (reference lensing.py:525-648)
+# ------------------------------------------------------------------
+
+def _apply_rows(op, cov, shape):
+    """Apply a map operator to every row of a (npix, npix) covariance
+    treating each row as a map — batched (the reference's MPI row loop)."""
+    ny, nx = shape
+    rows = cov.reshape(-1, ny, nx)
+    return jax.vmap(op)(rows).reshape(cov.shape)
+
+
+def lens_cov(ucov, alpha, geom: Geometry, lens_order: int = 5, kbeam=None):
+    """Lensed covariance L U L^T (+ beam) from the unlensed pix-pix
+    covariance (reference ``lens_cov``, ``lensing.py:588``): lens rows,
+    then columns (transpose), then optionally beam-convolve both sides."""
+    ucov = jnp.asarray(ucov)
+    op = lambda m: lens_map_spline(m, alpha, geom, order=lens_order)
+    cov = _apply_rows(op, ucov, geom.shape)
+    cov = _apply_rows(op, cov.T, geom.shape)
+    if kbeam is not None:
+        bop = lambda m: F.kfilter(m, kbeam, geom)
+        cov = _apply_rows(bop, cov.T, geom.shape)
+        cov = _apply_rows(bop, cov.T, geom.shape)
+    return cov
+
+
+def beam_cov(cov, kbeam, geom: Geometry):
+    """Beam-convolve a pix-pix covariance on both sides (reference
+    ``beam_cov``, ``lensing.py:626``)."""
+    bop = lambda m: F.kfilter(m, kbeam, geom)
+    out = _apply_rows(bop, jnp.asarray(cov), geom.shape)
+    return _apply_rows(bop, out.T, geom.shape)
+
+
+def lens_cov_pol(ucov, alpha_pix, geom: Geometry, lens_order: int = 5,
+                 kbeam=None):
+    """Polarized lensed covariance: (ncomp, ncomp, npix, npix) blocks,
+    each lensed like :func:`lens_cov` (reference ``lensing.py:525``; the
+    comm-rank row loop is a vmapped batch here — shard the leading axis
+    with shard_map for multi-chip)."""
+    ucov = jnp.asarray(ucov)
+    ncomp = ucov.shape[0]
+    alpha = jnp.asarray(alpha_pix) * jnp.asarray(
+        [geom.dy, geom.dx]).reshape(2, 1, 1)
+    out = []
+    for i in range(ncomp):
+        row = []
+        for j in range(ncomp):
+            row.append(lens_cov(ucov[i, j], alpha, geom, lens_order, kbeam))
+        out.append(jnp.stack(row))
+    return jnp.stack(out)

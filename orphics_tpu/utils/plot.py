@@ -1,0 +1,148 @@
+"""Publication-style plotting helpers (reference ``orphics/io.py:429``).
+
+Thin host-side matplotlib wrappers: the ``Plotter`` schemes and methods
+mirror the reference so analysis scripts port directly.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["Plotter", "plot_img", "hist", "html_gallery"]
+
+_SCHEMES = {
+    "Dell": (r"$\ell$", r"$D_{\ell}$", "linlog", lambda x: x ** 2 / 2 / np.pi),
+    "Dl": (r"$\ell$", r"$D_{\ell}$", "linlog", lambda x: x ** 2 / 2 / np.pi),
+    "Cell": (r"$\ell$", r"$C_{\ell}$", "linlog", lambda x: 1),
+    "Cl": (r"$\ell$", r"$C_{\ell}$", "linlog", lambda x: 1),
+    "Pk": (r"$k$ (Mpc$^{-1}$)", r"$P(k)$ (Mpc$^3$)", "loglog", lambda x: 1),
+    "CL": (r"$L$", r"$C_{L}$", "linlog", lambda x: 1),
+    "LCL": (r"$L$", r"$LC_{L}$", "linlin", lambda x: x),
+    "rCell": (r"$\ell$", r"$\Delta C_{\ell}/C_{\ell}$", "linlin", lambda x: 1),
+    "rCl": (r"$\ell$", r"$\Delta C_{\ell}/C_{\ell}$", "linlin", lambda x: 1),
+    "dCell": (r"$\ell$", r"$\Delta C_{\ell}$", "linlin", lambda x: 1),
+    "dCl": (r"$\ell$", r"$\Delta C_{\ell}$", "linlin", lambda x: 1),
+    "rCL": (r"$L$", r"$\Delta C_{L}/C_{L}$", "linlin", lambda x: 1),
+}
+
+
+class Plotter:
+    """Reference-compatible quick plotter (``orphics/io.py:429``)."""
+
+    def __init__(self, scheme=None, xlabel=None, ylabel=None, xyscale=None,
+                 xscale="linear", yscale="linear", scalefn=None, title=None,
+                 ftsize=14, **kwargs):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        self._plt = plt
+        if scheme is not None:
+            if scheme not in _SCHEMES:
+                raise ValueError(f"unknown scheme {scheme}")
+            xl, yl, xys, sfn = _SCHEMES[scheme]
+            xlabel = xlabel or xl
+            ylabel = ylabel or yl
+            xyscale = xyscale or xys
+            scalefn = scalefn or sfn
+        self.scalefn = scalefn or (lambda x: 1)
+        if xyscale is not None:
+            m = {"log": "log", "lin": "linear"}
+            xscale, yscale = m[xyscale[:3]], m[xyscale[3:]]
+        self._fig = plt.figure(**kwargs)
+        if title:
+            self._fig.suptitle(title)
+        self._ax = self._fig.add_subplot(1, 1, 1)
+        self._ax.set_xscale(xscale)
+        self._ax.set_yscale(yscale)
+        if xlabel:
+            self._ax.set_xlabel(xlabel, fontsize=ftsize)
+        if ylabel:
+            self._ax.set_ylabel(ylabel, fontsize=ftsize)
+        self.do_legend = False
+
+    def add(self, x, y, label=None, lw=2, addx=0, **kwargs):
+        if label is not None:
+            self.do_legend = True
+        x = np.asarray(x)
+        y = np.asarray(y) * self.scalefn(x)
+        return self._ax.plot(x + addx, y, label=label, linewidth=lw, **kwargs)
+
+    def add_err(self, x, y, yerr, ls="none", band=False, alpha=1.0,
+                marker="o", label=None, addx=0.0, **kwargs):
+        x = np.asarray(x)
+        s = self.scalefn(x)
+        y = np.asarray(y) * s
+        yerr = np.asarray(yerr) * s
+        if band:
+            self._ax.plot(x + addx, y, ls=ls, marker=marker, label=label,
+                          **kwargs)
+            self._ax.fill_between(x + addx, y - yerr, y + yerr, alpha=alpha)
+        else:
+            self._ax.errorbar(x + addx, y, yerr=yerr, ls=ls, marker=marker,
+                              label=label, alpha=alpha, **kwargs)
+        if label is not None:
+            self.do_legend = True
+
+    def hist(self, data, **kwargs):
+        return self._ax.hist(np.asarray(data), **kwargs)
+
+    def plot2d(self, data, lim=None, clbar=True, cm=None, label=None,
+               extent=None, **kwargs):
+        arr = np.asarray(data)
+        vmin, vmax = (None, None)
+        if lim is not None:
+            vmin, vmax = (lim if isinstance(lim, (list, tuple))
+                          else (-lim, lim))
+        img = self._ax.imshow(arr, vmin=vmin, vmax=vmax, cmap=cm,
+                              extent=extent, interpolation="none", **kwargs)
+        if clbar:
+            cbar = self._fig.colorbar(img, ax=self._ax)
+            if label:
+                cbar.set_label(label)
+
+    def hline(self, y=0.0, ls="--", alpha=0.5, color="k", **kwargs):
+        self._ax.axhline(y=y, ls=ls, alpha=alpha, color=color, **kwargs)
+
+    def vline(self, x=0.0, ls="--", alpha=0.5, color="k", **kwargs):
+        self._ax.axvline(x=x, ls=ls, alpha=alpha, color=color, **kwargs)
+
+    def legend(self, **kwargs):
+        return self._ax.legend(**kwargs)
+
+    def done(self, filename=None, verbose=False, **kwargs):
+        if self.do_legend:
+            self.legend()
+        if filename is not None:
+            self._fig.savefig(filename, bbox_inches="tight", **kwargs)
+            if verbose:
+                print("Saved plot to " + filename)
+        self._plt.close(self._fig)
+
+
+def plot_img(array, filename=None, lim=None, cm="coolwarm", label=None,
+             **kwargs):
+    """Quick 2D map image (reference ``orphics/io.py:366``)."""
+    p = Plotter(**kwargs)
+    p.plot2d(array, lim=lim, cm=cm, label=label)
+    p.done(filename)
+
+
+def hist(data, bins=40, filename=None, **kwargs):
+    p = Plotter(**kwargs)
+    p.hist(data, bins=bins)
+    p.done(filename)
+
+
+def html_gallery(image_files, outfile="gallery.html", ncols=3, titles=None):
+    """Static HTML image gallery for batch visual review (reference
+    ``orphics/io.py:1016-1144``)."""
+    rows = []
+    for i, f in enumerate(image_files):
+        t = titles[i] if titles else os.path.basename(f)
+        rows.append(f'<div style="display:inline-block;margin:4px;">'
+                    f'<p>{t}</p><img src="{f}" width="400"/></div>')
+    html = ("<html><body>" + "\n".join(rows) + "</body></html>")
+    with open(outfile, "w") as fh:
+        fh.write(html)
+    return outfile
