@@ -17,6 +17,28 @@ from .ops import fourier as _F
 from .ops.binning import Bin2D, bin_in_annuli
 from .models import grf as _grf
 from .models.grf import MapGen, spec2flat, harm2map, map2harm, cmb_ps, white_noise
+from .models.mapstools import (
+    flux, MatchedFilter, matched_filter, FourierStack,
+    get_normalized_center, mask_center, crop_center, get_central, Purify,
+    iqu_to_pure_lteb, inpaint_cg, analytical_tf, minimum_ell, cosine_taper,
+    downsample_power, SymMat, symmat_from_data, sanitize_beam,
+    gapfill_edge_conv_flat, binary_mask, area, fsky, area_sqdeg, rescale,
+    rotate, MapRotator, diagonal_cov, ncov, thumbnail_healpix,
+    galactic_mask, generate_correlated_alm, ftrans, real_space_filter,
+    rfilter)
+from .models.splits import (split_calc, noise_from_splits,
+                            cross_split_spectrum, crossband_errors,
+                            error_fsky)
+from .models.noise import (rednoise, atm_factor, ivar, rms_from_ivar,
+                           modulated_noise_map, get_masked_ivar)
+from .models.ilc import (silc, cilc, silc_noise, cilc_noise, ilc_cov,
+                         ilc_cinv, ilc_empirical_cov, kspace_coadd,
+                         calculate_harmonic_coadd_weights,
+                         harmonic_coaddition)
+from .ops.distance import cosine_apodize, grow_mask, mask_srcs
+from .ops.windows import (cosine_window, get_taper, get_taper_deg,
+                          sigma_from_fwhm, fwhm_from_sigma)
+from .ops.alm import change_alm_lmax
 
 __all__ = [
     "rect_geometry", "Geometry", "MapGen", "FourierCalc", "binned_power",

@@ -219,6 +219,40 @@ def taylens(imap, alpha, geom: Geometry, order: int = 5):
 # Lensed simulations
 # ------------------------------------------------------------------
 
+class FixedLens:
+    """Lensed sims with a *fixed* deflection profile (e.g. a cluster halo):
+    unlensed GRF -> displace by the fixed alpha (reference ``FixedLens``,
+    ``lensing.py:30``)."""
+
+    def __init__(self, geom: Geometry, theory, kappa_fixed, lens_order: int = 5,
+                 pol: bool = False, dtype=jnp.float32):
+        self.geom = geom
+        self.lens_order = lens_order
+        lmax = int(geom.lmax()) + 1
+        ells = np.arange(lmax)
+        ncomp = 3 if pol else 1
+        ps = np.zeros((ncomp, ncomp, lmax))
+        ps[0, 0] = np.asarray(theory.uCl("TT", ells))
+        if pol:
+            ps[1, 1] = np.asarray(theory.uCl("EE", ells))
+            ps[2, 2] = np.asarray(theory.uCl("BB", ells))
+            te = np.asarray(theory.uCl("TE", ells))
+            ps[0, 1] = ps[1, 0] = te
+        self.mgen = _grf.MapGen(geom, ps, dtype=dtype)
+        self.kappa = jnp.asarray(kappa_fixed, dtype)
+        self.alpha = alpha_from_kappa(self.kappa, geom)
+
+    def update_kappa(self, kappa):
+        self.kappa = jnp.asarray(kappa)
+        self.alpha = alpha_from_kappa(self.kappa, self.geom)
+
+    def generate_sim(self, key):
+        unlensed = self.mgen.get_map(key)
+        lensed = lens_map_spline(unlensed, self.alpha, self.geom,
+                                 order=self.lens_order)
+        return unlensed, lensed
+
+
 class FlatLensingSims:
     """Batched lensed CMB simulations (reference ``FlatLensingSims``,
     ``lensing.py:458``): unlensed GRF (+pol), GRF kappa, spline lensing,

@@ -1,0 +1,217 @@
+"""Tests for the map-space toolkit tail: aperture photometry, matched
+filter, pure-B purification, CG inpainting, misc utilities."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from orphics_tpu import rect_geometry, Geometry
+from orphics_tpu.geometry import arcmin
+from orphics_tpu.ops import fourier as F
+from orphics_tpu.ops.binning import Bin2D
+from orphics_tpu.models import mapstools as mt, grf, theory, lensing
+
+
+@pytest.fixture(scope="module")
+def geom():
+    return rect_geometry(width_arcmin=128 * 2.0, px_res_arcmin=2.0)
+
+
+@pytest.fixture(scope="module")
+def th():
+    return theory.default_theory()
+
+
+def test_flux_aperture_photometry(geom):
+    """A compact source of known integrated flux is recovered on a flat
+    background."""
+    modr = geom.modrmap(jnp.float64)
+    sig = 3 * arcmin
+    src = jnp.exp(-0.5 * modr ** 2 / sig ** 2)
+    true_flux = float(jnp.sum(src * geom.pixsizemap(jnp.float64)))
+    thumb = src + 7.0  # constant background
+    f = mt.flux(thumb[None], aperture_radius=10 * arcmin, geom=geom)
+    # annulus subtraction removes the background; small aperture leakage
+    assert abs(float(f[0]) / true_flux - 1) < 0.05, (float(f[0]), true_flux)
+
+
+def test_matched_filter_amplitude(geom, th):
+    """MF recovers the amplitude of an injected template in GRF noise,
+    within the predicted variance."""
+    ells = np.arange(th.lpad + 1)
+    cltt = np.asarray(th.lCl("TT", ells))
+    n2d = F.interp1d_to_2d(ells, cltt, geom, dtype=jnp.float64) + 1e-20
+    kmask = F.mask_kspace(geom, lmin=80, lmax=4000, dtype=jnp.float64)
+    modr = geom.modrmap(jnp.float64)
+    template = jnp.exp(-0.5 * modr ** 2 / (5 * arcmin) ** 2)
+    mgen = grf.MapGen(geom, cltt[None, None], dtype=jnp.float64)
+    amp_true = 50.0
+    mf = mt.MatchedFilter(geom, template=template, noise_power=n2d)
+
+    @jax.jit
+    def one(key):
+        noise = mgen.get_map(key)
+        a, v = mf.apply(imap=noise + amp_true * template, kmask=kmask)
+        return a, v
+
+    amps, variances = jax.vmap(one)(jax.random.split(jax.random.PRNGKey(0), 32))
+    amps = np.asarray(amps)
+    pred_sigma = np.sqrt(float(variances[0]))
+    assert abs(amps.mean() - amp_true) < 4 * pred_sigma / np.sqrt(32)
+    assert 0.5 < amps.std() / pred_sigma < 2.0
+
+
+def test_pure_b_leakage_suppression(geom, th):
+    """E-only sims through an apodized window: the pure estimator must
+    suppress E->B leakage power by a large factor vs the standard
+    estimator (Smith 2006)."""
+    from orphics_tpu.ops.windows import get_taper
+    lmax = 5000
+    ells = np.arange(lmax + 1)
+    ps = np.zeros((3, 3, lmax + 1))
+    ps[1, 1] = np.asarray(th.lCl("EE", ells))  # E only, no B
+    ps[0, 0] = np.asarray(th.lCl("TT", ells))
+    mgen = grf.MapGen(geom, ps, dtype=jnp.float64)
+    window, _ = get_taper(geom, taper_percent=18.0)
+    window = window.astype(jnp.float64)
+    pur = mt.Purify(geom, window)
+    edges = np.arange(300, 2500, 200.0)
+    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    norm = geom.area / geom.npix ** 2
+
+    @jax.jit
+    def one(key):
+        iqu = mgen.get_map(key) * window[None]
+        _, _, fB_std = mt.iqu_to_pure_lteb(iqu[0], iqu[1], iqu[2], geom,
+                                           pur.windict, method="standard")
+        _, _, fB_pure = mt.iqu_to_pure_lteb(iqu[0], iqu[1], iqu[2], geom,
+                                            pur.windict, method="pure")
+        _, b_std = binner.bin((fB_std.conj() * fB_std).real * norm)
+        _, b_pure = binner.bin((fB_pure.conj() * fB_pure).real * norm)
+        return b_std, b_pure
+
+    nsims = 16
+    b_std, b_pure = jax.vmap(one)(jax.random.split(jax.random.PRNGKey(2), nsims))
+    r = np.asarray(b_pure).mean(axis=0) / np.asarray(b_std).mean(axis=0)
+    # first-principles pure estimator: leakage suppressed by >100x per bin
+    assert np.all(r < 0.01), r
+    assert r.mean() < 0.002, r
+
+
+def test_inpaint_cg_constrained_realization(geom, th):
+    """CG inpainting restores hole statistics: filled map power matches
+    the unmasked map power."""
+    ells = np.arange(th.lpad + 1)
+    cltt = np.asarray(th.lCl("TT", ells))
+    noise = 1e-4 * cltt.max()
+    p2d = F.interp1d_to_2d(ells, cltt, geom, dtype=jnp.float64) + noise
+    mgen = grf.MapGen(geom, (cltt + noise)[None, None], dtype=jnp.float64)
+    modr = np.asarray(geom.modrmap(jnp.float64))
+    mask = jnp.asarray((modr > 10 * arcmin).astype(np.float64))
+
+    @jax.jit
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        imap = mgen.get_map(k1)
+        rand = mgen.get_map(k2)
+        filled = mt.inpaint_cg(imap * mask, rand, mask, p2d, geom, eps=1e-6)
+        norm = geom.area / geom.npix ** 2
+        kf = jnp.fft.fft2(filled)
+        ko = jnp.fft.fft2(imap)
+        return ((kf.conj() * kf).real * norm, (ko.conj() * ko).real * norm)
+
+    edges = np.arange(300, 2500, 300.0)
+    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    nsims = 8
+    pf, po = jax.vmap(one)(jax.random.split(jax.random.PRNGKey(3), nsims))
+    _, bf = binner.bin(jnp.asarray(np.asarray(pf).mean(axis=0)))
+    _, bo = binner.bin(jnp.asarray(np.asarray(po).mean(axis=0)))
+    ratio = np.asarray(bf) / np.asarray(bo)
+    assert np.all(np.abs(ratio - 1) < 0.05), ratio
+
+
+def test_downsample_power_smooths(geom):
+    rng = np.random.default_rng(5)
+    base = F.interp1d_to_2d(np.arange(12000), 1e3 / (np.arange(12000) + 100.0),
+                            geom, dtype=jnp.float64)
+    noisy = jnp.asarray(np.asarray(base) * rng.uniform(0.5, 1.5, geom.shape))
+    sm = mt.downsample_power(noisy, geom, ndown=8)
+    # smoother: variance of log-residual reduced
+    r_noisy = np.asarray(noisy / base)
+    r_sm = np.asarray(sm / base)
+    assert r_sm.std() < 0.5 * r_noisy.std()
+
+
+def test_symmat_roundtrip():
+    a = mt.SymMat(3, (4, 4))
+    for y in range(3):
+        for x in range(y, 3):
+            a[y, x] = np.full((4, 4), 10 * y + x)
+    arr = a.to_array()
+    np.testing.assert_allclose(arr[1, 0], arr[0, 1])
+    np.testing.assert_allclose(arr[2, 1][0, 0], 12)
+
+
+def test_sanitize_beam():
+    ells = np.arange(6000)
+    beam = np.asarray(F.gauss_beam(ells, 5.0))
+    sane = mt.sanitize_beam(ells, beam, sval=1e-3)
+    assert np.all(sane > 0)
+    # continues smoothly: no jumps bigger than 10x
+    assert np.max(np.abs(np.diff(np.log(sane)))) < 0.1
+
+
+def test_gapfill_smooth(geom, th):
+    ells = np.arange(th.lpad + 1)
+    cltt = np.asarray(th.lCl("TT", ells))
+    mgen = grf.MapGen(geom, cltt[None, None], dtype=jnp.float64)
+    imap = mgen.get_map(jax.random.PRNGKey(6))
+    modr = np.asarray(geom.modrmap(jnp.float64))
+    badmask = jnp.asarray(modr < 8 * arcmin)
+    filled = mt.gapfill_edge_conv_flat(imap, badmask, geom)
+    # good region untouched; hole values within the map's range
+    np.testing.assert_allclose(np.asarray(filled)[~np.asarray(badmask)],
+                               np.asarray(imap)[~np.asarray(badmask)])
+    hole_vals = np.asarray(filled)[np.asarray(badmask)]
+    assert np.all(np.abs(hole_vals) < 5 * float(jnp.std(imap)))
+
+
+def test_rescale_rotate_roundtrip(geom):
+    modr = geom.modrmap(jnp.float64)
+    img = jnp.exp(-0.5 * modr ** 2 / (20 * arcmin) ** 2)
+    rot = mt.rotate(img, np.pi / 2, geom)
+    # radially symmetric map invariant under rotation (interior)
+    np.testing.assert_allclose(np.asarray(rot)[30:-30, 30:-30],
+                               np.asarray(img)[30:-30, 30:-30], atol=1e-3)
+    up = mt.rescale(img, 0.5, geom)  # zoom in by 2x
+    assert float(up[64, 64]) == pytest.approx(float(img[64, 64]), abs=1e-3)
+
+
+def test_thumbnail_and_galactic_mask():
+    from orphics_tpu.utils import healpix as hp
+    nside = 64
+    m = np.arange(hp.nside2npix(nside), dtype=float)
+    thumb, g = mt.thumbnail_healpix(m, ra_deg=30.0, dec_deg=10.0,
+                                    width_arcmin=60, px_res_arcmin=2.0)
+    assert thumb.shape == (30, 30)
+    # center pixel value equals direct lookup
+    pc = hp.ang2pix(nside, np.pi / 2 - np.radians(10.0), np.radians(30.0))
+    cy, cx = 15, 15
+    assert abs(thumb[cy - 1:cy + 1, cx - 1:cx + 1].mean() - m[pc[0]]) \
+        < hp.nside2npix(nside) * 0.01
+    geom = rect_geometry(width_deg=40, px_res_arcmin=30.0)
+    gm = np.asarray(mt.galactic_mask(geom, 64, np.pi / 2 - 0.15,
+                                     np.pi / 2 + 0.15))
+    # the strip (|dec| < ~8.6 deg) is masked at the patch center rows
+    assert gm[gm.shape[0] // 2].max() == 0
+    assert gm[2].min() == 1
+
+
+def test_fixed_lens_runs(geom, th):
+    kappa = 0.1 * jnp.exp(-0.5 * geom.modrmap(jnp.float64) ** 2
+                          / (10 * arcmin) ** 2)
+    fl = lensing.FixedLens(geom, th, kappa, dtype=jnp.float64)
+    unlensed, lensed = fl.generate_sim(jax.random.PRNGKey(7))
+    assert np.all(np.isfinite(np.asarray(lensed)))
+    # lensing a map with kappa>0 magnifies the center: maps differ
+    assert float(jnp.abs(lensed - unlensed).max()) > 0
