@@ -29,7 +29,7 @@ def main():
     from orphics_tpu.models import grf, theory
 
     n = int(os.environ.get("BENCH_N", 2048))
-    batch = int(os.environ.get("BENCH_BATCH", 16))
+    batch = int(os.environ.get("BENCH_BATCH", 64))
     px = 0.5  # arcmin
     geom = rect_geometry(width_arcmin=n * px, px_res_arcmin=px)
     assert geom.shape == (n, n)
@@ -44,8 +44,8 @@ def main():
     binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
     norm = jnp.float32(geom.area / geom.npix ** 2)
 
-    def pipeline_pair(key):
-        """Two full GRF->map->FFT->bin pipelines per complex FFT pair:
+    def power_pair(key):
+        """Two full GRF->map->FFT->power pipelines per complex FFT pair:
         Re/Im of one synthesis ifft are two independent GRFs, and two real
         maps pack into one analysis fft (classic exact real-pair packing).
         """
@@ -60,12 +60,18 @@ def main():
         F2 = -0.5j * (Z - Zr)
         p1 = (F1.conj() * F1).real * norm
         p2 = (F2.conj() * F2).real * norm
-        _, p1d = binner.bin(jnp.stack([p1, p2]))
-        return p1d
+        return jnp.stack([p1, p2])
 
     assert batch % 2 == 0
     npairs = batch // 2  # each key yields two complete pipelines
-    step = jax.jit(jax.vmap(pipeline_pair))
+
+    @jax.jit
+    def step(keys):
+        p2ds = jax.vmap(power_pair)(keys).reshape(batch, n, n)
+        # one batched MXU bin-reduce over all maps (per-pair binning would
+        # serialize into tiny kernels)
+        _, p1d = binner.bin(p2ds)
+        return p1d
 
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, npairs)
