@@ -617,3 +617,75 @@ class LensForecast:
         var, sigs1, _ = self.KnoxCov(specType, specType, ellBinEdges, fsky,
                                      ntot)
         return np.sqrt(sigs1.sum()), np.sqrt(var)
+
+
+def noise_pad_infinity(nl_func, ellmin, ellmax):
+    """Wrap a noise curve to be infinite outside [ellmin, ellmax]
+    (reference ``cosmology.py:1170``)."""
+    def f(x):
+        x = np.asarray(x, dtype=float)
+        out = np.asarray(nl_func(x), dtype=float)
+        return np.where((x < ellmin) | (x > ellmax), np.inf, out)
+    return f
+
+
+def get_lensed_cls(ells, ucltt, clkk, lmax=None, npix=2048,
+                   px_res_arcmin=1.0, nterms=14):
+    """Lensed TT spectrum from an unlensed spectrum and a (possibly
+    modified) C_L^kk.
+
+    Replaces the reference's ``camb.correlations``-based
+    ``get_lensed_cls`` (``cosmology.py:1206``) with the flat-sky
+    correlation-function method under isotropic Gaussian resummation
+    (Seljak 1996): the lensed correlation function is
+
+      xi~(r) = int d^2l/(2pi)^2 C_l e^{il.r} e^{-l^2 [sigma^2 - A(r)]/2},
+
+    with A(r) the deflection correlation (FFT of l^2 Cphi) and
+    sigma^2 = A(0). The l-r coupling is expanded in powers of A(r)
+    (fast-converging; ``nterms`` terms), so the whole computation is a
+    handful of 2D FFTs. Captures the acoustic-peak smoothing
+    non-perturbatively; neglects the small anisotropic Cgl,2 term.
+    """
+    import jax.numpy as jnp
+    from ..geometry import Geometry, arcmin
+    from math import factorial
+
+    ells = np.asarray(ells, dtype=np.float64)
+    ucltt = np.asarray(ucltt, dtype=np.float64)
+    clkk = np.asarray(clkk, dtype=np.float64)
+    if lmax is None:
+        lmax = int(ells.max())
+    d = px_res_arcmin * arcmin
+    geom = Geometry(npix, npix, d, d)
+    ml = np.asarray(geom.modlmap(jnp.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        clphi = np.nan_to_num(4.0 * clkk / (ells * (ells + 1.0)) ** 2)
+    C2 = np.interp(ml, ells, ucltt, left=0, right=0)
+    P2 = np.interp(ml, ells, clphi, left=0, right=0)
+    fac = geom.npix / geom.area  # sum over modes -> int d^2l/(2pi)^2
+
+    A = np.fft.ifft2(ml ** 2 * P2).real * fac        # deflection corr A(r)
+    sigma2 = A.flat[0]                                # A(r=0)
+    u = 0.5 * ml ** 2 * sigma2                        # normalized exponent
+    gauss = np.exp(-u)
+    ratio = A / sigma2                                # |ratio| <= 1
+    xi = np.zeros_like(A)
+    rn = np.ones_like(A)
+    term = np.ones_like(u)                            # u^n / n!, bounded
+    for n in range(nterms):
+        Tn = np.fft.ifft2(term * C2 * gauss).real * fac
+        xi += rn * Tn
+        rn = rn * ratio
+        term = term * u / (n + 1)
+    lensed2d = np.fft.fft2(xi).real / fac
+    # radial average back to 1D at the grid's fundamental mode spacing
+    from ..ops.binning import Bin2D
+    dl = 2 * np.pi / (npix * d)
+    edges = np.arange(2, min(lmax + 2 * dl, geom.lmax() - 2), dl) - 0.5 * dl
+    binner = Bin2D(ml, edges)
+    cents, l1d = binner.bin(jnp.asarray(lensed2d))
+    out_ells = np.arange(lmax + 1, dtype=np.float64)
+    lensed = np.interp(out_ells, cents, np.asarray(l1d), left=0, right=0)
+    lensed[:2] = 0
+    return out_ells, lensed

@@ -146,3 +146,133 @@ def html_gallery(image_files, outfile="gallery.html", ncols=3, titles=None):
     with open(outfile, "w") as fh:
         fh.write(html)
     return outfile
+
+
+def power_crop(p2d, N, fname, do_ftrans=True, **kwargs):
+    """Crop + log-fftshift view of a 2D spectrum (reference
+    ``orphics/io.py:297``)."""
+    import numpy as _np
+    from ..models.mapstools import ftrans, crop_center
+    pmap = _np.asarray(ftrans(p2d)) if do_ftrans else _np.asarray(p2d)
+    ny, nx = pmap.shape[-2:]
+    pimg = crop_center(pmap, N, int(N * nx / ny))
+    plot_img(pimg, fname, **kwargs)
+
+
+def fplot(img, savename=None, log=True, **kwargs):
+    """fftshifted (log) Fourier-plane image (reference ``io.py:304``)."""
+    lfunc = np.log10 if log else (lambda x: x)
+    plot_img(lfunc(np.fft.fftshift(np.asarray(img))), savename, **kwargs)
+
+
+def fisher_plot(chi2ds, xval, yval, paramlabelx, paramlabely, thk=2,
+                cols=None, labels=None, levels=(2.0,), save_file=None):
+    """Fisher confidence ellipses (reference ``orphics/io.py:873``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig = plt.figure()
+    ax = fig.add_subplot(1, 1, 1)
+    xx = np.arange(360) / 180.0 * np.pi
+    circl = np.array([np.cos(xx), np.sin(xx)])
+    n = len(chi2ds)
+    cols = cols or [None] * n
+    labels = labels or [None] * n
+    for chi2d, col, lab in zip(chi2ds, cols, labels):
+        L = np.linalg.cholesky(np.asarray(chi2d))
+        ans = 1.52 * L @ circl
+        ax.plot(ans[0] + xval, ans[1] + yval, linewidth=thk, color=col,
+                label=lab)
+    ax.set_xlabel(paramlabelx)
+    ax.set_ylabel(paramlabely)
+    if any(l is not None for l in labels):
+        ax.legend()
+    if save_file:
+        fig.savefig(save_file, bbox_inches="tight")
+    plt.close(fig)
+    return fig, ax
+
+
+class FisherPlots:
+    """Multi-section Fisher forecast plotting (reference
+    ``orphics/io.py:689``)."""
+
+    def __init__(self):
+        self.fishers = {}
+        self.fidDicts = {}
+        self.paramLists = {}
+        self.paramLatexLists = {}
+
+    def addSection(self, section, paramList, paramLatexList, fidDict):
+        self.fishers[section] = {}
+        self.fidDicts[section] = fidDict
+        self.paramLists[section] = paramList
+        self.paramLatexLists[section] = paramLatexList
+
+    def addFisher(self, section, setName, fisherMat, gaussOnly=False):
+        self.fishers[section][setName] = (gaussOnly, np.asarray(fisherMat))
+
+    def plot1d(self, section, paramName, frange, setNames, labels=None,
+               saveFile="default.png"):
+        fval = self.fidDicts[section][paramName]
+        i = self.paramLists[section].index(paramName)
+        p = Plotter(xlabel="$" + self.paramLatexLists[section][i] + "$",
+                    ylabel="$\\mathcal{L}$")
+        labels = labels or [None] * len(setNames)
+        for setName, lab in zip(setNames, labels):
+            gaussOnly, fisher = self.fishers[section][setName]
+            if gaussOnly:
+                sig2 = fisher ** 2
+            else:
+                sig2 = np.linalg.inv(fisher)[i, i]
+            p.add(frange, np.exp(-(frange - fval) ** 2 / 2.0 / sig2),
+                  label=lab)
+        p.done(saveFile)
+
+    def plotPair(self, section, paramXYPair, setNames, labels=None,
+                 saveFile="default.png"):
+        paramX, paramY = paramXYPair
+        xval = self.fidDicts[section][paramX]
+        yval = self.fidDicts[section][paramY]
+        i = self.paramLists[section].index(paramX)
+        j = self.paramLists[section].index(paramY)
+        chi2ds = []
+        for s in setNames:
+            _, fisher = self.fishers[section][s]
+            Finv = np.linalg.inv(fisher)
+            chi2ds.append(Finv[np.ix_([i, j], [i, j])])
+        labels = labels or [None] * len(setNames)
+        return fisher_plot(chi2ds, xval, yval,
+                           "$" + self.paramLatexLists[section][i] + "$",
+                           "$" + self.paramLatexLists[section][j] + "$",
+                           labels=labels, save_file=saveFile)
+
+
+class WhiskerPlot:
+    """Point-with-error whisker comparison plot (reference
+    ``orphics/io.py:903``)."""
+
+    def __init__(self, means, errs, labels, xlabel="$S_8$", colors=None,
+                 vline=None):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        n = len(means)
+        self.fig, self.ax = plt.subplots(figsize=(5, 0.5 * n + 1))
+        ys = np.arange(n)[::-1]
+        colors = colors or ["C0"] * n
+        for y, m, e, lab, c in zip(ys, means, errs, labels, colors):
+            e = np.atleast_1d(e)
+            xerr = e[:, None] if e.ndim == 1 and e.size == 2 else e
+            self.ax.errorbar([m], [y], xerr=np.reshape(e, (-1, 1)),
+                             fmt="o", color=c)
+            self.ax.text(m, y + 0.2, lab, fontsize=9, ha="center")
+        if vline is not None:
+            self.ax.axvline(vline, ls="--", color="k", alpha=0.5)
+        self.ax.set_yticks([])
+        self.ax.set_xlabel(xlabel)
+
+    def save(self, fname):
+        self.fig.savefig(fname, bbox_inches="tight")
+        import matplotlib.pyplot as plt
+        plt.close(self.fig)

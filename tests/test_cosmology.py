@@ -118,3 +118,24 @@ def test_lensforecast_knox(th):
     covs, s1, s2 = lf.KnoxCov("kk", "kk", edges, 0.4)
     np.testing.assert_allclose(s1, s2, rtol=1e-9)
     assert np.all(covs > 0)
+
+
+def test_get_lensed_cls_matches_camb(th):
+    """Flat-sky Gaussian-resummed correlation-function lensing of the
+    unlensed spectrum reproduces the CAMB lensed table to ~2%."""
+    ells = np.arange(9001)
+    ucl = np.asarray(th.uCl('TT', ells))
+    lcl = np.asarray(th.lCl('TT', ells))
+    clkk = np.asarray(th.gCl('kk', ells))
+    oe, lensed = cosmo.get_lensed_cls(ells, ucl, clkk, lmax=3000)
+    idx = ((oe > 500) & (oe < 2500)).nonzero()[0]
+    assert np.abs(lensed[idx] / lcl[idx] - 1).max() < 0.02
+    d_pred = lensed[idx] - ucl[idx]
+    d_true = lcl[idx] - ucl[idx]
+    assert np.corrcoef(d_pred, d_true)[0, 1] > 0.95
+
+
+def test_noise_pad_infinity():
+    f = cosmo.noise_pad_infinity(lambda x: np.asarray(x) * 0 + 1.0, 100, 2000)
+    out = f(np.array([50, 500, 3000]))
+    assert np.isinf(out[0]) and out[1] == 1.0 and np.isinf(out[2])
