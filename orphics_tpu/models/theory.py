@@ -72,7 +72,10 @@ class TheorySpectra:
         return self._eval("uCl_" + spec.upper(), ells)
 
     def gCl(self, spec: str, ells):
-        """Generic Cl (e.g. 'kk' for CMB lensing convergence)."""
+        """Generic Cl (e.g. 'kk' for CMB lensing convergence). Cross
+        spectra are symmetric: 'gk' falls back to 'kg'."""
+        if spec not in self.tables and spec[::-1] in self.tables:
+            spec = spec[::-1]
         return self._eval(spec, ells)
 
     # -- mutation (host-side setup) ------------------------------------

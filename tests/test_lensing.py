@@ -117,7 +117,7 @@ def test_lensed_sims_power(geom, th):
     assert np.all(np.abs(ratio[~res] - 1) < 0.06), ratio
 
 
-@pytest.mark.parametrize("est", ["TT", "EB"])
+@pytest.mark.parametrize("est", ["TT", "EB", "EE", "TE"])
 def test_qe_cross_ratio(geom, th, est):
     """tt_verification pattern: <C(kappa_hat, kappa_in)> / <C(kappa_in,
     kappa_in)> consistent with 1."""
@@ -147,6 +147,10 @@ def test_qe_cross_ratio(geom, th, est):
             kteb = F.iqu2teb(kobs, geom)
             if est == "EB":
                 fkrec = q.kappa_from_map("EB", kteb[1], kteb[2])
+            elif est == "EE":
+                fkrec = q.kappa_from_map("EE", kteb[1], kteb[1])
+            elif est == "TE":
+                fkrec = q.kappa_from_map("TE", kteb[0], kteb[1])
         else:
             fkrec = q.kappa_from_map("TT", kobs)
         fk_in = jnp.fft.fft2(kappa)
