@@ -44,6 +44,69 @@ def main():
     binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
     norm = jnp.float32(geom.area / geom.npix ** 2)
 
+    impl = os.environ.get("BENCH_IMPL", "pallas")
+    if impl == "pallas" and n % 128 == 0 and n >= 256:
+        from orphics_tpu.ops import pallas_fft as pf
+        perm, _ = pf.row_perm(n)
+        # static permuted-row grids: the Pallas FFT leaves rows in
+        # row_perm order; all downstream static tables absorb it for free
+        covsqrt_p = jnp.asarray(np.asarray(covsqrt)[perm]
+                                * np.sqrt(geom.npix).astype(np.float32))
+        ml = np.asarray(geom.modlmap(jnp.float64))
+        binner_p = Bin2D(ml[perm], edges)
+        # mirror (-ky) as a static row permutation in the permuted layout
+        # (a single row gather beats flip+concat reconstructions here)
+        kofp = perm  # k(p)
+        p_of_k = np.argsort(perm)
+        mrow = jnp.asarray(p_of_k[(n - kofp) % n].astype(np.int32))
+
+        def mirror_rows(Z):
+            return jnp.take(Z, mrow, axis=1)
+
+        assert batch % 2 == 0
+        npairs = batch // 2
+
+        @jax.jit
+        def step(key):
+            """Identical math to the XLA path: synthesize two real maps per
+            pair as Re/Im of one inverse FFT, analyze them packed as one
+            forward FFT, Hermitian-split, bin. FFT column axes ride the
+            Pallas MXU kernel (whole batch in one kernel launch); rows stay
+            in its permuted order end to end."""
+            kr, ki = jax.random.split(key)
+            er = jax.random.normal(kr, (npairs,) + geom.shape, jnp.float32)
+            ei = jax.random.normal(ki, (npairs,) + geom.shape, jnp.float32)
+            m1, m2 = pf.ifft2p(covsqrt_p * er, covsqrt_p * ei)  # the maps
+            Zr, Zi = pf.fft2p(m1, m2)                  # analysis FFT
+            Zmr = jnp.roll(mirror_rows(Zr)[:, :, ::-1], 1, axis=2)
+            Zmi = jnp.roll(mirror_rows(Zi)[:, :, ::-1], 1, axis=2)
+            f1r = 0.5 * (Zr + Zmr)
+            f1i = 0.5 * (Zi - Zmi)
+            f2r = 0.5 * (Zi + Zmi)
+            f2i = -0.5 * (Zr - Zmr)
+            p1 = (f1r * f1r + f1i * f1i) * norm
+            p2 = (f2r * f2r + f2i * f2i) * norm
+            p2ds = jnp.concatenate([p1, p2]).reshape(batch, n, n)
+            _, p1d = binner_p.bin(p2ds)
+            return p1d
+
+        out = step(jax.random.PRNGKey(0))
+        _ = np.asarray(out)
+        nrep = int(os.environ.get("BENCH_REPS", 20))
+        t0 = time.perf_counter()
+        for i in range(nrep):
+            out = step(jax.random.PRNGKey(i + 1))
+        _ = np.asarray(out)
+        dt = time.perf_counter() - t0
+        rate = nrep * batch / dt
+        print(json.dumps({
+            "metric": f"grf_fft_bin_pipelines_per_sec_{n}x{n}_fp32",
+            "value": round(rate, 2),
+            "unit": "pipelines/s",
+            "vs_baseline": round(rate / 1000.0, 4),
+        }))
+        return
+
     def power_pair(key):
         """Two full GRF->map->FFT->power pipelines per complex FFT pair:
         Re/Im of one synthesis ifft are two independent GRFs, and two real

@@ -1,0 +1,231 @@
+"""Pallas TPU kernel: column-axis DFT as MXU matmuls.
+
+XLA's TPU FFT runs ~8x off the HBM roofline per axis (~0.7-0.8 ms per
+2048-axis transform of a 2048^2 map). This kernel evaluates the
+column-axis (axis=-2) DFT with a single Cooley-Tukey split N = B*A
+(B=16 blocks of A=128 rows) entirely as matrix products that ride the
+MXU, streaming column tiles through VMEM:
+
+  n = a + A*b,  k = k2 + B*k1  (a,k1 in [0,A), b,k2 in [0,B))
+  G[k2, a, c]   = sum_b  FB[k2, b] X[b, a, c]        (16x16 matmul)
+  H[k2, a, c]   = G * w_N^(a k2)                      (twiddle)
+  out[k2, k1,c] = sum_a  FA[k1, a] H[k2, a, c]        (128x128 matmuls)
+
+The output rows are stored in the *permuted* order p = A*k2 + k1
+(natural frequency k = k2 + B*k1): ``row_perm(N)`` gives the static
+permutation. Downstream static grids (bin ids, covsqrt tables, masks)
+absorb the permutation at zero cost; ``natural_rows`` applies a single
+row gather when natural ordering is required. The inverse kernel accepts
+permuted-row input and produces natural-order output, so
+ifft(col) o fft(col) round-trips without any gather.
+
+Complex arithmetic is carried as separate re/im fp32 planes (the axon
+backend lacks complex support in several paths, and two f32 planes map
+better onto the MXU anyway).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["colfft", "colifft", "row_perm", "natural_rows", "fft2p",
+           "ifft2p"]
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=8)
+def _plan(n, inverse):
+    A, B = 128, n // 128
+    assert A * B == n and B >= 2, f"n={n} must be 128*B"
+    sgn = 2j * np.pi / n if inverse else -2j * np.pi / n
+    ja = np.arange(A)
+    jb = np.arange(B)
+    FB = np.exp(sgn * np.outer(jb, jb) * A)           # omega_B^(k2 b)
+    FA = np.exp(sgn * np.outer(ja, ja) * B)           # omega_A^(k1 a)
+    TW = np.exp(sgn * np.outer(jb, ja))               # omega_N^(k2 a)
+    return (A, B,
+            FB.real.astype(np.float32), FB.imag.astype(np.float32),
+            FA.real.astype(np.float32), FA.imag.astype(np.float32),
+            TW.real.astype(np.float32), TW.imag.astype(np.float32))
+
+
+def row_perm(n: int):
+    """perm such that out_permuted[p] holds frequency k: p = A*k2 + k1
+    with k = k2 + B*k1 (A=128, B=n//128). Returns (perm, inv_perm):
+    ``natural = permuted[inv_perm]`` and ``permuted = natural[perm]``."""
+    A, B = 128, n // 128
+    ks = np.arange(n)
+    p_of_k = A * (ks % B) + ks // B
+    inv = np.empty(n, dtype=np.int32)
+    inv[ks] = p_of_k          # natural[k] = permuted[p_of_k]
+    perm = np.argsort(inv).astype(np.int32)
+    return perm, inv
+
+
+def _fwd_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
+                xre_ref, xim_ref, ore_ref, oim_ref, *, A, B):
+    FBre, FBim = FBre_ref[:], FBim_ref[:]
+    FAre, FAim = FAre_ref[:], FAim_ref[:]
+    TWre, TWim = TWre_ref[:], TWim_ref[:]
+    C = xre_ref.shape[-1]
+    AC = A * C
+    # stage 1: 16-point DFT over the block index b as full matmuls
+    xr = xre_ref[0].reshape(B, AC)
+    xi = xim_ref[0].reshape(B, AC)
+    gr = (jnp.dot(FBre, xr, preferred_element_type=jnp.float32,
+                  precision=_PREC)
+          - jnp.dot(FBim, xi, preferred_element_type=jnp.float32,
+                    precision=_PREC)).reshape(B, A, C)
+    gi = (jnp.dot(FBre, xi, preferred_element_type=jnp.float32,
+                  precision=_PREC)
+          + jnp.dot(FBim, xr, preferred_element_type=jnp.float32,
+                    precision=_PREC)).reshape(B, A, C)
+    # stage 2 streamed per k2: twiddle + 128-point MXU DFT
+    for k2 in range(B):
+        twr = TWre[k2][:, None]
+        twi = TWim[k2][:, None]
+        hrk = gr[k2] * twr - gi[k2] * twi
+        hik = gr[k2] * twi + gi[k2] * twr
+        orr = (jnp.dot(FAre, hrk, preferred_element_type=jnp.float32,
+                       precision=_PREC)
+               - jnp.dot(FAim, hik, preferred_element_type=jnp.float32,
+                         precision=_PREC))
+        oii = (jnp.dot(FAre, hik, preferred_element_type=jnp.float32,
+                       precision=_PREC)
+               + jnp.dot(FAim, hrk, preferred_element_type=jnp.float32,
+                         precision=_PREC))
+        ore_ref[0, k2 * A:(k2 + 1) * A, :] = orr
+        oim_ref[0, k2 * A:(k2 + 1) * A, :] = oii
+
+
+def _inv_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
+                xre_ref, xim_ref, ore_ref, oim_ref, *, A, B):
+    """Inverse with P-permuted input rows -> natural-order output."""
+    FBre, FBim = FBre_ref[:], FBim_ref[:]
+    FAre, FAim = FAre_ref[:], FAim_ref[:]
+    TWre, TWim = TWre_ref[:], TWim_ref[:]
+    C = xre_ref.shape[-1]
+    inv_n = 1.0 / (A * B)
+    # stage 1 streamed per permuted block k2: 128-point MXU DFT + twiddle.
+    # The J intermediates are staged in the output refs to save VMEM.
+    for k2 in range(B):
+        xr = xre_ref[0, k2 * A:(k2 + 1) * A, :]
+        xi = xim_ref[0, k2 * A:(k2 + 1) * A, :]
+        ir = (jnp.dot(FAre, xr, preferred_element_type=jnp.float32,
+                      precision=_PREC)
+              - jnp.dot(FAim, xi, preferred_element_type=jnp.float32,
+                        precision=_PREC))
+        ii = (jnp.dot(FAre, xi, preferred_element_type=jnp.float32,
+                      precision=_PREC)
+              + jnp.dot(FAim, xr, preferred_element_type=jnp.float32,
+                        precision=_PREC))
+        twr = TWre[k2][:, None]
+        twi = TWim[k2][:, None]
+        ore_ref[0, k2 * A:(k2 + 1) * A, :] = (ir * twr - ii * twi) * inv_n
+        oim_ref[0, k2 * A:(k2 + 1) * A, :] = (ir * twi + ii * twr) * inv_n
+    # stage 2: 16-point DFT over k2 -> natural blocks b (rows a + A*b)
+    jr = ore_ref[0].reshape(B, A * C)
+    ji = oim_ref[0].reshape(B, A * C)
+    orr = (jnp.dot(FBre, jr, preferred_element_type=jnp.float32,
+                   precision=_PREC)
+           - jnp.dot(FBim, ji, preferred_element_type=jnp.float32,
+                     precision=_PREC))
+    oii = (jnp.dot(FBre, ji, preferred_element_type=jnp.float32,
+                   precision=_PREC)
+           + jnp.dot(FBim, jr, preferred_element_type=jnp.float32,
+                     precision=_PREC))
+    ore_ref[0] = orr.reshape(B * A, C)
+    oim_ref[0] = oii.reshape(B * A, C)
+
+
+def _call(kernel, xre, xim, A, B, consts, ctile, interpret):
+    b, n, ncols = xre.shape
+    nt = ncols // ctile
+    assert nt * ctile == ncols, (ncols, ctile)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(b, nt),
+        in_specs=[
+            const_spec((B, B)), const_spec((B, B)),
+            const_spec((A, A)), const_spec((A, A)),
+            const_spec((B, A)), const_spec((B, A)),
+            pl.BlockSpec((1, n, ctile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, ctile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, ctile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, ctile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    flops_mm = b * ncols * n * (128 + B) * 8
+    cj = [jnp.asarray(c) for c in consts]
+    return pl.pallas_call(
+        functools.partial(kernel, A=A, B=B),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(xre.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(xre.shape, jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mm, bytes_accessed=4 * 4 * b * n * ncols,
+            transcendentals=0),
+    )(*cj, xre, xim)
+
+
+@functools.partial(jax.jit, static_argnames=("ctile", "interpret"))
+def colfft(xre, xim, ctile: int = 128, interpret: bool = False):
+    """DFT along axis -2 of (B, N, C) re/im f32 planes; output rows in
+    ``row_perm`` order."""
+    n = xre.shape[-2]
+    A, B, *consts = _plan(n, False)
+    return _call(_fwd_kernel, xre, xim, A, B, tuple(consts), ctile, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("ctile", "interpret"))
+def colifft(xre, xim, ctile: int = 128, interpret: bool = False):
+    """Inverse DFT along axis -2 accepting ``row_perm``-ordered input and
+    producing natural-order output (includes the 1/N factor)."""
+    n = xre.shape[-2]
+    A, B, *consts = _plan(n, True)
+    return _call(_inv_kernel, xre, xim, A, B, tuple(consts), ctile, interpret)
+
+
+def natural_rows(x, n=None):
+    """Reorder permuted-row output to natural frequency order (static row
+    gather)."""
+    n = n or x.shape[-2]
+    _, inv = row_perm(n)
+    return jnp.take(x, jnp.asarray(inv), axis=-2)
+
+
+def fft2p(zre, zim, ctile: int = 128):
+    """Full 2D FFT with axis -2 via the Pallas kernel (rows left in
+    permuted order) and axis -1 via XLA (row order irrelevant).
+
+    Returns (re, im) planes of fft2(z) with rows permuted by
+    ``row_perm``; use static-permuted downstream grids or
+    :func:`natural_rows` to reorder.
+    """
+    yre, yim = colfft(zre, zim, ctile=ctile)
+    k = jnp.fft.fft(yre + 1j * yim, axis=-1)
+    return k.real, k.imag
+
+
+def ifft2p(kre, kim, ctile: int = 128):
+    """Inverse of :func:`fft2p`: input rows in permuted order, natural
+    output."""
+    z = jnp.fft.ifft(kre + 1j * kim, axis=-1)
+    return colifft(z.real, z.imag, ctile=ctile)

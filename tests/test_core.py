@@ -272,3 +272,35 @@ def test_rand_map_r_statistics(geom, th):
     nsig = np.abs(p1ds.mean(axis=0) - thb) / err
     assert np.all(nsig < 5.0), nsig
     assert abs((p1ds.mean(axis=0) / thb).mean() - 1) < 0.02
+
+
+def test_pallas_fft_interpret_mode():
+    """Pallas column-FFT kernels vs numpy (interpreter mode, n=256)."""
+    from orphics_tpu.ops import pallas_fft as pf
+    rng = np.random.default_rng(33)
+    n = 256
+    xr = jnp.asarray(rng.standard_normal((1, n, 128)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((1, n, 128)).astype(np.float32))
+    yre, yim = pf.colfft(xr, xi, interpret=True)
+    ynre = np.asarray(pf.natural_rows(yre))
+    ynim = np.asarray(pf.natural_rows(yim))
+    ref = np.fft.fft(np.asarray(xr) + 1j * np.asarray(xi), axis=-2)
+    scale = np.abs(ref).max()
+    assert np.abs(ynre - ref.real).max() / scale < 1e-5
+    assert np.abs(ynim - ref.imag).max() / scale < 1e-5
+    # inverse accepts permuted input, returns natural order
+    zr, zi = pf.colifft(yre, yim, interpret=True)
+    np.testing.assert_allclose(np.asarray(zr), np.asarray(xr), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zi), np.asarray(xi), atol=1e-5)
+
+
+def test_row_perm_consistency():
+    from orphics_tpu.ops import pallas_fft as pf
+    n = 2048
+    perm, inv = pf.row_perm(n)
+    np.testing.assert_array_equal(perm[inv], np.arange(n))
+    # permuted[p] holds k(p): k = k2 + B*k1 with p = A*k2 + k1
+    A, B = 128, n // 128
+    p = np.arange(n)
+    k2, k1 = p // A, p % A
+    np.testing.assert_array_equal(perm, k2 + B * k1)
