@@ -48,20 +48,19 @@ def main():
     if impl == "pallas" and n % 128 == 0 and n >= 256:
         from orphics_tpu.ops import pallas_fft as pf
         perm, _ = pf.row_perm(n)
-        # static permuted-row grids: the Pallas FFT leaves rows in
-        # row_perm order; all downstream static tables absorb it for free
-        covsqrt_p = jnp.asarray(np.asarray(covsqrt)[perm]
-                                * np.sqrt(geom.npix).astype(np.float32))
+        # static doubly-permuted grids: the Pallas 2D FFT leaves rows AND
+        # columns in row_perm order; all static tables absorb it for free
+        covsqrt_pp = jnp.asarray(np.asarray(covsqrt)[perm][:, perm]
+                                 * np.sqrt(geom.npix).astype(np.float32))
         ml = np.asarray(geom.modlmap(jnp.float64))
-        binner_p = Bin2D(ml[perm], edges)
-        # mirror (-ky) as a static row permutation in the permuted layout
-        # (a single row gather beats flip+concat reconstructions here)
+        binner_p = Bin2D(ml[perm][:, perm], edges)
+        # mirror (-k) as static permutations in the permuted layout
         kofp = perm  # k(p)
         p_of_k = np.argsort(perm)
         mrow = jnp.asarray(p_of_k[(n - kofp) % n].astype(np.int32))
 
-        def mirror_rows(Z):
-            return jnp.take(Z, mrow, axis=1)
+        def mirror(Z):
+            return jnp.take(jnp.take(Z, mrow, axis=1), mrow, axis=2)
 
         assert batch % 2 == 0
         npairs = batch // 2
@@ -70,16 +69,16 @@ def main():
         def step(key):
             """Identical math to the XLA path: synthesize two real maps per
             pair as Re/Im of one inverse FFT, analyze them packed as one
-            forward FFT, Hermitian-split, bin. FFT column axes ride the
-            Pallas MXU kernel (whole batch in one kernel launch); rows stay
-            in its permuted order end to end."""
+            forward FFT, Hermitian-split, bin. Both FFT axes ride the
+            Pallas MXU/radix kernels (whole batch per kernel launch); the
+            Fourier plane stays in the kernels' permuted order end to end."""
             kr, ki = jax.random.split(key)
             er = jax.random.normal(kr, (npairs,) + geom.shape, jnp.float32)
             ei = jax.random.normal(ki, (npairs,) + geom.shape, jnp.float32)
-            m1, m2 = pf.ifft2p(covsqrt_p * er, covsqrt_p * ei)  # the maps
-            Zr, Zi = pf.fft2p(m1, m2)                  # analysis FFT
-            Zmr = jnp.roll(mirror_rows(Zr)[:, :, ::-1], 1, axis=2)
-            Zmi = jnp.roll(mirror_rows(Zi)[:, :, ::-1], 1, axis=2)
+            m1, m2 = pf.ifft2pp(covsqrt_pp * er, covsqrt_pp * ei)  # the maps
+            Zr, Zi = pf.fft2pp(m1, m2)                 # analysis FFT
+            Zmr = mirror(Zr)
+            Zmi = mirror(Zi)
             f1r = 0.5 * (Zr + Zmr)
             f1i = 0.5 * (Zi - Zmi)
             f2r = 0.5 * (Zi + Zmi)

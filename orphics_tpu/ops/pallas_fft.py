@@ -74,18 +74,11 @@ def _fwd_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
     FAre, FAim = FAre_ref[:], FAim_ref[:]
     TWre, TWim = TWre_ref[:], TWim_ref[:]
     C = xre_ref.shape[-1]
-    AC = A * C
-    # stage 1: 16-point DFT over the block index b as full matmuls
-    xr = xre_ref[0].reshape(B, AC)
-    xi = xim_ref[0].reshape(B, AC)
-    gr = (jnp.dot(FBre, xr, preferred_element_type=jnp.float32,
-                  precision=_PREC)
-          - jnp.dot(FBim, xi, preferred_element_type=jnp.float32,
-                    precision=_PREC)).reshape(B, A, C)
-    gi = (jnp.dot(FBre, xi, preferred_element_type=jnp.float32,
-                  precision=_PREC)
-          + jnp.dot(FBim, xr, preferred_element_type=jnp.float32,
-                    precision=_PREC)).reshape(B, A, C)
+    # stage 1: 16-point DFT over the block index b — radix butterflies
+    # with baked twiddles (mostly adds; beats MXU matmuls for this shape)
+    xr = [xre_ref[0, b_ * A:(b_ + 1) * A, :] for b_ in range(B)]
+    xi = [xim_ref[0, b_ * A:(b_ + 1) * A, :] for b_ in range(B)]
+    gr, gi = _fft16_static(xr, xi, -1.0)
     # stage 2 streamed per k2: twiddle + 128-point MXU DFT
     for k2 in range(B):
         twr = TWre[k2][:, None]
@@ -129,19 +122,14 @@ def _inv_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
         twi = TWim[k2][:, None]
         ore_ref[0, k2 * A:(k2 + 1) * A, :] = (ir * twr - ii * twi) * inv_n
         oim_ref[0, k2 * A:(k2 + 1) * A, :] = (ir * twi + ii * twr) * inv_n
-    # stage 2: 16-point DFT over k2 -> natural blocks b (rows a + A*b)
-    jr = ore_ref[0].reshape(B, A * C)
-    ji = oim_ref[0].reshape(B, A * C)
-    orr = (jnp.dot(FBre, jr, preferred_element_type=jnp.float32,
-                   precision=_PREC)
-           - jnp.dot(FBim, ji, preferred_element_type=jnp.float32,
-                     precision=_PREC))
-    oii = (jnp.dot(FBre, ji, preferred_element_type=jnp.float32,
-                   precision=_PREC)
-           + jnp.dot(FBim, jr, preferred_element_type=jnp.float32,
-                     precision=_PREC))
-    ore_ref[0] = orr.reshape(B * A, C)
-    oim_ref[0] = oii.reshape(B * A, C)
+    # stage 2: 16-point DFT over k2 -> natural blocks b (rows a + A*b),
+    # via radix butterflies with baked twiddles
+    jr = [ore_ref[0, k2 * A:(k2 + 1) * A, :] for k2 in range(B)]
+    ji = [oim_ref[0, k2 * A:(k2 + 1) * A, :] for k2 in range(B)]
+    br, bi = _fft16_static(jr, ji, 1.0)
+    for b_ in range(B):
+        ore_ref[0, b_ * A:(b_ + 1) * A, :] = br[b_]
+        oim_ref[0, b_ * A:(b_ + 1) * A, :] = bi[b_]
 
 
 def _call(kernel, xre, xim, A, B, consts, ctile, interpret):
@@ -229,3 +217,173 @@ def ifft2p(kre, kim, ctile: int = 128):
     output."""
     z = jnp.fft.ifft(kre + 1j * kim, axis=-1)
     return colifft(z.real, z.imag, ctile=ctile)
+
+
+# ----------------------------------------------------------------------
+# row-axis (lane) DFT kernel: radix FFT over the 16 lane-chunks (static
+# python twiddles, mostly additions) + per-chunk 128-point MXU DFTs from
+# the right. Output columns in row_perm order (same contract as colfft).
+# ----------------------------------------------------------------------
+
+def _fft16_static(re, im, sign):
+    """Power-of-2 DFT of a list of (R, A) planes via radix-2 DIT with
+    baked twiddle constants. re/im: lists in natural order; returns lists
+    in natural frequency order."""
+    nloc = len(re)
+    assert nloc & (nloc - 1) == 0, nloc
+    nbits = nloc.bit_length() - 1
+    order = [int(format(i, f"0{nbits}b")[::-1], 2) if nbits else 0
+             for i in range(nloc)]
+    xr = [re[i] for i in order]
+    xi = [im[i] for i in order]
+    size = 2
+    while size <= nloc:
+        half = size // 2
+        tw = np.exp(sign * 2j * np.pi * np.arange(half) / size)
+        for start in range(0, nloc, size):
+            for j in range(half):
+                wr, wi = float(tw[j].real), float(tw[j].imag)
+                a, b = start + j, start + j + half
+                if j == 0:  # w = 1
+                    tr, ti = xr[b], xi[b]
+                elif abs(wr) < 1e-12:  # w = +-i
+                    tr = -wi * xi[b]
+                    ti = wi * xr[b]
+                    tr, ti = -wi * xi[b], wi * xr[b]
+                else:
+                    tr = wr * xr[b] - wi * xi[b]
+                    ti = wr * xi[b] + wi * xr[b]
+                xr[b] = xr[a] - tr
+                xi[b] = xi[a] - ti
+                xr[a] = xr[a] + tr
+                xi[a] = xi[a] + ti
+        size *= 2
+    return xr, xi
+
+
+def _rowfft_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref,
+                   xre_ref, xim_ref, ore_ref, oim_ref, *, A, B, inverse):
+    FAre, FAim = FAre_ref[:], FAim_ref[:]
+    TWre, TWim = TWre_ref[:], TWim_ref[:]
+    sign = 1.0 if inverse else -1.0
+    inv_n = 1.0 / (A * B) if inverse else 1.0
+    if inverse:
+        # input columns are in permuted order: chunk k2 holds lanes k1.
+        # stage 1: per-chunk 128-point inverse DFT + twiddle
+        jr = []
+        ji = []
+        for k2 in range(B):
+            xr = xre_ref[0, :, k2 * A:(k2 + 1) * A]
+            xi = xim_ref[0, :, k2 * A:(k2 + 1) * A]
+            ir = (jnp.dot(xr, FAre, preferred_element_type=jnp.float32,
+                          precision=_PREC)
+                  - jnp.dot(xi, FAim, preferred_element_type=jnp.float32,
+                            precision=_PREC))
+            ii = (jnp.dot(xi, FAre, preferred_element_type=jnp.float32,
+                          precision=_PREC)
+                  + jnp.dot(xr, FAim, preferred_element_type=jnp.float32,
+                            precision=_PREC))
+            twr = TWre[k2][None, :]
+            twi = TWim[k2][None, :]
+            jr.append(ir * twr - ii * twi)
+            ji.append(ir * twi + ii * twr)
+        # stage 2: 16-point DFT over k2 -> natural chunks b
+        br, bi = _fft16_static(jr, ji, sign)
+        for b_ in range(B):
+            ore_ref[0, :, b_ * A:(b_ + 1) * A] = br[b_] * inv_n
+            oim_ref[0, :, b_ * A:(b_ + 1) * A] = bi[b_] * inv_n
+    else:
+        # stage 1: 16-point DFT over the natural chunk index b
+        xr = [xre_ref[0, :, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+        xi = [xim_ref[0, :, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+        gr, gi = _fft16_static(xr, xi, sign)
+        # per k2: twiddle + 128-point DFT over lanes (matmul from right)
+        for k2 in range(B):
+            twr = TWre[k2][None, :]
+            twi = TWim[k2][None, :]
+            hrk = gr[k2] * twr - gi[k2] * twi
+            hik = gr[k2] * twi + gi[k2] * twr
+            orr = (jnp.dot(hrk, FAre, preferred_element_type=jnp.float32,
+                           precision=_PREC)
+                   - jnp.dot(hik, FAim, preferred_element_type=jnp.float32,
+                             precision=_PREC))
+            oii = (jnp.dot(hik, FAre, preferred_element_type=jnp.float32,
+                           precision=_PREC)
+                   + jnp.dot(hrk, FAim, preferred_element_type=jnp.float32,
+                             precision=_PREC))
+            ore_ref[0, :, k2 * A:(k2 + 1) * A] = orr
+            oim_ref[0, :, k2 * A:(k2 + 1) * A] = oii
+
+
+def _row_call(xre, xim, inverse, rtile, interpret):
+    b, nrows, n = xre.shape
+    A, B, FBre, FBim, FAre, FAim, TWre, TWim = _plan(n, inverse)
+    # stage-2 contracts from the right: need FA with [a, k1] layout = FA^T;
+    # FA is symmetric (omega^(a k1)) so FA itself works.
+    nt = nrows // rtile
+    assert nt * rtile == nrows, (nrows, rtile)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(b, nt),
+        in_specs=[
+            const_spec((A, A)), const_spec((A, A)),
+            const_spec((B, A)), const_spec((B, A)),
+            pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_rowfft_kernel, A=A, B=B, inverse=inverse),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(xre.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(xre.shape, jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * nrows * n * (128 + 8) * 8,
+            bytes_accessed=4 * 4 * b * nrows * n, transcendentals=0),
+    )(jnp.asarray(FAre), jnp.asarray(FAim), jnp.asarray(TWre),
+      jnp.asarray(TWim), xre, xim)
+
+
+@functools.partial(jax.jit, static_argnames=("rtile", "interpret"))
+def rowfft(xre, xim, rtile: int = 128, interpret: bool = False):
+    """DFT along axis -1 (lanes); output columns in ``row_perm`` order."""
+    return _row_call(xre, xim, False, rtile, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("rtile", "interpret"))
+def rowifft(xre, xim, rtile: int = 128, interpret: bool = False):
+    """Inverse DFT along axis -1 accepting ``row_perm``-ordered columns,
+    natural-order output (includes 1/N)."""
+    return _row_call(xre, xim, True, rtile, interpret)
+
+
+def full_perm(n: int):
+    """(perm, inv) for the doubly-permuted fft2 layout (rows and columns
+    both in row_perm order)."""
+    return row_perm(n)
+
+
+def fft2pp(zre, zim, ctile: int = 128, rtile: int = 64):
+    """Full 2D FFT entirely on the Pallas kernels: rows AND columns left
+    in ``row_perm`` order (absorb with static tables or take twice)."""
+    yre, yim = colfft(zre, zim, ctile=ctile)
+    return rowfft(yre, yim, rtile=rtile)
+
+
+def ifft2pp(kre, kim, ctile: int = 128, rtile: int = 64):
+    """Inverse of :func:`fft2pp`: doubly-permuted input, natural output."""
+    yre, yim = rowifft(kre, kim, rtile=rtile)
+    return colifft(yre, yim, ctile=ctile)

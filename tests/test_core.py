@@ -304,3 +304,36 @@ def test_row_perm_consistency():
     p = np.arange(n)
     k2, k1 = p // A, p % A
     np.testing.assert_array_equal(perm, k2 + B * k1)
+
+
+def test_pallas_rowfft_interpret_mode():
+    from orphics_tpu.ops import pallas_fft as pf
+    rng = np.random.default_rng(34)
+    n = 256
+    xr = jnp.asarray(rng.standard_normal((1, 8, n)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((1, 8, n)).astype(np.float32))
+    yre, yim = pf.rowfft(xr, xi, rtile=8, interpret=True)
+    _, inv = pf.row_perm(n)
+    ref = np.fft.fft(np.asarray(xr) + 1j * np.asarray(xi), axis=-1)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(yre)[:, :, inv] - ref.real).max() / scale < 1e-5
+    assert np.abs(np.asarray(yim)[:, :, inv] - ref.imag).max() / scale < 1e-5
+    zr, zi = pf.rowifft(yre, yim, rtile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(zr), np.asarray(xr), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zi), np.asarray(xi), atol=1e-5)
+
+
+def test_pallas_fft2pp_interpret_mode():
+    from orphics_tpu.ops import pallas_fft as pf
+    rng = np.random.default_rng(35)
+    n = 256
+    xr = jnp.asarray(rng.standard_normal((1, n, n)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((1, n, n)).astype(np.float32))
+    # interpret mode on the CPU backend, composing the two kernels as
+    # fft2pp does
+    Yr, Yi = pf.colfft(xr, xi, ctile=128, interpret=True)
+    Yr, Yi = pf.rowfft(Yr, Yi, rtile=8, interpret=True)
+    _, inv = pf.row_perm(n)
+    nat = np.asarray(Yr)[:, inv][:, :, inv] + 1j * np.asarray(Yi)[:, inv][:, :, inv]
+    ref = np.fft.fft2(np.asarray(xr) + 1j * np.asarray(xi))
+    assert np.abs(nat - ref).max() / np.abs(ref).max() < 2e-5
