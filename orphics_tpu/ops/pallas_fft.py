@@ -387,3 +387,39 @@ def ifft2pp(kre, kim, ctile: int = 128, rtile: int = 64):
     """Inverse of :func:`fft2pp`: doubly-permuted input, natural output."""
     yre, yim = rowifft(kre, kim, rtile=rtile)
     return colifft(yre, yim, ctile=ctile)
+
+
+def pfft2(z):
+    """Natural-order full-Pallas 2D FFT of a complex (or real) array —
+    drop-in for ``jnp.fft.fft2`` on 128*B-sized grids (one static
+    reordering gather at the end; pipelines should prefer
+    :func:`fft2pp` + permuted static tables)."""
+    zre = jnp.real(z).astype(jnp.float32)
+    zim = (jnp.imag(z).astype(jnp.float32) if jnp.iscomplexobj(z)
+           else jnp.zeros_like(zre))
+    squeeze = zre.ndim == 2
+    if squeeze:
+        zre, zim = zre[None], zim[None]
+    Yr, Yi = fft2pp(zre, zim)
+    _, inv = row_perm(zre.shape[-2])
+    inv = jnp.asarray(inv)
+    Yr = jnp.take(jnp.take(Yr, inv, axis=-2), inv, axis=-1)
+    Yi = jnp.take(jnp.take(Yi, inv, axis=-2), inv, axis=-1)
+    out = Yr + 1j * Yi
+    return out[0] if squeeze else out
+
+
+def pifft2(k):
+    """Natural-order inverse of :func:`pfft2`."""
+    kre = jnp.real(k).astype(jnp.float32)
+    kim = jnp.imag(k).astype(jnp.float32)
+    squeeze = kre.ndim == 2
+    if squeeze:
+        kre, kim = kre[None], kim[None]
+    perm, _ = row_perm(kre.shape[-2])
+    perm = jnp.asarray(perm)
+    kre = jnp.take(jnp.take(kre, perm, axis=-2), perm, axis=-1)
+    kim = jnp.take(jnp.take(kim, perm, axis=-2), perm, axis=-1)
+    Zr, Zi = ifft2pp(kre, kim)
+    out = Zr + 1j * Zi
+    return out[0] if squeeze else out
