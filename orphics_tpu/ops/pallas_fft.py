@@ -389,6 +389,7 @@ def ifft2pp(kre, kim, ctile: int = 128, rtile: int = 64):
     return colifft(yre, yim, ctile=ctile)
 
 
+@jax.jit
 def pfft2(z):
     """Natural-order full-Pallas 2D FFT of a complex (or real) array —
     drop-in for ``jnp.fft.fft2`` on 128*B-sized grids (one static
@@ -409,6 +410,7 @@ def pfft2(z):
     return out[0] if squeeze else out
 
 
+@jax.jit
 def pifft2(k):
     """Natural-order inverse of :func:`pfft2`."""
     kre = jnp.real(k).astype(jnp.float32)
