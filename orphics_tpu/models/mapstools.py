@@ -618,6 +618,18 @@ def generate_correlated_alm(input_alm_f1, Clf1f1, Clf2f2, Clf1f2, key=None):
     return correlated + noise
 
 
+def interpolate_grid(in_grid, in_y, in_x, out_y=None, out_x=None, kx=3,
+                     ky=3, **kwargs):
+    """Regular-grid spline interpolation (reference
+    ``orphics/maps.py:interpolate_grid``; host-side scipy)."""
+    from scipy.interpolate import RectBivariateSpline
+    spl = RectBivariateSpline(np.asarray(in_y), np.asarray(in_x),
+                              np.asarray(in_grid), kx=kx, ky=ky, **kwargs)
+    if out_y is None and out_x is None:
+        return spl
+    return spl(np.asarray(out_y), np.asarray(out_x))
+
+
 def ftrans(p2d, tfunc=jnp.log10):
     """fftshift + transform for visualizing 2D spectra (reference
     ``orphics/maps.py:ftrans``)."""

@@ -13,8 +13,10 @@ i.e. (N/B x B) reshapes contracted against dense DFT(A) / DFT(B) matrices
 two orders of magnitude higher throughput. Matmuls use HIGHEST precision
 (bf16x3 passes) to hold fp32-level accuracy (~1e-6 relative).
 
-Used for the synthesis/analysis transforms of the headline benchmark;
-falls back to ``jnp.fft`` for axes it cannot factor.
+Kept as a pure-XLA einsum reference implementation: the production fast
+path is :mod:`orphics_tpu.ops.pallas_fft` (fused Pallas kernels, ~3x
+XLA); this module is useful where Pallas is unavailable and for
+cross-checking. Falls back to ``jnp.fft`` for axes it cannot factor.
 """
 from __future__ import annotations
 

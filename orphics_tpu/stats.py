@@ -2,6 +2,7 @@
 from .ops.binning import Bin2D, RfftBin2D, bin1d, bin_in_annuli
 from .parallel.statistics import SuffStats, Statistics, Stats, get_stats
 from .utils.fitting import (fit_linear_model, fit_linear_model_pte_from_sims,
+                            fit_cltt_power,
                             fit_gauss, get_pte, sim_pte, nsigma_from_pte,
                             InverseTransformSampling, Solver, solve, OQE,
                             OQESlim, CinvUpdater, sm_update, cov2corr,

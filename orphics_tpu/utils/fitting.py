@@ -124,6 +124,32 @@ def fit_linear_model_pte_from_sims(x, y, ycov, funcs, y_fiducial,
     return X_data, cov_data, chisq_data, pte
 
 
+def fit_cltt_power(ells, cls, cltt_func, w0, sigma2, ell0=0, alpha=1,
+                   fix_knee=False):
+    """Fit binned TT power to theory + white + red noise amplitudes
+    (reference ``stats.py:148``). Returns a callable model."""
+    from scipy.optimize import curve_fit
+    from ..geometry import arcmin
+    ells = np.asarray(ells, dtype=float)
+    cls = np.asarray(cls, dtype=float)
+    sw0 = w0 * arcmin
+    if fix_knee:
+        funcs = [lambda x: np.full_like(np.asarray(x, float), sw0 ** 2)]
+        p0 = [1.0]
+    else:
+        funcs = [lambda x: np.full_like(np.asarray(x, float), sw0 ** 2),
+                 lambda x: (sw0 ** 2 * (ell0 / np.asarray(x, float))
+                            ** (-alpha) if ell0 > 1e-3
+                            else np.full_like(np.asarray(x, float), sw0 ** 2))]
+        p0 = [1.0, ell0 if ell0 > 1e-3 else 1.0]
+    model = lambda x, *args: sum(a * f(x) for a, f in zip(args, funcs))
+    X, _ = curve_fit(model, ells, cls - np.asarray(cltt_func(ells)),
+                     p0=p0, sigma=np.sqrt(np.asarray(sigma2)),
+                     absolute_sigma=True, bounds=(0, np.inf))
+    return lambda x: (np.asarray(cltt_func(x))
+                      + sum(c * f(x) for c, f in zip(X, funcs)))
+
+
 def fit_gauss(x, y, mu_guess=None, sigma_guess=None):
     """Gaussian fit to a curve (reference ``stats.py:203``)."""
     from scipy.optimize import curve_fit
