@@ -22,8 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import lru_cache
-
 import numpy as np
 import jax.numpy as jnp
 

@@ -9,7 +9,6 @@ PRNG keys instead of integer seeds.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from .geometry import Geometry, rect_geometry, arcmin, degree

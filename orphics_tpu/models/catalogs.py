@@ -8,14 +8,11 @@ merging. FITS loaders are gated on optional deps as in the reference.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..geometry import Geometry, arcmin, degree
-from ..ops import fourier as F
 from ..utils import healpix as hp
 
 __all__ = ["binned_map", "CatMapper", "get_delta", "get_delta_healpix",

@@ -20,7 +20,6 @@ addNz`` (``:648-691``), ``generateCls`` (``:570``), ``_initWkappaCMB``
 from __future__ import annotations
 
 import itertools
-from functools import partial
 from typing import Callable, Dict, Optional
 
 import numpy as np

@@ -20,8 +20,6 @@ import glob
 import itertools
 import os
 import warnings
-from typing import Callable, Dict, List, Union
-
 import numpy as np
 
 from ..geometry import arcmin

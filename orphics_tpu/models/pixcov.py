@@ -21,7 +21,6 @@ Math notes (matching the reference exactly):
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
 
 import numpy as np
 import jax

@@ -7,7 +7,6 @@ et al. split-based estimator). The per-pair QE fragments are our native
 """
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 from ..geometry import Geometry

@@ -8,7 +8,6 @@ Reference: ``orphics/maps.py`` — ``split_calc`` (:2296),
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..geometry import Geometry, arcmin

@@ -1,8 +1,6 @@
 """Vectorized root finding (reference ``orphics/algorithms.py:4``)."""
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -17,12 +17,10 @@ until the final reduced pytree.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Callable, Dict, Optional
+from typing import Callable, Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .statistics import SuffStats
