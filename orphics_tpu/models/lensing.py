@@ -167,15 +167,27 @@ def lens_map_spline(imap, alpha, geom: Geometry, order: int = 5):
         wxs = _bspline5_weights(tx)
         offs = (-2, -1, 0, 1, 2, 3)
 
-    cflat = coeffs.reshape(coeffs.shape[:-2] + (-1,))
+    # One shared-index gather instead of (order+1)^2 separate gathers:
+    # pre-shift the coefficient map by every static stencil offset with
+    # dense rolls, stack as channels, and gather all taps at the *same*
+    # base index (TPU gathers cost ~100 ns/element, so index sharing is
+    # the difference between ~100 ms and ~5 ms per 512^2 map).
+    yy = jnp.mod(yb, geom.ny)
+    xx = jnp.mod(xb, geom.nx)
+    base_idx = (yy * geom.nx + xx).reshape(-1)
+    shifted = jnp.stack([
+        jnp.roll(coeffs, (-m, -no), axis=(-2, -1))
+        for m in offs for no in offs])                  # (ntap, ..., ny, nx)
+    ntap = shifted.shape[0]
+    sflat = shifted.reshape((ntap,) + coeffs.shape[:-2] + (-1,))
+    vals = jnp.take(sflat, base_idx, axis=-1)           # shared indices
+    vals = vals.reshape((ntap,) + imap.shape)
     out = jnp.zeros_like(imap)
-    for mi, m in enumerate(offs):
-        yy = jnp.mod(yb + m, geom.ny)
-        for ni, no in enumerate(offs):
-            xx = jnp.mod(xb + no, geom.nx)
-            idx = (yy * geom.nx + xx).reshape(-1)
-            vals = jnp.take(cflat, idx, axis=-1).reshape(imap.shape)
-            out = out + wys[mi] * wxs[ni] * vals
+    t = 0
+    for mi in range(len(offs)):
+        for ni in range(len(offs)):
+            out = out + wys[mi] * wxs[ni] * vals[t]
+            t += 1
     return out
 
 
@@ -197,21 +209,27 @@ def taylens(imap, alpha, geom: Geometry, order: int = 5):
     idx = (jnp.mod(iy.astype(jnp.int32), geom.ny) * geom.nx
            + jnp.mod(ix.astype(jnp.int32), geom.nx)).reshape(-1)
 
-    def shift(arr):
-        flat = arr.reshape(arr.shape[:-2] + (-1,))
-        return jnp.take(flat, idx, axis=-1).reshape(arr.shape)
-
     kmap = F.fft2(imap, geom, "phys")
     lmap = geom.lmap(jnp.float32)
     ly, lx = lmap[0], lmap[1]
-    out = shift(imap)
+    # build all derivative fields, then evaluate them at the displaced
+    # integer positions with ONE shared-index gather (TPU gathers are
+    # ~100x cheaper when the indices are shared across channels)
+    fields = [imap]
+    monomials = [jnp.ones_like(dx)]
     for n in range(1, order):
         fac0 = 1.0 / math.factorial(n)
         for k in range(n + 1):
             binom = math.comb(n, k)
-            deriv = F.ifft2((1j ** n) * (lx ** (n - k)) * (ly ** k) * kmap,
-                            geom, "phys").real
-            out = out + shift(deriv) * (dx ** (n - k)) * (dy ** k) * (fac0 * binom)
+            fields.append(F.ifft2((1j ** n) * (lx ** (n - k)) * (ly ** k)
+                                  * kmap, geom, "phys").real)
+            monomials.append((dx ** (n - k)) * (dy ** k) * (fac0 * binom))
+    stack = jnp.stack(fields)
+    vals = jnp.take(stack.reshape(stack.shape[0], -1), idx, axis=-1)
+    vals = vals.reshape(stack.shape[0:1] + imap.shape)
+    out = jnp.zeros_like(imap)
+    for i, mono in enumerate(monomials):
+        out = out + vals[i] * mono
     return out
 
 
