@@ -245,6 +245,38 @@ def test_pallas_bin_interpret_mode(geom):
                                atol=1e-4)
 
 
+def test_pallas_bin_pair_power_interpret_mode():
+    """Fused Hermitian-split + power + bin kernel vs the explicit split:
+    bin(|F1|^2), bin(|F2|^2) from (bin(|Z|^2) +- bin(Re Z.Zm))/2 (exact
+    because the bin partition is mirror-symmetric)."""
+    from orphics_tpu.ops.pallas_kernels import bin_pair_power
+    rng = np.random.default_rng(7)
+    B, n = 3, 64
+    N = n * n
+    Zr = rng.standard_normal((B, N)).astype(np.float32)
+    Zi = rng.standard_normal((B, N)).astype(np.float32)
+    k = np.arange(n)
+    m1d = (n - k) % n                       # true 2D mirror permutation
+    M = (m1d[:, None] * n + m1d[None, :]).reshape(-1)
+    Zmr, Zmi = Zr[:, M], Zi[:, M]
+    ky = np.minimum(k, n - k)
+    mod = np.hypot(ky[:, None], ky[None, :]).reshape(-1)
+    edges = np.linspace(0.5, 30, 12)
+    dig = np.digitize(mod, edges, right=True).astype(np.int32)
+    nseg = len(edges) + 1
+    bq, bc = bin_pair_power(jnp.asarray(Zr), jnp.asarray(Zi),
+                            jnp.asarray(Zmr), jnp.asarray(Zmi),
+                            jnp.asarray(dig), nseg, block=1024,
+                            interpret=True)
+    f1r, f1i = 0.5 * (Zr + Zmr), 0.5 * (Zi - Zmi)
+    f2r, f2i = 0.5 * (Zi + Zmi), -0.5 * (Zr - Zmr)
+    for p, got in ((f1r ** 2 + f1i ** 2, (np.asarray(bq) + np.asarray(bc)) / 2),
+                   (f2r ** 2 + f2i ** 2, (np.asarray(bq) - np.asarray(bc)) / 2)):
+        ref = np.stack([[p[b, dig == s].sum() for s in range(nseg)]
+                        for b in range(B)])
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-4)
+
+
 def test_rand_map_r_statistics(geom, th):
     """The half-plane irfft synthesis route recovers the input spectrum
     (statistically identical to the full-plane route)."""
