@@ -54,14 +54,6 @@ def main():
                                  * np.sqrt(geom.npix).astype(np.float32))
         ml = np.asarray(geom.modlmap(jnp.float64))
         binner_p = Bin2D(ml[perm][:, perm], edges)
-        # mirror (-k) as static permutations in the permuted layout
-        kofp = perm  # k(p)
-        p_of_k = np.argsort(perm)
-        mrow = jnp.asarray(p_of_k[(n - kofp) % n].astype(np.int32))
-
-        def mirror(Z):
-            return jnp.take(jnp.take(Z, mrow, axis=1), mrow, axis=2)
-
         assert batch % 2 == 0
         npairs = batch // 2
         from orphics_tpu.ops.pallas_kernels import bin_pair_power
@@ -84,8 +76,7 @@ def main():
             ei = jax.random.normal(ki, (npairs,) + geom.shape, jnp.float32)
             m1, m2 = pf.ifft2pp(covsqrt_pp * er, covsqrt_pp * ei)  # the maps
             Zr, Zi = pf.fft2pp(m1, m2)                 # analysis FFT
-            Zmr = mirror(Zr)
-            Zmi = mirror(Zi)
+            Zmr, Zmi = pf.mirror_pp(Zr, Zi)            # Z(-k), block-copy
             N = n * n
             bq, bc = bin_pair_power(
                 Zr.reshape(npairs, N), Zi.reshape(npairs, N),

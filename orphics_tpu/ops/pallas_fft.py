@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["colfft", "colifft", "row_perm", "natural_rows", "fft2p",
-           "ifft2p"]
+           "ifft2p", "mirror_pp"]
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -374,6 +374,112 @@ def full_perm(n: int):
     """(perm, inv) for the doubly-permuted fft2 layout (rows and columns
     both in row_perm order)."""
     return row_perm(n)
+
+
+# ---------------------------------------------------------------------------
+# Fourier-plane mirror Zm(k) = Z(-k) in the doubly-permuted layout.
+#
+# In row_perm order p = 128*b + a holds k = B*a + b (a in [0,128), b in
+# [0,B)), so the mirror k -> (n-k) % n acts on (a, b) as a' = 127-a,
+# b' = B-b whenever b != 0. That is *static block structure*: every
+# 8-row block maps to one reversed 8-row block and every 128-lane chunk
+# to one reversed chunk — expressible as Pallas BlockSpec index maps
+# plus an in-register double reversal, i.e. a straight block-copy kernel
+# with zero gather cost. Only the b == 0 strips (permuted rows/cols
+# 0..127, where the mirror wraps a' = (128-a) % 128) fall outside the
+# block structure; they are patched afterwards with cheap strip-sized
+# XLA takes (1/B of the full-gather volume). Replaces two full-size
+# jnp.take gathers per array (~2 extra HBM round trips each).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _mirror_tables(n):
+    perm, inv = row_perm(n)
+    mrow = inv[(n - perm) % n].astype(np.int32)   # p -> p' with k' = -k
+    J = np.ascontiguousarray(np.eye(128, dtype=np.float32)[::-1])
+    return mrow, J
+
+
+def _mirror_kernel(jm_ref, ar_ref, ai_ref, or_ref, oi_ref, *, ncc):
+    def rev(z):
+        # sublane reversal of 8 via three swap levels (lax.rev is not
+        # lowered on TPU Pallas), then per-128-chunk lane reversal as an
+        # exact fp32 (HIGHEST) matmul against the anti-identity, with the
+        # chunk order itself reversed in the output concat (chunk b ->
+        # chunk (B-b) % B; chunk 0 is garbage here, patched by the strips)
+        z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
+        z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
+                             z[:, 6:8, :], z[:, 4:6, :]], axis=1)
+        z = jnp.concatenate([z[:, 1:2, :], z[:, 0:1, :],
+                             z[:, 3:4, :], z[:, 2:3, :],
+                             z[:, 5:6, :], z[:, 4:5, :],
+                             z[:, 7:8, :], z[:, 6:7, :]], axis=1)
+        bs8 = z.shape[0] * 8
+        chunks = []
+        for q in range(ncc):
+            c = (ncc - q) % ncc
+            piece = z[:, :, 128 * c:128 * (c + 1)].reshape(bs8, 128)
+            piece = jnp.dot(piece, jm_ref[:],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            chunks.append(piece.reshape(z.shape[0], 8, 128))
+        return jnp.concatenate(chunks, axis=-1)
+
+    or_ref[:] = rev(ar_ref[:])
+    oi_ref[:] = rev(ai_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("bb", "interpret"))
+def mirror_pp(zr, zi, bb: int = 8, interpret: bool = False):
+    """(Zm_re, Zm_im) with Zm(k) = Z(-k), both in fft2pp's doubly-permuted
+    layout. ``zr, zi``: (batch, n, n) fp32. Pallas block-copy over
+    full-width row blocks (8 KB DMA runs) for the clean (B-1)/B of the
+    plane + cheap slice-based strip patches for the b == 0 rows/cols
+    (whose mirrors land back inside the same 128-row/col strips)."""
+    bsz, n, _ = zr.shape
+    ncc = n // 128
+    nrb = n // 8
+    while bsz % bb:
+        bb //= 2
+
+    def dst(gb, i):
+        return (gb, i, 0)
+
+    def src(gb, i):
+        b, s = i // 16, i % 16
+        return (gb, 16 * ((ncc - b) % ncc) + 15 - s, 0)
+
+    blk = lambda idx: pl.BlockSpec((bb, 8, n), idx,
+                                   memory_space=pltpu.VMEM)
+    mrow_np, J = _mirror_tables(n)
+    omr, omi = pl.pallas_call(
+        functools.partial(_mirror_kernel, ncc=ncc),
+        grid=(bsz // bb, nrb),
+        in_specs=[pl.BlockSpec((128, 128), lambda gb, i: (0, 0),
+                               memory_space=pltpu.VMEM), blk(src), blk(src)],
+        out_specs=[blk(dst), blk(dst)],
+        out_shape=[jax.ShapeDtypeStruct((bsz, n, n), jnp.float32)] * 2,
+        interpret=interpret,
+    )(jnp.asarray(J), zr, zi)
+
+    # strip patches: permuted rows/cols 0..127 are the b == 0 frequencies
+    # (k multiple of B). Their mirrors satisfy mrow[p] < 128 for p < 128,
+    # so the sources are contiguous 128-row/col slices — no full gathers.
+    mrow = jnp.asarray(mrow_np)
+    mtop, mrest = mrow[:128], mrow[128:]
+    for zsrc, out in ((zr, 0), (zi, 1)):
+        rows = jnp.take(jnp.take(zsrc[:, :128, :], mtop, axis=1),
+                        mrow, axis=2)
+        cols = jnp.take(jnp.take(zsrc[:, :, :128], mtop, axis=2),
+                        mrest, axis=1)
+        o = (omr, omi)[out]
+        o = jax.lax.dynamic_update_slice(o, rows, (0, 0, 0))
+        o = jax.lax.dynamic_update_slice(o, cols, (0, 128, 0))
+        if out == 0:
+            omr = o
+        else:
+            omi = o
+    return omr, omi
 
 
 def fft2pp(zre, zim, ctile: int = 128, rtile: int = 64):

@@ -245,6 +245,23 @@ def test_pallas_bin_interpret_mode(geom):
                                atol=1e-4)
 
 
+def test_pallas_mirror_pp_interpret_mode():
+    """Block-copy Fourier mirror Zm(k) = Z(-k) in the doubly-permuted
+    layout agrees bit-exactly with the take-based double gather."""
+    from orphics_tpu.ops import pallas_fft as pf
+    rng = np.random.default_rng(11)
+    for n in (256, 512):
+        zr = jnp.asarray(rng.standard_normal((4, n, n)).astype(np.float32))
+        zi = jnp.asarray(rng.standard_normal((4, n, n)).astype(np.float32))
+        perm, inv = pf.row_perm(n)
+        mrow = inv[(n - perm) % n]
+        gr, gi = pf.mirror_pp(zr, zi, interpret=True)
+        np.testing.assert_array_equal(np.asarray(gr),
+                                      np.asarray(zr)[:, mrow][:, :, mrow])
+        np.testing.assert_array_equal(np.asarray(gi),
+                                      np.asarray(zi)[:, mrow][:, :, mrow])
+
+
 def test_pallas_bin_pair_power_interpret_mode():
     """Fused Hermitian-split + power + bin kernel vs the explicit split:
     bin(|F1|^2), bin(|F2|^2) from (bin(|Z|^2) +- bin(Re Z.Zm))/2 (exact
