@@ -74,7 +74,9 @@ def main():
             kr, ki = jax.random.split(key)
             er = jax.random.normal(kr, (npairs,) + geom.shape, jnp.float32)
             ei = jax.random.normal(ki, (npairs,) + geom.shape, jnp.float32)
-            m1, m2 = pf.ifft2pp(covsqrt_pp * er, covsqrt_pp * ei)  # the maps
+            # covsqrt multiply fused into the inverse-FFT kernel (the
+            # scaled Fourier plane never materializes in HBM)
+            m1, m2 = pf.ifft2pp_scaled(er, ei, covsqrt_pp)  # the maps
             Zr, Zi = pf.fft2pp(m1, m2)                 # analysis FFT
             Zmr, Zmi = pf.mirror_pp(Zr, Zi)            # Z(-k), block-copy
             N = n * n

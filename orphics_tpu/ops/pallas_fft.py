@@ -315,7 +315,39 @@ def _rowfft_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref,
             oim_ref[0, :, k2 * A:(k2 + 1) * A] = oii
 
 
-def _row_call(xre, xim, inverse, rtile, interpret):
+def _rowifft_scaled_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, sc_ref,
+                           xre_ref, xim_ref, ore_ref, oim_ref, *, A, B):
+    """Inverse row DFT with an elementwise pre-multiplier fused in: the
+    caller's ``scale * x`` product never materializes in HBM (the usual
+    use is GRF synthesis, ``covsqrt * eta`` feeding ifft2pp)."""
+    FAre, FAim = FAre_ref[:], FAim_ref[:]
+    TWre, TWim = TWre_ref[:], TWim_ref[:]
+    inv_n = 1.0 / (A * B)
+    jr = []
+    ji = []
+    for k2 in range(B):
+        sc = sc_ref[:, k2 * A:(k2 + 1) * A]
+        xr = xre_ref[0, :, k2 * A:(k2 + 1) * A] * sc
+        xi = xim_ref[0, :, k2 * A:(k2 + 1) * A] * sc
+        ir = (jnp.dot(xr, FAre, preferred_element_type=jnp.float32,
+                      precision=_PREC)
+              - jnp.dot(xi, FAim, preferred_element_type=jnp.float32,
+                        precision=_PREC))
+        ii = (jnp.dot(xi, FAre, preferred_element_type=jnp.float32,
+                      precision=_PREC)
+              + jnp.dot(xr, FAim, preferred_element_type=jnp.float32,
+                        precision=_PREC))
+        twr = TWre[k2][None, :]
+        twi = TWim[k2][None, :]
+        jr.append(ir * twr - ii * twi)
+        ji.append(ir * twi + ii * twr)
+    br, bi = _fft16_static(jr, ji, 1.0)
+    for b_ in range(B):
+        ore_ref[0, :, b_ * A:(b_ + 1) * A] = br[b_] * inv_n
+        oim_ref[0, :, b_ * A:(b_ + 1) * A] = bi[b_] * inv_n
+
+
+def _row_call(xre, xim, inverse, rtile, interpret, scale=None):
     b, nrows, n = xre.shape
     A, B, FBre, FBim, FAre, FAim, TWre, TWim = _plan(n, inverse)
     # stage-2 contracts from the right: need FA with [a, k1] layout = FA^T;
@@ -327,25 +359,37 @@ def _row_call(xre, xim, inverse, rtile, interpret):
         return pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [const_spec((A, A)), const_spec((A, A)),
+                const_spec((B, A)), const_spec((B, A))]
+    args = [jnp.asarray(FAre), jnp.asarray(FAim), jnp.asarray(TWre),
+            jnp.asarray(TWim)]
+    if scale is None:
+        kernel = functools.partial(_rowfft_kernel, A=A, B=B,
+                                   inverse=inverse)
+        grid = (b, nt)
+        dblk = pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        assert inverse and scale.shape == (nrows, n)
+        kernel = functools.partial(_rowifft_scaled_kernel, A=A, B=B)
+        # batch innermost so the scale block stays resident in VMEM
+        # across the whole batch sweep of each row tile
+        grid = (nt, b)
+        dblk = pl.BlockSpec((1, rtile, n), lambda j, i: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+        in_specs.append(pl.BlockSpec((rtile, n), lambda j, i: (j, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(scale)
+    in_specs += [dblk, dblk]
+    args += [xre, xim]
+
     grid_spec = pl.GridSpec(
-        grid=(b, nt),
-        in_specs=[
-            const_spec((A, A)), const_spec((A, A)),
-            const_spec((B, A)), const_spec((B, A)),
-            pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[dblk, dblk],
     )
     return pl.pallas_call(
-        functools.partial(_rowfft_kernel, A=A, B=B, inverse=inverse),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(xre.shape, jnp.float32),
                    jax.ShapeDtypeStruct(xre.shape, jnp.float32)],
@@ -353,8 +397,7 @@ def _row_call(xre, xim, inverse, rtile, interpret):
         cost_estimate=pl.CostEstimate(
             flops=b * nrows * n * (128 + 8) * 8,
             bytes_accessed=4 * 4 * b * nrows * n, transcendentals=0),
-    )(jnp.asarray(FAre), jnp.asarray(FAim), jnp.asarray(TWre),
-      jnp.asarray(TWim), xre, xim)
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("rtile", "interpret"))
@@ -493,6 +536,18 @@ def ifft2pp(kre, kim, ctile: int = 128, rtile: int = 64):
     """Inverse of :func:`fft2pp`: doubly-permuted input, natural output."""
     yre, yim = rowifft(kre, kim, rtile=rtile)
     return colifft(yre, yim, ctile=ctile)
+
+
+@functools.partial(jax.jit, static_argnames=("ctile", "rtile", "interpret"))
+def ifft2pp_scaled(kre, kim, scale, ctile: int = 128, rtile: int = 64,
+                   interpret: bool = False):
+    """``ifft2pp(scale * kre, scale * kim)`` with the elementwise product
+    fused into the first (row) kernel pass — the scaled Fourier plane
+    never round-trips HBM. ``scale``: (n, n) fp32 in the doubly-permuted
+    layout (e.g. a ``covsqrt`` grid for GRF synthesis)."""
+    yre, yim = _row_call(kre, kim, True, rtile, interpret,
+                         scale=scale.astype(jnp.float32))
+    return colifft(yre, yim, ctile=ctile, interpret=interpret)
 
 
 @jax.jit

@@ -262,6 +262,22 @@ def test_pallas_mirror_pp_interpret_mode():
                                       np.asarray(zi)[:, mrow][:, :, mrow])
 
 
+def test_pallas_ifft2pp_scaled_interpret_mode():
+    """The fused elementwise pre-multiplier in ifft2pp_scaled is bit-exact
+    vs multiplying first and calling the unscaled kernels."""
+    from orphics_tpu.ops import pallas_fft as pf
+    rng = np.random.default_rng(17)
+    n = 256
+    kr = jnp.asarray(rng.standard_normal((3, n, n)).astype(np.float32))
+    ki = jnp.asarray(rng.standard_normal((3, n, n)).astype(np.float32))
+    sc = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    yr, yi = pf.rowifft(sc * kr, sc * ki, rtile=64, interpret=True)
+    ar, ai = pf.colifft(yr, yi, interpret=True)
+    br, bi = pf.ifft2pp_scaled(kr, ki, sc, interpret=True)
+    np.testing.assert_array_equal(np.asarray(br), np.asarray(ar))
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ai))
+
+
 def test_pallas_bin_pair_power_interpret_mode():
     """Fused Hermitian-split + power + bin kernel vs the explicit split:
     bin(|F1|^2), bin(|F2|^2) from (bin(|Z|^2) +- bin(Re Z.Zm))/2 (exact
