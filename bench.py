@@ -56,36 +56,60 @@ def main():
         binner_p = Bin2D(ml[perm][:, perm], edges)
         assert batch % 2 == 0
         npairs = batch // 2
-        from orphics_tpu.ops.pallas_kernels import bin_pair_power
+        from orphics_tpu.ops.pallas_kernels import bin2_matmul
         icnt = binner_p._inv_counts          # 1/count per in-range bin
-        dig = binner_p._dig_dev              # per-pixel segment ids
         nsg = binner_p._nseg                 # nbins + 2 (under/overflow)
         half_norm = jnp.float32(0.5) * norm
+        # Hermitian half plane: mirror-even fields qs = (|Z(k)|^2 +
+        # |Z(-k)|^2)/2 and c = Re(Z Zm) reconstruct full-plane bins as
+        # 2*bin(half) - bin(row ky=0) + bin(row ky=n/2)
+        dig2d = np.asarray(binner_p._dig_dev).reshape(n, n)
+        p_of_h, pnyq = pf.half_rows(n)
+        idc = jnp.asarray(dig2d[p_of_h].reshape(-1))
+        p_of_k = np.argsort(perm)
+        mrow = jnp.asarray(p_of_k[(n - perm) % n].astype(np.int32))
+        seg_eye = np.arange(nsg)[None, :]
+        oh0 = jnp.asarray((dig2d[0][:, None] == seg_eye).astype(np.float32))
+        ohn = jnp.asarray((dig2d[pnyq][:, None] == seg_eye)
+                          .astype(np.float32))
+        nh = n // 2
+
+        def row_bins(Zr, Zi, p, oh):
+            """Boundary-row (ky = 0 / n/2) bins: their mirror is a lane
+            permutation within the same row."""
+            zr, zi = Zr[:, p, :], Zi[:, p, :]
+            zmr = jnp.take(zr, mrow, axis=1)
+            zmi = jnp.take(zi, mrow, axis=1)
+            qs = 0.5 * (zr * zr + zi * zi + zmr * zmr + zmi * zmi)
+            c = zr * zmr - zi * zmi
+            hp = jax.lax.Precision.HIGHEST
+            return (jnp.einsum("bk,ks->bs", qs, oh, precision=hp),
+                    jnp.einsum("bk,ks->bs", c, oh, precision=hp))
 
         @jax.jit
         def step(key):
             """Identical math to the XLA path: synthesize two real maps per
             pair as Re/Im of one inverse FFT, analyze them packed as one
             forward FFT, Hermitian-split, bin. Both FFT axes ride the
-            Pallas MXU/radix kernels (whole batch per kernel launch); the
-            Fourier plane stays in the kernels' permuted order end to end,
-            and the Hermitian split + power + radial bin fuse into one
-            Pallas pass (bin_pair_power) — no power map ever hits HBM."""
+            Pallas MXU/radix kernels; the Fourier plane stays in the
+            kernels' permuted order end to end; the covsqrt multiply is
+            fused into the inverse FFT; and the mirror + split + power
+            collapse to one half-plane Pallas pass (qc_pp_half) feeding a
+            half-volume MXU bin-reduce — no full-size intermediate beyond
+            the FFT planes ever hits HBM."""
             kr, ki = jax.random.split(key)
             er = jax.random.normal(kr, (npairs,) + geom.shape, jnp.float32)
             ei = jax.random.normal(ki, (npairs,) + geom.shape, jnp.float32)
-            # covsqrt multiply fused into the inverse-FFT kernel (the
-            # scaled Fourier plane never materializes in HBM)
             m1, m2 = pf.ifft2pp_scaled(er, ei, covsqrt_pp)  # the maps
             Zr, Zi = pf.fft2pp(m1, m2)                 # analysis FFT
-            Zmr, Zmi = pf.mirror_pp(Zr, Zi)            # Z(-k), block-copy
-            N = n * n
-            bq, bc = bin_pair_power(
-                Zr.reshape(npairs, N), Zi.reshape(npairs, N),
-                Zmr.reshape(npairs, N), Zmi.reshape(npairs, N), dig, nsg,
-                block=8192)
-            bq = bq[:, 1:-1]
-            bc = bc[:, 1:-1]
+            qs, cc = pf.qc_pp_half(Zr, Zi)             # half-plane powers
+            Nh = nh * n
+            bqc, bcc = bin2_matmul(qs.reshape(npairs, Nh),
+                                   cc.reshape(npairs, Nh), idc, nsg)
+            bq0, bc0 = row_bins(Zr, Zi, 0, oh0)
+            bqn, bcn = row_bins(Zr, Zi, pnyq, ohn)
+            bq = (2.0 * bqc - bq0 + bqn)[:, 1:-1]
+            bc = (2.0 * bcc - bc0 + bcn)[:, 1:-1]
             b1 = (bq + bc) * half_norm * icnt          # binned |F1|^2
             b2 = (bq - bc) * half_norm * icnt          # binned |F2|^2
             return jnp.concatenate([b1, b2])

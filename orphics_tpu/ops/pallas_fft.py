@@ -472,6 +472,229 @@ def _mirror_kernel(jm_ref, ar_ref, ai_ref, or_ref, oi_ref, *, ncc):
     oi_ref[:] = rev(ai_ref[:])
 
 
+def half_rows(n: int):
+    """Static tables for the Hermitian half plane in row_perm order.
+
+    The rows with natural ky in [0, n/2) are exactly those with
+    a = p mod 128 < 64 (ky = B*a + b), i.e. the lower 64-row half of
+    every 128-row b-group — contiguous sub-blocks, no gathers. Returns
+    ``p_of_h`` (compact index h -> permuted row p, h in [0, n//2)) and
+    ``p_nyq`` (the ky = n/2 row, p = 64)."""
+    ncc = n // 128
+    h = np.arange((n // 2))
+    p_of_h = (128 * (h // 64) + h % 64).astype(np.int32)
+    return p_of_h, 64
+
+
+def _mirror_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref,
+                        cr_ref, ci_ref, omr_ref, omi_ref, *, ncc):
+    def rev(z):
+        z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
+        z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
+                             z[:, 6:8, :], z[:, 4:6, :]], axis=1)
+        z = jnp.concatenate([z[:, 1:2, :], z[:, 0:1, :],
+                             z[:, 3:4, :], z[:, 2:3, :],
+                             z[:, 5:6, :], z[:, 4:5, :],
+                             z[:, 7:8, :], z[:, 6:7, :]], axis=1)
+        chunks = []
+        for q in range(ncc):
+            c = (ncc - q) % ncc
+            piece = z[:, :, 128 * c:128 * (c + 1)].reshape(z.shape[0] * 8,
+                                                           128)
+            piece = jnp.dot(piece, jm_ref[:],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            chunks.append(piece.reshape(z.shape[0], 8, 128))
+        return jnp.concatenate(chunks, axis=-1)
+
+    cr_ref[:] = dr_ref[:]          # pass-through compact copies of Z
+    ci_ref[:] = di_ref[:]
+    omr_ref[:] = rev(ar_ref[:])    # compact mirrors from upper-half blocks
+    omi_ref[:] = rev(ai_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("bb", "interpret"))
+def mirror_pp_half(zr, zi, bb: int = 8, interpret: bool = False):
+    """Compact Hermitian-half-plane views (Z, Zm) in one kernel pass.
+
+    Returns ``(zr_c, zi_c, zmr_c, zmi_c)``, each (batch, n//2, n): row h
+    holds permuted row ``p_of_h[h]`` of Z resp. of Zm(k) = Z(-k). Each
+    input array is read exactly once (lower-half blocks pass through as
+    the compact Z copies; upper-half blocks produce the mirrors via the
+    same static block maps + in-register reversals as :func:`mirror_pp`).
+    The b == 0 strips of the mirror are patched with slice-based takes.
+    With the mirror-even powers q = |Z|^2 and c = Re(Z Zm), full-plane
+    binned sums reduce to 2 * (compact sums) - (row ky=0) + (row ky=n/2),
+    halving the downstream bin volume."""
+    bsz, n, _ = zr.shape
+    ncc = n // 128
+    nh = n // 2
+    while bsz % bb:
+        bb //= 2
+
+    def dst(gb, g):
+        return (gb, g, 0)
+
+    def src_mirror(gb, g):
+        # compact dst block g covers h in [8g, 8g+8): b = g//8, a0 = 8*(g%8)
+        # mirror source: b' = (B-b)%B, a0' = 120-a0 (upper half)
+        return (gb, 16 * ((ncc - g // 8) % ncc) + 15 - (g % 8), 0)
+
+    def src_pass(gb, g):
+        # the compact Z copy: full-array block of rows a in [8(g%8), ...)
+        return (gb, 16 * (g // 8) + g % 8, 0)
+
+    fblk = lambda idx: pl.BlockSpec((bb, 8, n), idx,
+                                    memory_space=pltpu.VMEM)
+    mrow_np, J = _mirror_tables(n)
+    oshape = [jax.ShapeDtypeStruct((bsz, nh, n), jnp.float32)] * 4
+    zc_r, zc_i, omr, omi = pl.pallas_call(
+        functools.partial(_mirror_half_kernel, ncc=ncc),
+        grid=(bsz // bb, nh // 8),
+        in_specs=[pl.BlockSpec((128, 128), lambda gb, g: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  fblk(src_mirror), fblk(src_mirror),
+                  fblk(src_pass), fblk(src_pass)],
+        out_specs=[fblk(dst)] * 4,
+        out_shape=oshape,
+        interpret=interpret,
+    )(jnp.asarray(J), zr, zi, zr, zi)
+
+    # strip patches on the mirror outputs (b == 0 wrap-around):
+    # compact rows h < 64 are ky in [0, 64): mirror rows p' = (128-h)%128
+    # live inside the first 128 full rows; mirror cols of cols < 128
+    # live inside the first 128 full cols.
+    mrow = jnp.asarray(mrow_np)
+    p_of_h, _ = half_rows(n)
+    rsrc = jnp.asarray(((128 - np.arange(64)) % 128).astype(np.int32))
+    csrc = jnp.asarray(mrow_np[p_of_h[64:]])   # clean-row full mirrors
+    mtop = mrow[:128]
+    for zsrc, out in ((zr, 0), (zi, 1)):
+        rows = jnp.take(jnp.take(zsrc[:, :128, :], rsrc, axis=1),
+                        mrow, axis=2)
+        cols = jnp.take(jnp.take(zsrc[:, :, :128], mtop, axis=2),
+                        csrc, axis=1)
+        o = (omr, omi)[out]
+        o = jax.lax.dynamic_update_slice(o, rows, (0, 0, 0))
+        o = jax.lax.dynamic_update_slice(o, cols, (0, 64, 0))
+        if out == 0:
+            omr = o
+        else:
+            omi = o
+    return zc_r, zc_i, omr, omi
+
+
+def _qc_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref,
+                    oq_ref, oc_ref, *, ncc):
+    def rev(z):
+        z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
+        z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
+                             z[:, 6:8, :], z[:, 4:6, :]], axis=1)
+        z = jnp.concatenate([z[:, 1:2, :], z[:, 0:1, :],
+                             z[:, 3:4, :], z[:, 2:3, :],
+                             z[:, 5:6, :], z[:, 4:5, :],
+                             z[:, 7:8, :], z[:, 6:7, :]], axis=1)
+        chunks = []
+        for q in range(ncc):
+            c = (ncc - q) % ncc
+            piece = z[:, :, 128 * c:128 * (c + 1)].reshape(z.shape[0] * 8,
+                                                           128)
+            piece = jnp.dot(piece, jm_ref[:],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            chunks.append(piece.reshape(z.shape[0], 8, 128))
+        return jnp.concatenate(chunks, axis=-1)
+
+    mr = rev(ar_ref[:])
+    mi = rev(ai_ref[:])
+    dr = dr_ref[:]
+    di = di_ref[:]
+    oq_ref[:] = 0.5 * (dr * dr + di * di + mr * mr + mi * mi)
+    oc_ref[:] = dr * mr - di * mi
+
+
+@functools.partial(jax.jit, static_argnames=("bb", "interpret"))
+def qc_pp_half(zr, zi, bb: int = 8, interpret: bool = False):
+    """Half-plane mirror-even power fields for Hermitian-pair analysis.
+
+    Returns ``(qs, c)``, each (batch, n//2, n) fp32 over the compact
+    half plane (rows ``half_rows(n)[0]``):
+
+        qs = (|Z(k)|^2 + |Z(-k)|^2) / 2      c = Re(Z(k) Z(-k))
+
+    Both are mirror-even pointwise, so full-plane binned sums follow
+    from ``2 * bin(half) - bin(row ky=0) + bin(row ky=n/2)``, after
+    which ``bin|F1|^2 = (bq + bc)/2`` etc. as in ``bin_pair_power``.
+    One kernel pass: each input array is read exactly once (mirror
+    blocks via the static maps of :func:`mirror_pp`), only the two
+    half-size power fields are written. The b == 0 strips are patched
+    with slice-based recomputation."""
+    bsz, n, _ = zr.shape
+    ncc = n // 128
+    nh = n // 2
+    while bsz % bb:
+        bb //= 2
+
+    def dst(gb, g):
+        return (gb, g, 0)
+
+    def src_mirror(gb, g):
+        return (gb, 16 * ((ncc - g // 8) % ncc) + 15 - (g % 8), 0)
+
+    def src_pass(gb, g):
+        return (gb, 16 * (g // 8) + g % 8, 0)
+
+    fblk = lambda idx: pl.BlockSpec((bb, 8, n), idx,
+                                    memory_space=pltpu.VMEM)
+    mrow_np, J = _mirror_tables(n)
+    qs, c = pl.pallas_call(
+        functools.partial(_qc_half_kernel, ncc=ncc),
+        grid=(bsz // bb, nh // 8),
+        in_specs=[pl.BlockSpec((128, 128), lambda gb, g: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  fblk(src_mirror), fblk(src_mirror),
+                  fblk(src_pass), fblk(src_pass)],
+        out_specs=[fblk(dst)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((bsz, nh, n), jnp.float32)] * 2,
+        interpret=interpret,
+    )(jnp.asarray(J), zr, zi, zr, zi)
+
+    # strip recomputation where the kernel's mirror blocks wrap (b == 0)
+    mrow = jnp.asarray(mrow_np)
+    p_of_h, _ = half_rows(n)
+    rsrc = jnp.asarray(((128 - np.arange(64)) % 128).astype(np.int32))
+    csrc = jnp.asarray(mrow_np[p_of_h[64:]])
+    mtop = mrow[:128]
+
+    def zm_rows(z):
+        return jnp.take(jnp.take(z[:, :128, :], rsrc, axis=1), mrow, axis=2)
+
+    def zm_cols(z):
+        return jnp.take(jnp.take(z[:, :, :128], mtop, axis=2), csrc, axis=1)
+
+    zr_r, zi_r = zr[:, :64, :], zi[:, :64, :]
+    mr_r, mi_r = zm_rows(zr), zm_rows(zi)
+    qs = jax.lax.dynamic_update_slice(
+        qs, 0.5 * (zr_r ** 2 + zi_r ** 2 + mr_r ** 2 + mi_r ** 2),
+        (0, 0, 0))
+    c = jax.lax.dynamic_update_slice(
+        c, zr_r * mr_r - zi_r * mi_r, (0, 0, 0))
+    # cols strip: compact rows h >= 64, cols [0, 128): slice cols first
+    # so only the thin strip is read
+    def z_strip(z):
+        s = z[:, :, :128].reshape(bsz, ncc, 128, 128)[:, :, :64]
+        return s.reshape(bsz, nh, 128)[:, 64:]
+
+    zr_cd, zi_cd = z_strip(zr), z_strip(zi)
+    mr_c, mi_c = zm_cols(zr), zm_cols(zi)
+    qs = jax.lax.dynamic_update_slice(
+        qs, 0.5 * (zr_cd ** 2 + zi_cd ** 2 + mr_c ** 2 + mi_c ** 2),
+        (0, 64, 0))
+    c = jax.lax.dynamic_update_slice(
+        c, zr_cd * mr_c - zi_cd * mi_c, (0, 64, 0))
+    return qs, c
+
+
 @functools.partial(jax.jit, static_argnames=("bb", "interpret"))
 def mirror_pp(zr, zi, bb: int = 8, interpret: bool = False):
     """(Zm_re, Zm_im) with Zm(k) = Z(-k), both in fft2pp's doubly-permuted

@@ -278,6 +278,46 @@ def test_pallas_ifft2pp_scaled_interpret_mode():
     np.testing.assert_array_equal(np.asarray(bi), np.asarray(ai))
 
 
+def test_pallas_qc_pp_half_interpret_mode():
+    """Half-plane mirror-even power fields (qs, c) from qc_pp_half agree
+    with explicit full-plane construction, and the 2*half - row(ky=0) +
+    row(ky=n/2) identity reconstructs full-plane bin sums exactly."""
+    from orphics_tpu.ops import pallas_fft as pf
+    from orphics_tpu.ops.pallas_kernels import bin2_matmul
+    rng = np.random.default_rng(13)
+    n, B = 256, 3
+    zr = jnp.asarray(rng.standard_normal((B, n, n)).astype(np.float32))
+    zi = jnp.asarray(rng.standard_normal((B, n, n)).astype(np.float32))
+    perm, inv = pf.row_perm(n)
+    mrow = inv[(n - perm) % n]
+    p_of_h, pnyq = pf.half_rows(n)
+    zrn, zin = np.asarray(zr), np.asarray(zi)
+    zm_r = zrn[:, mrow][:, :, mrow]
+    zm_i = zin[:, mrow][:, :, mrow]
+    qs_full = 0.5 * (zrn ** 2 + zin ** 2 + zm_r ** 2 + zm_i ** 2)
+    c_full = zrn * zm_r - zin * zm_i
+    qs, c = pf.qc_pp_half(zr, zi, interpret=True)
+    np.testing.assert_allclose(np.asarray(qs), qs_full[:, p_of_h],
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c), c_full[:, p_of_h], atol=2e-5)
+    # bin-sum reconstruction with mirror-symmetric ids
+    ids = rng.integers(0, 20, size=(n, n)).astype(np.int32)
+    ids = np.minimum(ids, ids[mrow][:, mrow])
+    nsg = 24
+    bqc, bcc = bin2_matmul(qs.reshape(B, -1), c.reshape(B, -1),
+                           jnp.asarray(ids[p_of_h].reshape(-1)), nsg,
+                           block=4096, interpret=True)
+    for x, bh in ((qs_full, bqc), (c_full, bcc)):
+        full = np.stack([[x[b][ids == s].sum() for s in range(nsg)]
+                         for b in range(B)])
+        r0 = np.stack([[x[b, 0][ids[0] == s].sum() for s in range(nsg)]
+                       for b in range(B)])
+        rn = np.stack([[x[b, pnyq][ids[pnyq] == s].sum()
+                        for s in range(nsg)] for b in range(B)])
+        rec = 2.0 * np.asarray(bh) - r0 + rn
+        np.testing.assert_allclose(rec, full, rtol=2e-5, atol=1e-3)
+
+
 def test_pallas_bin_pair_power_interpret_mode():
     """Fused Hermitian-split + power + bin kernel vs the explicit split:
     bin(|F1|^2), bin(|F2|^2) from (bin(|Z|^2) +- bin(Re Z.Zm))/2 (exact
