@@ -16,6 +16,7 @@ from .ops import fourier as _F
 from .ops.binning import Bin2D, bin_in_annuli
 from .models import grf as _grf
 from .models.grf import MapGen, spec2flat, harm2map, map2harm, cmb_ps, white_noise
+from .models.fastcl import FastCl
 from .models.mapstools import (
     flux, MatchedFilter, matched_filter, FourierStack,
     get_normalized_center, mask_center, crop_center, get_central, Purify,

@@ -748,17 +748,19 @@ def mirror_pp(zr, zi, bb: int = 8, interpret: bool = False):
     return omr, omi
 
 
-def fft2pp(zre, zim, ctile: int = 128, rtile: int = 64):
+def fft2pp(zre, zim, ctile: int = 128, rtile: int = 64,
+           interpret: bool = False):
     """Full 2D FFT entirely on the Pallas kernels: rows AND columns left
     in ``row_perm`` order (absorb with static tables or take twice)."""
-    yre, yim = colfft(zre, zim, ctile=ctile)
-    return rowfft(yre, yim, rtile=rtile)
+    yre, yim = colfft(zre, zim, ctile=ctile, interpret=interpret)
+    return rowfft(yre, yim, rtile=rtile, interpret=interpret)
 
 
-def ifft2pp(kre, kim, ctile: int = 128, rtile: int = 64):
+def ifft2pp(kre, kim, ctile: int = 128, rtile: int = 64,
+            interpret: bool = False):
     """Inverse of :func:`fft2pp`: doubly-permuted input, natural output."""
-    yre, yim = rowifft(kre, kim, rtile=rtile)
-    return colifft(yre, yim, ctile=ctile)
+    yre, yim = rowifft(kre, kim, rtile=rtile, interpret=interpret)
+    return colifft(yre, yim, ctile=ctile, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("ctile", "rtile", "interpret"))

@@ -278,6 +278,28 @@ def test_pallas_ifft2pp_scaled_interpret_mode():
     np.testing.assert_array_equal(np.asarray(bi), np.asarray(ai))
 
 
+def test_fastcl_map_bandpowers(th):
+    """FastCl.map_bandpowers (fused pair-packed half-plane pipeline)
+    matches the FourierCalc-style fft2 -> f2power -> Bin2D reference,
+    including odd-batch zero padding."""
+    from orphics_tpu.models.fastcl import FastCl
+    from orphics_tpu.ops import fourier as F
+    n = 256
+    geom = rect_geometry(width_arcmin=n * 2.0, px_res_arcmin=2.0)
+    edges = np.arange(80, 4000, 160.0)
+    fc = FastCl(geom, bin_edges=edges)
+    rng = np.random.default_rng(4)
+    maps = rng.standard_normal((3, n, n)).astype(np.float32)
+    got = np.asarray(fc.map_bandpowers(maps))
+    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges,
+                   strategy="rowcum")
+    ref = []
+    for m in maps:
+        k = F.fft2(jnp.asarray(m, jnp.float64), geom, "raw")
+        ref.append(np.asarray(binner.bin(F.f2power(k, k, geom))[1]))
+    np.testing.assert_allclose(got, np.stack(ref), rtol=2e-5, atol=1e-8)
+
+
 def test_pallas_qc_pp_half_interpret_mode():
     """Half-plane mirror-even power fields (qs, c) from qc_pp_half agree
     with explicit full-plane construction, and the 2*half - row(ky=0) +
