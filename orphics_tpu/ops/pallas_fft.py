@@ -613,6 +613,94 @@ def _qc_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref,
     oc_ref[:] = dr * mr - di * mi
 
 
+def _s_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref, os_ref, *, ncc):
+    def rev(z):
+        z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
+        z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
+                             z[:, 6:8, :], z[:, 4:6, :]], axis=1)
+        z = jnp.concatenate([z[:, 1:2, :], z[:, 0:1, :],
+                             z[:, 3:4, :], z[:, 2:3, :],
+                             z[:, 5:6, :], z[:, 4:5, :],
+                             z[:, 7:8, :], z[:, 6:7, :]], axis=1)
+        chunks = []
+        for q in range(ncc):
+            c = (ncc - q) % ncc
+            piece = z[:, :, 128 * c:128 * (c + 1)].reshape(z.shape[0] * 8,
+                                                           128)
+            piece = jnp.dot(piece, jm_ref[:],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            chunks.append(piece.reshape(z.shape[0], 8, 128))
+        return jnp.concatenate(chunks, axis=-1)
+
+    os_ref[:] = dr_ref[:] * rev(ai_ref[:]) + di_ref[:] * rev(ar_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("bb", "interpret"))
+def s_pp_half(zr, zi, bb: int = 8, interpret: bool = False):
+    """Half-plane cross field s = Im(Z(k) Z(-k)) = zr*zmi + zi*zmr.
+
+    For a packed pair Z = fft2(x + i y), the binned cross spectrum of
+    the real maps is ``bin(Re(x_hat conj(y_hat))) = bin(s)/2``; s is
+    mirror-even pointwise, so full-plane bins follow from
+    ``2*bin(half) - bin(ky=0 row) + bin(ky=n/2 row)`` exactly as in
+    :func:`qc_pp_half`. Same one-pass block structure and strip
+    patches. Returns (batch, n//2, n)."""
+    bsz, n, _ = zr.shape
+    ncc = n // 128
+    nh = n // 2
+    while bsz % bb:
+        bb //= 2
+
+    def dst(gb, g):
+        return (gb, g, 0)
+
+    def src_mirror(gb, g):
+        return (gb, 16 * ((ncc - g // 8) % ncc) + 15 - (g % 8), 0)
+
+    def src_pass(gb, g):
+        return (gb, 16 * (g // 8) + g % 8, 0)
+
+    fblk = lambda idx: pl.BlockSpec((bb, 8, n), idx,
+                                    memory_space=pltpu.VMEM)
+    mrow_np, J = _mirror_tables(n)
+    s = pl.pallas_call(
+        functools.partial(_s_half_kernel, ncc=ncc),
+        grid=(bsz // bb, nh // 8),
+        in_specs=[pl.BlockSpec((128, 128), lambda gb, g: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  fblk(src_mirror), fblk(src_mirror),
+                  fblk(src_pass), fblk(src_pass)],
+        out_specs=fblk(dst),
+        out_shape=jax.ShapeDtypeStruct((bsz, nh, n), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(J), zr, zi, zr, zi)
+
+    mrow = jnp.asarray(mrow_np)
+    p_of_h, _ = half_rows(n)
+    rsrc = jnp.asarray(((128 - np.arange(64)) % 128).astype(np.int32))
+    csrc = jnp.asarray(mrow_np[p_of_h[64:]])
+    mtop = mrow[:128]
+
+    def zm_rows(z):
+        return jnp.take(jnp.take(z[:, :128, :], rsrc, axis=1), mrow, axis=2)
+
+    def zm_cols(z):
+        return jnp.take(jnp.take(z[:, :, :128], mtop, axis=2), csrc, axis=1)
+
+    def z_strip(z):
+        t = z[:, :, :128].reshape(bsz, ncc, 128, 128)[:, :, :64]
+        return t.reshape(bsz, nh, 128)[:, 64:]
+
+    s = jax.lax.dynamic_update_slice(
+        s, zr[:, :64, :] * zm_rows(zi) + zi[:, :64, :] * zm_rows(zr),
+        (0, 0, 0))
+    s = jax.lax.dynamic_update_slice(
+        s, z_strip(zr) * zm_cols(zi) + z_strip(zi) * zm_cols(zr),
+        (0, 64, 0))
+    return s
+
+
 @functools.partial(jax.jit, static_argnames=("bb", "interpret"))
 def qc_pp_half(zr, zi, bb: int = 8, interpret: bool = False):
     """Half-plane mirror-even power fields for Hermitian-pair analysis.

@@ -300,6 +300,29 @@ def test_fastcl_map_bandpowers(th):
     np.testing.assert_allclose(got, np.stack(ref), rtol=2e-5, atol=1e-8)
 
 
+def test_fastcl_cross_bandpowers(th):
+    """FastCl.cross_bandpowers (Im(Z Zm)/2 on the half plane) matches the
+    f2power(k1, k2) + Bin2D reference."""
+    from orphics_tpu.models.fastcl import FastCl
+    from orphics_tpu.ops import fourier as F
+    n = 256
+    geom = rect_geometry(width_arcmin=n * 2.0, px_res_arcmin=2.0)
+    edges = np.arange(80, 4000, 160.0)
+    fc = FastCl(geom, bin_edges=edges)
+    rng = np.random.default_rng(8)
+    m1 = rng.standard_normal((2, n, n)).astype(np.float32)
+    m2 = rng.standard_normal((2, n, n)).astype(np.float32)
+    got = np.asarray(fc.cross_bandpowers(m1, m2))
+    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges,
+                   strategy="rowcum")
+    ref = []
+    for a, b in zip(m1, m2):
+        k1 = F.fft2(jnp.asarray(a, jnp.float64), geom, "raw")
+        k2 = F.fft2(jnp.asarray(b, jnp.float64), geom, "raw")
+        ref.append(np.asarray(binner.bin(F.f2power(k1, k2, geom))[1]))
+    np.testing.assert_allclose(got, np.stack(ref), rtol=3e-5, atol=1e-7)
+
+
 def test_pallas_qc_pp_half_interpret_mode():
     """Half-plane mirror-even power fields (qs, c) from qc_pp_half agree
     with explicit full-plane construction, and the 2*half - row(ky=0) +
