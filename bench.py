@@ -87,20 +87,18 @@ def main():
                     jnp.einsum("bk,ks->bs", c, oh, precision=hp))
 
         @jax.jit
-        def step(key):
+        def step(seed):
             """Identical math to the XLA path: synthesize two real maps per
             pair as Re/Im of one inverse FFT, analyze them packed as one
             forward FFT, Hermitian-split, bin. Both FFT axes ride the
             Pallas MXU/radix kernels; the Fourier plane stays in the
-            kernels' permuted order end to end; the covsqrt multiply is
-            fused into the inverse FFT; and the mirror + split + power
+            kernels' permuted order end to end; the white noise is drawn
+            by the on-chip PRNG *inside* the synthesis kernel (covsqrt
+            multiply fused too, so neither the noise nor the scaled
+            plane ever exists in HBM); and the mirror + split + power
             collapse to one half-plane Pallas pass (qc_pp_half) feeding a
-            half-volume MXU bin-reduce — no full-size intermediate beyond
-            the FFT planes ever hits HBM."""
-            kr, ki = jax.random.split(key)
-            er = jax.random.normal(kr, (npairs,) + geom.shape, jnp.float32)
-            ei = jax.random.normal(ki, (npairs,) + geom.shape, jnp.float32)
-            m1, m2 = pf.ifft2pp_scaled(er, ei, covsqrt_pp)  # the maps
+            half-volume MXU bin-reduce."""
+            m1, m2 = pf.ifft2pp_noise(covsqrt_pp, seed, npairs)  # the maps
             Zr, Zi = pf.fft2pp(m1, m2)                 # analysis FFT
             qs, cc = pf.qc_pp_half(Zr, Zi)             # half-plane powers
             Nh = nh * n
@@ -114,17 +112,12 @@ def main():
             b2 = (bq - bc) * half_norm * icnt          # binned |F2|^2
             return jnp.concatenate([b1, b2])
 
-        # rbg = XLA's hardware RngBitGenerator: ~3 ms/step cheaper than
-        # threefry for the 0.5 GSample/step of Gaussian draws
-        def bkey(i):
-            return jax.random.key(i, impl="rbg")
-
-        out = step(bkey(0))
+        out = step(0)
         _ = np.asarray(out)
         nrep = int(os.environ.get("BENCH_REPS", 20))
         t0 = time.perf_counter()
         for i in range(nrep):
-            out = step(bkey(i + 1))
+            out = step(i + 1)
         _ = np.asarray(out)
         dt = time.perf_counter() - t0
         rate = nrep * batch / dt

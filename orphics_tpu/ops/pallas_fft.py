@@ -347,6 +347,104 @@ def _rowifft_scaled_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, sc_ref,
         oim_ref[0, :, b_ * A:(b_ + 1) * A] = bi[b_] * inv_n
 
 
+def _rowifft_noise_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, sc_ref,
+                          seed_ref, ore_ref, oim_ref, *, A, B, rtile):
+    """Inverse row DFT of scale * (white noise): the standard-normal
+    Fourier plane is generated *inside* the kernel with the on-chip PRNG
+    (24-bit uniform -> erf_inv), so the noise never exists in HBM and
+    its VPU cost overlaps the MXU DFT work. Stream = (seed, batch index,
+    row-tile index) — reproducible and distinct per block."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    cell = i * pl.num_programs(1) + j
+    n = A * B
+
+    def normals(stream):
+        # one generator draw per seeding: on this stack a second
+        # prng_random_bits after the same seed returns corrupted data,
+        # so each (cell, re/im) stream gets its own seed. 23-bit
+        # uniforms, NOT 24: with 24 bits the extreme t = 1 - 2^-24
+        # rounds to exactly 1.0 in fp32 and erf_inv(1.0) = inf
+        # (~2^-24 of all draws); 1 - 2^-23 is representable.
+        pltpu.prng_seed(seed_ref[0], 2 * cell + stream)
+        bits = pltpu.prng_random_bits((rtile, n))
+        ib = jnp.bitwise_and(pltpu.bitcast(bits, jnp.int32), (1 << 23) - 1)
+        u = (ib.astype(jnp.float32) + 0.5) * (1.0 / (1 << 23))
+        return jnp.sqrt(2.0) * jax.lax.erf_inv(2.0 * u - 1.0)
+
+    sc = sc_ref[:]
+    xre = normals(0) * sc
+    xim = normals(1) * sc
+    FAre, FAim = FAre_ref[:], FAim_ref[:]
+    TWre, TWim = TWre_ref[:], TWim_ref[:]
+    inv_n = 1.0 / n
+    jr = []
+    ji = []
+    for k2 in range(B):
+        xr = xre[:, k2 * A:(k2 + 1) * A]
+        xi = xim[:, k2 * A:(k2 + 1) * A]
+        ir = (jnp.dot(xr, FAre, preferred_element_type=jnp.float32,
+                      precision=_PREC)
+              - jnp.dot(xi, FAim, preferred_element_type=jnp.float32,
+                        precision=_PREC))
+        ii = (jnp.dot(xi, FAre, preferred_element_type=jnp.float32,
+                      precision=_PREC)
+              + jnp.dot(xr, FAim, preferred_element_type=jnp.float32,
+                        precision=_PREC))
+        twr = TWre[k2][None, :]
+        twi = TWim[k2][None, :]
+        jr.append((ir * twr - ii * twi) * inv_n)
+        ji.append((ir * twi + ii * twr) * inv_n)
+    br, bi = _fft16_static(jr, ji, 1.0)
+    for b_ in range(B):
+        ore_ref[0, :, b_ * A:(b_ + 1) * A] = br[b_]
+        oim_ref[0, :, b_ * A:(b_ + 1) * A] = bi[b_]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "ctile", "rtile", "interpret"))
+def ifft2pp_noise(scale, seed, batch: int, ctile: int = 128,
+                  rtile: int = 64, interpret: bool = False):
+    """GRF synthesis with the white noise generated on-chip: returns the
+    two real maps (batch, n, n) x 2 of ``ifft2pp(scale * eta)`` where
+    eta re/im are standard normals drawn inside the first kernel pass
+    (never materialized in HBM). ``scale``: (n, n) fp32 doubly-permuted
+    covsqrt grid; ``seed``: int32 scalar (stream = seed x block).
+    On CPU/interpret the on-chip PRNG is unavailable; falls back to
+    jax.random + :func:`ifft2pp_scaled` (different stream, same law)."""
+    n = scale.shape[-1]
+    if interpret:
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+        kr, ki = jax.random.split(key)
+        er = jax.random.normal(kr, (batch, n, n), jnp.float32)
+        ei = jax.random.normal(ki, (batch, n, n), jnp.float32)
+        return ifft2pp_scaled(er, ei, scale, ctile=ctile, rtile=rtile,
+                              interpret=True)
+    A, B, FBre, FBim, FAre, FAim, TWre, TWim = _plan(n, True)
+    nt = n // rtile
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    dblk = pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    yre, yim = pl.pallas_call(
+        functools.partial(_rowifft_noise_kernel, A=A, B=B, rtile=rtile),
+        grid=(batch, nt),
+        in_specs=[const_spec((A, A)), const_spec((A, A)),
+                  const_spec((B, A)), const_spec((B, A)),
+                  pl.BlockSpec((rtile, n), lambda i, j: (j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[dblk, dblk],
+        out_shape=[jax.ShapeDtypeStruct((batch, n, n), jnp.float32)] * 2,
+    )(jnp.asarray(FAre), jnp.asarray(FAim), jnp.asarray(TWre),
+      jnp.asarray(TWim), scale.astype(jnp.float32),
+      jnp.asarray(seed, jnp.int32).reshape(1))
+    return colifft(yre, yim, ctile=ctile)
+
+
 def _row_call(xre, xim, inverse, rtile, interpret, scale=None):
     b, nrows, n = xre.shape
     A, B, FBre, FBim, FAre, FAim, TWre, TWim = _plan(n, inverse)

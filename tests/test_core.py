@@ -323,6 +323,20 @@ def test_fastcl_cross_bandpowers(th):
     np.testing.assert_allclose(got, np.stack(ref), rtol=3e-5, atol=1e-7)
 
 
+def test_ifft2pp_noise_fallback():
+    """ifft2pp_noise (on-chip PRNG synthesis) CPU fallback: same law as
+    ifft2pp_scaled of explicit normals — check shape contract and GRF
+    variance (unit scale white noise: var(map) = 1/npix per part)."""
+    from orphics_tpu.ops import pallas_fft as pf
+    n = 256
+    sc = jnp.ones((n, n), jnp.float32)
+    m1, m2 = pf.ifft2pp_noise(sc, 11, 2, interpret=True)
+    assert m1.shape == (2, n, n) and m2.shape == (2, n, n)
+    a = np.asarray(m1)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a.var() * n * n, 1.0, rtol=0.05)
+
+
 def test_pallas_qc_pp_half_interpret_mode():
     """Half-plane mirror-even power fields (qs, c) from qc_pp_half agree
     with explicit full-plane construction, and the 2*half - row(ky=0) +
