@@ -116,18 +116,27 @@ class FastCl:
         """(batch, nbins) binned auto bandpowers of `batch` fresh GRF
         sims (and nothing else materializes full-size beyond the FFT
         planes). `batch` must be even; maps come in Re/Im pairs of one
-        synthesis inverse FFT."""
+        synthesis inverse FFT. Pass an int seed (fastest: the white
+        noise is drawn by the on-chip PRNG inside the synthesis kernel,
+        see ``pallas_fft.ifft2pp_noise``) or a JAX PRNG key."""
         if self._covsqrt_pp is None:
             raise ValueError("construct FastCl with (ells, cl1d) to sim")
         if batch % 2:
             raise ValueError("batch must be even (pair-packed sims)")
         npairs = batch // 2
-        kr, ki = jax.random.split(key)
-        shape = (npairs, self.n, self.n)
-        er = jax.random.normal(kr, shape, jnp.float32)
-        ei = jax.random.normal(ki, shape, jnp.float32)
-        m1, m2 = pf.ifft2pp_scaled(er, ei, self._covsqrt_pp,
-                                   interpret=self.interpret)
+        is_int_seed = isinstance(key, (int, np.integer)) or (
+            hasattr(key, "dtype") and jnp.issubdtype(key.dtype, jnp.integer)
+            and jnp.ndim(key) == 0)  # old-style PRNGKeys are (2,) uint32
+        if is_int_seed:
+            m1, m2 = pf.ifft2pp_noise(self._covsqrt_pp, key, npairs,
+                                      interpret=self.interpret)
+        else:
+            kr, ki = jax.random.split(key)
+            shape = (npairs, self.n, self.n)
+            er = jax.random.normal(kr, shape, jnp.float32)
+            ei = jax.random.normal(ki, shape, jnp.float32)
+            m1, m2 = pf.ifft2pp_scaled(er, ei, self._covsqrt_pp,
+                                       interpret=self.interpret)
         Zr, Zi = pf.fft2pp(m1, m2, interpret=self.interpret)
         b1, b2 = self._pair_bandpowers(Zr, Zi)
         return jnp.concatenate([b1, b2])
