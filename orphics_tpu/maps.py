@@ -23,9 +23,18 @@ from .models.mapstools import (
     iqu_to_pure_lteb, inpaint_cg, analytical_tf, minimum_ell, cosine_taper,
     downsample_power, SymMat, symmat_from_data, sanitize_beam,
     gapfill_edge_conv_flat, binary_mask, area, fsky, area_sqdeg, rescale,
-    rotate, MapRotator, diagonal_cov, ncov, thumbnail_healpix,
-    galactic_mask, generate_correlated_alm, ftrans, real_space_filter,
+    rotate, diagonal_cov, ncov, thumbnail_healpix,
+    generate_correlated_alm, ftrans, real_space_filter,
     rfilter)
+from .models.curved import (
+    synalm_matrix, rand_map, rand_cmb_sim, smoothing, masked_cls,
+    cosine_stitch, stitched_noise, kspace_coadd_alms,
+    gal2equ_rotation, pointing_rotation, rotate_map, MapRotator,
+    galactic_mask, galactic_mask_rings, pixsize_map)
+from .models import curved as _curved
+from .ops.sht import (RingGeom, gauss_legendre_rings, clenshaw_curtis_rings,
+                      map2alm, alm2map, map2alm_spin, alm2map_spin,
+                      map2alm_pol, alm2map_pol)
 from .models.splits import (split_calc, noise_from_splits,
                             cross_split_spectrum, crossband_errors,
                             error_fsky)

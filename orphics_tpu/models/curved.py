@@ -1,0 +1,374 @@
+"""Curved-sky map operations built on the native SHT (``ops/sht.py``).
+
+TPU-native replacements for the reference's ``pixell.curvedsky`` /
+``healpy`` call sites:
+
+* ``rand_map`` / ``rand_cmb_sim``   (reference ``orphics/maps.py:716,1052``)
+* ``wfactor`` (SHT branch)          (``maps.py:936``)
+* ``cosine_stitch`` / ``stitched_noise`` (``maps.py:967,975``)
+* ``kspace_coadd_alms``             (``maps.py:1121``)
+* ``modulated_noise_map``           (``maps.py:1155``)
+* ``hp.smoothing``-style beam convolution (used throughout reference)
+* real coordinate rotation for ``MapRotator``/``get_rotated_pixels``
+  (``maps.py:1681,1738``) and analytic ``galactic_mask`` (``maps.py:1186``)
+
+All sphere fields live on :class:`orphics_tpu.ops.sht.RingGeom` grids
+(iso-latitude rings, dense ``(ntheta, nphi)`` arrays) — the cylindrical
+layout that tiles onto TPU registers; alms use healpy packing.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import Geometry
+from ..ops import sht
+from ..ops.sht import RingGeom
+from ..ops import alm as almops
+
+__all__ = [
+    "synalm_matrix", "rand_map", "rand_cmb_sim", "smoothing",
+    "wfactor", "masked_cls", "cosine_stitch", "stitched_noise",
+    "kspace_coadd_alms", "white_noise", "modulated_noise_map",
+    "gal2equ_rotation", "pointing_rotation", "rotate_map", "MapRotator",
+    "galactic_mask", "pixsize_map",
+]
+
+
+# ---------------------------------------------------------------------------
+# Correlated alm synthesis
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("lmax",))
+def synalm_matrix(key, ps, lmax: int):
+    """Draw correlated alms from a spectra matrix ``ps`` of shape
+    ``(nc, nc, nl)`` (reference ``cs.rand_map``'s ps input, built by
+    ``cmb_ps`` at ``orphics/maps.py:1038``).
+
+    Uses the symmetric PSD square root per l (eigh with eigenvalue clamp),
+    robust to zero rows (e.g. BB = 0).
+    Returns ``(nc, nalm)`` complex alms.
+    """
+    ps = jnp.asarray(ps)
+    nc = ps.shape[0]
+    nl = ps.shape[-1]
+    mats = jnp.moveaxis(ps, -1, 0)            # (nl, nc, nc)
+    mats = 0.5 * (mats + jnp.swapaxes(mats, -1, -2))
+    evals, evecs = jnp.linalg.eigh(mats)
+    root = jnp.einsum("lij,lj,lkj->lik", evecs,
+                      jnp.sqrt(jnp.clip(evals, 0.0, None)), evecs)
+    # pad/truncate to lmax+1
+    if nl < lmax + 1:
+        root = jnp.pad(root, ((0, lmax + 1 - nl), (0, 0), (0, 0)))
+    else:
+        root = root[: lmax + 1]
+    keys = jax.random.split(key, nc)
+    unit = jnp.stack([almops.synalm(keys[i], jnp.ones(lmax + 1), lmax=lmax)
+                      for i in range(nc)])    # (nc, nalm), unit variance
+    ls, _ = almops.lm_indices(lmax)
+    mix = root[jnp.asarray(ls)]               # (nalm, nc, nc)
+    return jnp.einsum("kij,jk->ik", mix, unit)
+
+
+def rand_map(key, rings: RingGeom, ps, lmax: int, pol: bool = None):
+    """Curved-sky GRF realization (reference ``cs.rand_map`` role at
+    ``orphics/maps.py:744``).
+
+    ``ps`` is a 1D TT spectrum, or a ``(nc, nc, nl)`` matrix whose
+    components are ordered T, E, B (pol synthesis via spin-2).
+    Returns ``(ntheta, nphi)`` or ``(3, ntheta, nphi)``.
+    """
+    ps = jnp.asarray(ps)
+    if ps.ndim == 1:
+        a = almops.synalm(key, ps, lmax=lmax,
+                          dtype=jnp.result_type(ps.dtype, jnp.complex64))
+        return sht.alm2map(a, rings, lmax)
+    alms = synalm_matrix(key, ps, lmax)
+    if ps.shape[0] == 1:
+        return sht.alm2map(alms[0], rings, lmax)
+    return sht.alm2map_pol(alms, rings, lmax)
+
+
+def rand_cmb_sim(key, rings: RingGeom, lmax: int, lensed=True, theory=None):
+    """Lensed-CMB TQU sky (reference ``rand_cmb_sim``, ``maps.py:1052``)."""
+    from .grf import cmb_ps
+    from .theory import default_theory
+    if theory is None:
+        theory = default_theory()
+    ps = cmb_ps(theory, lmax=lmax, lensed=lensed)
+    return rand_map(key, rings, ps, lmax)
+
+
+def smoothing(imap, rings: RingGeom, fwhm_arcmin: float, lmax: int):
+    """Gaussian-beam smoothing on the sphere (healpy ``hp.smoothing`` /
+    ``cs.filter`` role, reference ``maps.py:2979``)."""
+    sigma = np.deg2rad(fwhm_arcmin / 60.0) / math.sqrt(8.0 * math.log(2.0))
+    ell = jnp.arange(lmax + 1)
+    bl = jnp.exp(-0.5 * ell * (ell + 1) * sigma ** 2)
+    a = sht.map2alm(imap, rings, lmax)
+    return sht.alm2map(almops.almxfl(a, bl), rings, lmax)
+
+
+# ---------------------------------------------------------------------------
+# Mask factors and masked spectra
+# ---------------------------------------------------------------------------
+
+def pixsize_map(rings: RingGeom):
+    """Per-pixel solid angle of a ring grid (quadrature weight x dphi)."""
+    w = jnp.asarray(rings.weights_array())
+    return jnp.broadcast_to((w * (2 * np.pi / rings.nphi))[:, None],
+                            rings.shape)
+
+
+def wfactor(n: int, mask, rings: RingGeom = None, sht_norm: bool = True):
+    """Mask power correction <mask^n> (reference ``wfactor``,
+    ``maps.py:936``). With ``sht_norm`` the ratio is to the full-sky 4pi
+    (SHT convention); otherwise to the mask's own area (FFT convention)."""
+    mask = jnp.asarray(mask)
+    if rings is None:
+        return jnp.mean(mask ** n)
+    pmap = pixsize_map(rings)
+    tot = jnp.sum(mask ** n * pmap)
+    return tot / (4 * np.pi) if sht_norm else tot / jnp.sum(pmap)
+
+
+def masked_cls(alm, w2):
+    """Mask-debiased pseudo-Cl (reference ``maps.py:1009``)."""
+    return almops.alm2cl(alm) / w2
+
+
+# ---------------------------------------------------------------------------
+# Stitched noise (reference maps.py:967-1025)
+# ---------------------------------------------------------------------------
+
+def cosine_taper_ells(ls, lstart, lwidth):
+    ls = jnp.asarray(ls, jnp.float64)
+    fl = jnp.ones_like(ls)
+    ramp = 1 - 0.5 * (1 - jnp.cos(-np.pi * (ls - lstart) / lwidth))
+    fl = jnp.where(ls > lstart, ramp, fl)
+    return jnp.where(ls > lstart + lwidth, 0.0, fl)
+
+
+def cosine_stitch(alm1, map2, rings: RingGeom, lstitch, lcosine, mlmax):
+    """Stitch a band-limited alm with a real-space map: alm1 tapers off
+    above ``lstitch``; map2's large scales below are removed in quadrature
+    (reference ``cosine_stitch``, ``maps.py:967``)."""
+    ls = np.arange(mlmax + 1)
+    fl1 = cosine_taper_ells(ls, lstitch, lcosine)
+    fl2 = jnp.sqrt(jnp.clip(1.0 - fl1 ** 2, 0.0, None))
+    alm1 = jnp.asarray(almops.change_alm_lmax(np.asarray(alm1), mlmax))
+    a2 = sht.map2alm(jnp.asarray(map2), rings, mlmax)
+    omap2 = jnp.asarray(map2) - sht.alm2map(
+        almops.almxfl(a2, 1.0 - fl2), rings, mlmax)
+    return sht.alm2map(almops.almxfl(alm1, fl1), rings, mlmax) + omap2
+
+
+def white_noise(key, rings: RingGeom, rms_uk_arcmin, dtype=jnp.float64):
+    """White-noise map with the given level in uK-arcmin on a ring grid
+    (per-pixel sigma = Delta / sqrt(Omega_pix))."""
+    rms = rms_uk_arcmin * np.pi / (180.0 * 60.0)
+    sig = rms / jnp.sqrt(pixsize_map(rings))
+    return jax.random.normal(key, rings.shape, dtype) * sig
+
+
+def stitched_noise(key, rings: RingGeom, alm, mask, rms_uk_arcmin=None,
+                   lstitch=None, lcosine=80, mlmax=None, alpha=-4,
+                   flmin=700):
+    """Stitch homogeneous white noise onto a band-limited noise sim
+    (reference ``stitched_noise``, ``maps.py:975``). If the white level
+    is not given it is fit from the red+white model of the input alm's
+    masked spectrum, exactly as the reference does."""
+    alm = np.asarray(alm)
+    almax = almops.getlmax(alm.shape[-1])
+    if mlmax is None:
+        mlmax = min(almax + 800, 2 * almax)
+    if lstitch is None:
+        lstitch = almax - max(2 * lcosine, 100)
+    mask = jnp.asarray(mask)
+    bmask = mask > 0.5
+    if rms_uk_arcmin is None:
+        from scipy.optimize import curve_fit
+        from .noise import rednoise
+        w2 = float(wfactor(2, mask, rings))
+        wcls = np.asarray(masked_cls(jnp.asarray(alm), w2))
+        ls = np.arange(wcls.size)
+        sel = ls > flmin
+        rfunc = lambda l, rms, lknee: np.asarray(
+            rednoise(l, rms, lknee=lknee, alpha=alpha))
+        popt, _ = curve_fit(rfunc, ls[sel], wcls[sel], p0=[1e-3, 1000])
+        rms = popt[0]
+    else:
+        rms = rms_uk_arcmin
+    wmap = white_noise(key, rings, rms) * bmask
+    omap = cosine_stitch(alm, wmap, rings, lstitch, lcosine, mlmax)
+    return omap * bmask
+
+
+def kspace_coadd_alms(alms, lbeams, nls, fkbeam=1.0):
+    """Inverse-noise coadd in alm space (reference ``kspace_coadd_alms``,
+    ``maps.py:1121``): weight_i = b_i f / N_i / sum_j b_j^2 / N_j."""
+    lbeams = jnp.asarray(lbeams)
+    nls = jnp.asarray(nls)
+    denom = jnp.sum(lbeams ** 2 / nls, axis=0)
+    weight = lbeams * fkbeam / nls / denom
+    weight = jnp.nan_to_num(weight, nan=0.0, posinf=0.0, neginf=0.0)
+    out = 0.0
+    for i in range(len(alms)):
+        out = out + almops.almxfl(alms[i], weight[i])
+    return out
+
+
+def modulated_noise_map(key, ivar, rings: RingGeom, lknee=None, alpha=None,
+                        lmax=None, n_ell_standard=None):
+    """Inhomogeneous 1/f-modulated noise sim (reference
+    ``modulated_noise_map``, ``maps.py:1155``): a unit-spectrum GRF with
+    the whitened N_ell, modulated by the per-pixel rms from ivar."""
+    from .noise import atm_factor
+    ivar = jnp.asarray(ivar)
+    rms = jnp.where(ivar > 0, 1.0 / jnp.sqrt(jnp.maximum(ivar, 1e-30)), 0.0)
+    if n_ell_standard is None and lknee is None:
+        return jax.random.normal(key, rings.shape, rms.dtype) * rms
+    if n_ell_standard is None:
+        ells = np.arange(lmax + 1)
+        n_ell_standard = np.nan_to_num(
+            np.asarray(atm_factor(ells, lknee, alpha))) + 1.0
+    smap = rand_map(key, rings, jnp.asarray(n_ell_standard),
+                    lmax=len(np.asarray(n_ell_standard)) - 1)
+    return rms * smap
+
+
+# ---------------------------------------------------------------------------
+# Coordinate rotation (real pointing math; replaces the flat-only
+# round-1 MapRotator/galactic_mask)
+# ---------------------------------------------------------------------------
+
+# J2000 equatorial -> galactic rotation (IAU standard values);
+# rows are the galactic basis vectors in equatorial coordinates.
+_R_GAL = np.array([
+    [-0.0548755604, -0.8734370902, -0.4838350155],
+    [+0.4941094279, -0.4448296300, +0.7469822445],
+    [-0.8676661490, -0.1980763734, +0.4559837762]])
+
+
+def gal2equ_rotation(inverse=False):
+    """3x3 rotation matrix taking equatorial unit vectors to galactic
+    (or back with ``inverse``)."""
+    return _R_GAL.T if inverse else _R_GAL
+
+
+def _ang2vec(dec, ra):
+    cd = jnp.cos(dec)
+    return jnp.stack([cd * jnp.cos(ra), cd * jnp.sin(ra), jnp.sin(dec)], -1)
+
+
+def _vec2ang(v):
+    dec = jnp.arcsin(jnp.clip(v[..., 2], -1.0, 1.0))
+    ra = jnp.arctan2(v[..., 1], v[..., 0])
+    return dec, ra
+
+
+def pointing_rotation(center_source, center_target):
+    """Rotation matrix mapping *target*-frame unit vectors to the
+    *source* frame (the ``coordinates.recenter`` role in reference
+    ``get_rotated_pixels``, ``maps.py:1738``): a vector at the target
+    patch center lands on the source patch center — undo the target RA,
+    rotate the dec difference about y, then apply the source RA."""
+    decs, ras = center_source
+    dect, rat = center_target
+
+    def rz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    def ry(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    return rz(ras) @ ry(dect - decs) @ rz(-rat)
+
+
+def _geom_posang(geom: Geometry, dtype=jnp.float64):
+    """Absolute (dec, ra) of every pixel of a flat patch (small-patch
+    cylindrical approximation consistent with ``Geometry``)."""
+    iy = (jnp.arange(geom.ny, dtype=dtype) - (geom.ny - 1) / 2) * geom.dy
+    ix = (jnp.arange(geom.nx, dtype=dtype) - (geom.nx - 1) / 2) * geom.dx
+    dec = geom.y0 + iy
+    return jnp.meshgrid(dec, ix, indexing="ij")
+
+
+@partial(jax.jit, static_argnames=("geom_source", "geom_target", "order"))
+def rotate_map(imap, geom_source: Geometry, geom_target: Geometry,
+               rot=None, order=1):
+    """Resample ``imap`` (on ``geom_source``) onto ``geom_target`` through
+    a real spherical rotation (reference ``rotate_map``/``MapRotator``,
+    ``maps.py:1780,1681``). ``rot`` is a 3x3 rotation matrix taking target
+    coordinates to source coordinates; by default the recentering rotation
+    between the two patch centers."""
+    from .mapstools import _bilinear_at
+    if rot is None:
+        rot = pointing_rotation((geom_source.y0, 0.0), (geom_target.y0, 0.0))
+    rot = jnp.asarray(rot, jnp.float64)
+    dec_t, ra_t = _geom_posang(geom_target)
+    v = _ang2vec(dec_t, ra_t)
+    vs = jnp.einsum("ij,...j->...i", rot, v)
+    dec_s, ra_s = _vec2ang(vs)
+    # source fractional pixel coordinates
+    ra_s = jnp.arctan2(jnp.sin(ra_s), jnp.cos(ra_s))  # wrap to (-pi, pi]
+    py = (dec_s - geom_source.y0) / geom_source.dy + (geom_source.ny - 1) / 2
+    px = ra_s / geom_source.dx + (geom_source.nx - 1) / 2
+    return _bilinear_at(jnp.asarray(imap), py, px)
+
+
+class MapRotator:
+    """Rotate maps from one patch geometry to another through the proper
+    spherical pointing transform (reference ``MapRotator``,
+    ``maps.py:1681``)."""
+
+    def __init__(self, geom_source: Geometry, geom_target: Geometry,
+                 rot=None):
+        self.geom_source = geom_source
+        self.geom_target = geom_target
+        self.rot = rot
+
+    def rotate(self, imap):
+        return rotate_map(imap, self.geom_source, self.geom_target,
+                          rot=self.rot)
+
+
+def galactic_mask(geom: Geometry, theta1, theta2, coords="equ"):
+    """Mask of the galactic colatitude strip [theta1, theta2], evaluated
+    analytically on an equatorial patch (reference ``galactic_mask``,
+    ``maps.py:1186``, which routes a healpix strip through a gal->equ
+    spline reprojection — the strip boundary is exact here instead).
+
+    Returns 1 outside the strip, 0 inside.
+    """
+    dec, ra = _geom_posang(geom)
+    v = _ang2vec(dec, ra)
+    if coords == "equ":
+        vg = jnp.einsum("ij,...j->...i", jnp.asarray(_R_GAL), v)
+    else:
+        vg = v
+    colat = jnp.arccos(jnp.clip(vg[..., 2], -1.0, 1.0))
+    inside = (colat >= min(theta1, theta2)) & (colat <= max(theta1, theta2))
+    return jnp.where(inside, 0.0, 1.0)
+
+
+def galactic_mask_rings(rings: RingGeom, theta1, theta2, coords="equ"):
+    """Same strip mask evaluated on a full-sky ring grid."""
+    theta = jnp.asarray(rings.theta_array())
+    phi = rings.phi0 + 2 * np.pi * jnp.arange(rings.nphi) / rings.nphi
+    dec = np.pi / 2 - theta
+    decg, rag = jnp.meshgrid(dec, phi, indexing="ij")
+    v = _ang2vec(decg, rag)
+    if coords == "equ":
+        vg = jnp.einsum("ij,...j->...i", jnp.asarray(_R_GAL), v)
+    else:
+        vg = v
+    colat = jnp.arccos(jnp.clip(vg[..., 2], -1.0, 1.0))
+    inside = (colat >= min(theta1, theta2)) & (colat <= max(theta1, theta2))
+    return jnp.where(inside, 0.0, 1.0)

@@ -474,7 +474,9 @@ def _bilinear_at(imap, py, px):
     x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, nx - 2)
     ty = jnp.clip(py - y0, 0.0, 1.0)
     tx = jnp.clip(px - x0, 0.0, 1.0)
-    inside = (py >= 0) & (py <= ny - 1) & (px >= 0) & (px <= nx - 1)
+    eps = 1e-5  # tolerate roundoff at the exact boundary
+    inside = (py >= -eps) & (py <= ny - 1 + eps) \
+        & (px >= -eps) & (px <= nx - 1 + eps)
 
     def at(dy, dx):
         idx = (y0 + dy) * nx + (x0 + dx)

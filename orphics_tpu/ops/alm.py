@@ -9,7 +9,7 @@ Full SHTs are out of flat-sky scope; alms here come from external data.
 """
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -39,8 +39,12 @@ def lm_indices(lmax: int):
     return ls.astype(np.int32), ms.astype(np.int32)
 
 
+@jax.jit
 def almxfl(alm, fl):
-    """Multiply alm by a per-ell function (healpy ``almxfl``)."""
+    """Multiply alm by a per-ell function (healpy ``almxfl``).
+
+    Jitted at definition: eager complex arithmetic is unimplemented on the
+    axon TPU backend."""
     alm = jnp.asarray(alm)
     lmax = getlmax(alm.shape[-1])
     ls, _ = lm_indices(lmax)
@@ -49,8 +53,12 @@ def almxfl(alm, fl):
     return alm * fl[jnp.asarray(ls)]
 
 
+@jax.jit
 def alm2cl(alm1, alm2=None):
-    """Cross power spectrum of two alm arrays (healpy ``alm2cl``)."""
+    """Cross power spectrum of two alm arrays (healpy ``alm2cl``).
+
+    Jitted at definition: eager complex arithmetic is unimplemented on the
+    axon TPU backend."""
     alm1 = jnp.asarray(alm1)
     alm2 = alm1 if alm2 is None else jnp.asarray(alm2)
     lmax = getlmax(alm1.shape[-1])
@@ -76,6 +84,7 @@ def change_alm_lmax(alm, lmax_new: int):
     return out
 
 
+@partial(jax.jit, static_argnames=("lmax", "dtype"))
 def synalm(key, cl, lmax: int = None, dtype=jnp.complex64):
     """Gaussian alm realization of a spectrum (healpy ``synalm``).
 
