@@ -2,7 +2,9 @@
 from .models.cosmology import (defaultConstants, defaultCosmology, Cosmology,
                                LimberCosmology, LensForecast, s8_from_as,
                                As_from_s8, get_limber_clkk_flat_universe,
-                               get_lensed_cls, noise_pad_infinity)
+                               get_lensed_cls, get_lensed_cls_exact,
+                               noise_pad_infinity)
+from .models.lensed_cls import lensed_cls, lensed_correlations
 from .models.theory import (TheorySpectra, default_theory, planck_theory,
                             load_theory_from_camb)
 from .models.noise import (noise_func, atm_factor, get_atmosphere)

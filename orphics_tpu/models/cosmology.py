@@ -628,6 +628,44 @@ def noise_pad_infinity(nl_func, ellmin, ellmax):
     return f
 
 
+def get_lensed_cls_exact(ells, ucltt, clkk, lmax=None, lmax_out=None,
+                         ucl_ee=None, ucl_bb=None, ucl_te=None):
+    """Lensed spectra from unlensed spectra and a (possibly modified)
+    C_L^kk, via the curved-sky correlation-function method
+    (:mod:`orphics_tpu.models.lensed_cls`) — the exact replacement for
+    the reference's ``camb.correlations.lensed_cls`` call at
+    ``cosmology.py:1206`` (<0.15% vs CAMB for 30 < l < 3000).
+
+    Returns ``(ells_out, lensed_tt)`` when only TT is given, else
+    ``(ells_out, dict)`` with 'TT','EE','BB','TE'.
+    """
+    from .lensed_cls import lensed_cls as _lcls
+    ells = np.asarray(ells, dtype=np.float64)
+    if lmax is None:
+        lmax = int(ells.max())
+    lmax_out = lmax_out or lmax
+    grid = np.arange(lmax + 1, dtype=np.float64)
+
+    def regrid(c):
+        if c is None:
+            return np.zeros(lmax + 1)
+        return np.interp(grid, ells, np.asarray(c, np.float64),
+                         left=0, right=0)
+
+    tt = regrid(ucltt)
+    ee = regrid(ucl_ee)
+    bb = regrid(ucl_bb)
+    te = regrid(ucl_te)
+    clkk_g = regrid(clkk)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pp = np.nan_to_num(4.0 * clkk_g / (grid * (grid + 1.0)) ** 2)
+    out = _lcls(tt, ee, bb, te, pp, lmax=lmax, lmax_out=lmax_out)
+    ells_out = np.arange(lmax_out + 1, dtype=np.float64)
+    if ucl_ee is None and ucl_te is None:
+        return ells_out, out["TT"]
+    return ells_out, out
+
+
 def get_lensed_cls(ells, ucltt, clkk, lmax=None, npix=2048,
                    px_res_arcmin=1.0, nterms=14):
     """Lensed TT spectrum from an unlensed spectrum and a (possibly

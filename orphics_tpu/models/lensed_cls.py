@@ -41,11 +41,15 @@ from ..ops import sht as _sht
 __all__ = ["lensed_cls", "lensed_correlations"]
 
 
-def _dl_scan_pairs(pairs, lmax, beta, accum):
+def _dl_scan_pairs(pairs, lmax, beta, accum=None, block_accum=None,
+                   block=64):
     """Iterate the normalized Wigner recurrence over l for a set of
-    (m, n) pairs simultaneously; call ``accum(l, lam)`` per l with
-    ``lam`` of shape (npairs, nbeta) holding
-    sqrt((2l+1)/4pi) d^l_{mn}(beta).
+    (m, n) pairs simultaneously.
+
+    Either call ``accum(l, lam)`` per l with ``lam`` (npairs, nbeta)
+    holding sqrt((2l+1)/4pi) d^l_{mn}(beta), or — much faster —
+    ``block_accum(l0, lam_block)`` per block of ``block`` l values with
+    ``lam_block`` of shape (npairs, nl_block, nbeta).
 
     numpy implementation of the same recurrence as
     ``ops/sht._lambda_scan`` (host float64: no underflow handling needed
@@ -70,6 +74,10 @@ def _dl_scan_pairs(pairs, lmax, beta, accum):
         l0s[i] = l0[0]
     lam_p = np.zeros((npairs, nb))
     lam_c = np.zeros((npairs, nb))
+    if block_accum is not None:
+        buf = np.empty((npairs, block, nb))
+    bstart = 0
+    bcount = 0
     for l in range(lmax + 1):
         lam_n = (A[:, l, None] * x[None, :] + B[:, l, None]) * lam_c \
             + C[:, l, None] * lam_p
@@ -81,7 +89,17 @@ def _dl_scan_pairs(pairs, lmax, beta, accum):
         else:
             lam_p = lam_c
         lam_c = lam_n
-        accum(l, lam_c)
+        if block_accum is not None:
+            buf[:, bcount] = lam_c
+            bcount += 1
+            if bcount == block:
+                block_accum(bstart, buf)
+                bstart += block
+                bcount = 0
+        else:
+            accum(l, lam_c)
+    if block_accum is not None and bcount:
+        block_accum(bstart, buf[:, :bcount])
     return None
 
 
@@ -97,9 +115,13 @@ def _series_pairs():
     (base index, shift n) -> pair index."""
     pairs = [(1, 1), (1, -1)]          # for Cgl, Cgl2
     index = {(1, 1): 0, (1, -1): 1}
-    terms = []                          # (ibase, shift, ipair)
+    terms = []                          # (ibase, shift, ipair, weight)
     for ib, (a, b) in enumerate(_BASES):
-        fold = not (ib == 3)            # TE base is not symmetric under n->-n
+        # the n -> -n companion d_{a-n,b+n} equals d_{a+n,b-n} only when
+        # a == b (e.g. for xi_- the n=+1 and n=-1 terms are the distinct
+        # d_{3,-3} and d_{1,-1}), in which case the two are folded into
+        # one term of weight 2
+        fold = (a == b)
         shifts = range(0, _NMAX + 1) if fold else range(-_NMAX, _NMAX + 1)
         for n in shifts:
             m1, m2 = a + n, b - n
@@ -111,7 +133,8 @@ def _series_pairs():
             if key not in index:
                 index[key] = len(pairs)
                 pairs.append(key)
-            terms.append((ib, n, index[key]))
+            weight = 2.0 if (fold and n > 0) else 1.0
+            terms.append((ib, n, index[key], weight))
     return pairs, terms
 
 
@@ -124,7 +147,8 @@ def lensed_correlations(cl_tt, cl_ee, cl_bb, cl_te, cl_pp, lmax=None,
     """
     lmax = lmax or (len(cl_tt) - 1)
     nb = int(sampling_factor * lmax) + 1
-    xgl, wgl = np.polynomial.legendre.leggauss(nb)
+    from scipy.special import roots_legendre
+    xgl, wgl = roots_legendre(nb)
     beta = np.arccos(xgl[::-1])
     w = wgl[::-1]
 
@@ -143,11 +167,12 @@ def lensed_correlations(cl_tt, cl_ee, cl_bb, cl_te, cl_pp, lmax=None,
     cgl = np.zeros(nb)
     cgl2 = np.zeros(nb)
 
-    def acc_defl(l, lam):
-        cgl[:] += cgl_coef[l] * lam[0]
-        cgl2[:] += cgl_coef[l] * lam[1]
+    def acc_defl(l0, lam):
+        nl = lam.shape[1]
+        cgl[:] += cgl_coef[l0: l0 + nl] @ lam[0]
+        cgl2[:] += cgl_coef[l0: l0 + nl] @ lam[1]
 
-    _dl_scan_pairs(pairs[:2], lmax, beta, acc_defl)
+    _dl_scan_pairs(pairs[:2], lmax, beta, block_accum=acc_defl)
     sigma0 = np.sum(((2 * ll + 1) / (4 * np.pi)) * llp1 * cl_pp)  # Cgl(0)
     sigma2 = sigma0 - cgl
 
@@ -171,25 +196,29 @@ def lensed_correlations(cl_tt, cl_ee, cl_bb, cl_te, cl_pp, lmax=None,
             return z * z / 8.0
         return np.zeros_like(z)
 
-    def acc_lensed(l, lam):
-        lp = llp1[l]
-        z = lp * cgl2 / 2.0
+    def acc_lensed(l0, lam):
+        nl = lam.shape[1]
+        sl = slice(l0, l0 + nl)
+        lp = llp1[sl][:, None]                       # (nl, 1)
+        z = lp * cgl2[None, :] / 2.0                 # (nl, nb)
+        base_damp = np.exp(-lp * sigma2[None, :] / 2.0)
         for ib in range(4):
-            cl_l = cls_base[ib][l]
-            if cl_l == 0.0:
+            coefs = cls_base[ib][sl] * lam_norm[sl]  # (nl,)
+            if not np.any(coefs):
                 continue
-            damp = np.exp(-(lp - spin_corr[ib]) * sigma2 / 2.0)
-            series = np.zeros(nb)
-            for (jb, n, ip) in terms:
+            if spin_corr[ib]:
+                damp = base_damp * np.exp(
+                    spin_corr[ib] * sigma2[None, :] / 2.0)
+            else:
+                damp = base_damp
+            series = np.zeros((nl, nb))
+            for (jb, n, ip, weight) in terms:
                 if jb != ib:
                     continue
-                coef = bessel_coef(n, z)
-                if jb != 3 and n > 0:
-                    coef = 2.0 * coef
-                series += coef * lam[ip]
-            xi[ib] += cl_l * lam_norm[l] * damp * series
+                series += weight * bessel_coef(n, z) * lam[ip]
+            xi[ib] += coefs @ (damp * series)
 
-    _dl_scan_pairs(pairs, lmax, beta, acc_lensed)
+    _dl_scan_pairs(pairs, lmax, beta, block_accum=acc_lensed)
     return beta, w, xi
 
 
@@ -215,16 +244,16 @@ def lensed_cls(cl_tt, cl_ee, cl_bb, cl_te, cl_pp, lmax=None,
     out = {k: np.zeros(lmax_out + 1) for k in ("TT", "pp_sum", "mm_sum",
                                                "TE")}
 
-    def acc_proj(l, lam):
-        if l > lmax_out:
-            return
-        f = 2 * np.pi / lam_norm[l] if lam_norm[l] > 0 else 0.0
-        out["TT"][l] = f * np.dot(wxi[0], lam[0])
-        out["pp_sum"][l] = f * np.dot(wxi[1], lam[1])
-        out["mm_sum"][l] = f * np.dot(wxi[2], lam[2])
-        out["TE"][l] = f * np.dot(wxi[3], lam[3])
+    def acc_proj(l0, lam):
+        nl = lam.shape[1]
+        sl = slice(l0, l0 + nl)
+        f = 2 * np.pi / lam_norm[sl]
+        out["TT"][sl] = f * (lam[0] @ wxi[0])
+        out["pp_sum"][sl] = f * (lam[1] @ wxi[1])
+        out["mm_sum"][sl] = f * (lam[2] @ wxi[2])
+        out["TE"][sl] = f * (lam[3] @ wxi[3])
 
-    _dl_scan_pairs(_BASES, lmax_out, beta, acc_proj)
+    _dl_scan_pairs(_BASES, lmax_out, beta, block_accum=acc_proj)
     ee = 0.5 * (out["pp_sum"] + out["mm_sum"])
     bb = 0.5 * (out["pp_sum"] - out["mm_sum"])
     return {"TT": out["TT"], "EE": ee, "BB": bb, "TE": out["TE"]}

@@ -118,7 +118,11 @@ def gauss_legendre_rings(lmax: int, nphi: int = None, phi0: float = 0.0):
     """Gauss-Legendre ring grid: exact analysis quadrature for band limit
     ``lmax`` with the minimal ``lmax + 1`` rings."""
     ntheta = lmax + 1
-    x, w = np.polynomial.legendre.leggauss(ntheta)
+    try:
+        from scipy.special import roots_legendre
+        x, w = roots_legendre(ntheta)
+    except ImportError:
+        x, w = np.polynomial.legendre.leggauss(ntheta)
     # x ascending in cos(theta) => theta descending; reorder north->south.
     theta = np.arccos(x)[::-1]
     w = w[::-1]
