@@ -52,6 +52,8 @@ from ..ops.binning import Bin2D
 __all__ = ["QE", "NlGenerator", "lensing_noise_2d"]
 
 ESTIMATORS = ("TT", "TE", "EE", "EB", "TB")
+LEG_FIELDS = {"TT": ("T", "T"), "TE": ("T", "E"), "EE": ("E", "E"),
+              "EB": ("E", "B"), "TB": ("T", "B")}
 
 
 def _ifft(a):
@@ -78,9 +80,14 @@ class QE:
 
     def __init__(self, geom: Geometry, theory, ctot2d: Dict[str, jnp.ndarray],
                  xmask=None, ymask=None, kmask=None, dtype=jnp.float32,
-                 grad_cut: Optional[float] = None):
+                 grad_cut: Optional[float] = None, te_filter: str = "hu_ok",
+                 te_series_order: int = 4, field_masks=None):
         self.geom = geom
         self.dtype = dtype
+        self.te_filter = te_filter
+        self.te_series_order = int(te_series_order)
+        self.field_masks = None if field_masks is None else {
+            k: jnp.asarray(v, dtype) for k, v in field_masks.items()}
         modlmap = geom.modlmap(jnp.float64)
         ells = np.arange(theory.lpad + 1)
         self.cl2d = {}
@@ -132,280 +139,249 @@ class QE:
         return self._al_cache[est]
 
     def N_L_kk(self, est: str):
-        """2D N_L^0 for kappa: (L^4/4) A_L."""
-        L = self.modlmap
-        return (L ** 4 / 4.0) * self.A_L(est) * _safe_mask(self.kmask)
+        """2D Gaussian reconstruction noise N_L^0 for kappa.
 
-    def _fF_integral(self, est):
-        """integral d^2 l1/(2pi)^2 f(l1,l2) F(l1,l2) as FFT convolutions.
+        The true Gaussian disconnected noise (includes the swapped-leg
+        contraction); for exact minimum-variance filters this equals
+        (L^4/4) A_L, but it stays correct for simplified families
+        (``te_filter='hdv'``) too."""
+        return self.N_L_kk_cross(est, est)
 
-        Each estimator's f^2/(norm C1tot C2tot) is expanded into separable
-        products A(l1) B(l2); (L.l1) factors become L_i L_j times moment
-        fields l_i l_j A.
-        """
-        ly, lx = self.ly, self.lx
-        Li = (ly, lx)
+    # ------------------------------------------------------------------
+    # Separable-term algebra
+    #
+    # Every estimator coupling f and filter F is a sum of terms
+    #   (dot_leg, ang, w1, w2):  (L . l_{dot_leg}) * ang(dphi)
+    #                            * w1(l1) * w2(l2)
+    # with ang in {'1','c','s'} = {1, cos 2(phi1-phi2), sin 2(phi1-phi2)}.
+    # All integrals (normalization, auto- and cross-N0) and the
+    # reconstruction itself are generic contractions of term lists via
+    # FFT convolutions — this is what lets the full Hu-Okamoto TE filter
+    # and the estimator cross-covariances come for free.
+    # ------------------------------------------------------------------
 
-        def dot_conv(A_moments, B):
-            """sum_ij L_i L_j conv(l_i l_j A, B) given A (2D field)."""
-            out = 0.0
-            for i in range(2):
-                for j in range(2):
-                    out = out + Li[i] * Li[j] * self._conv(
-                        Li[i] * Li[j] * A_moments, B)
-            return out
-
-        def cross_conv(A, B):
-            """sum_ij L_i L_j conv(l_i A, l_j B)."""
-            out = 0.0
-            for i in range(2):
-                for j in range(2):
-                    out = out + Li[i] * Li[j] * self._conv(Li[i] * A, Li[j] * B)
-            return out
-
-        xm, ym = self.gmask, self.ymask
+    def _f_terms(self, est):
+        """Lensing response coupling f (Hu & Okamoto 2002 Table 1)."""
+        C = self.cl2d
+        one = jnp.ones((), self.dtype)
         if est == "TT":
-            C = self.cl2d["TT"]
-            ct1 = self.ctot["TT"]
-            A1 = C ** 2 / ct1 * xm
-            B1 = ym / self.ctot["TT"]
-            t13 = dot_conv(A1, B1)
-            t2 = cross_conv(C / ct1 * xm, C / self.ctot["TT"] * ym)
-            return t13 + t2
-        if est == "EE":
-            # f = [C1(L.l1)+C2(L.l2)] cos2dphi ; F = f/(2 C1tot C2tot)
-            # f F = f^2/(2 C1 C2tot); cos^2 = (cc' + ss')^2 expand
-            C = self.cl2d["EE"]
-            ct = self.ctot["EE"]
-            return self._sym_cos2_integral(C, ct, xm, ym)
-        if est == "EB":
-            # f = [C^EE1 (L.l1) - C^BB2 (L.l2)] sin2dphi; F = f/(C1tot C2tot)
-            CE, CB = self.cl2d["EE"], self.cl2d["BB"]
-            ctE, ctB = self.ctot["EE"], self.ctot["BB"]
-            return self._asym_sin2_integral(CE, CB, ctE, ctB, xm, ym)
-        if est == "TB":
-            # f = C^TE1 sin2dphi (L.l1); F = f/(C^TTtot1 C^BBtot2)
-            CTE = self.cl2d["TE"]
-            ctT, ctB = self.ctot["TT"], self.ctot["BB"]
-            A = CTE ** 2 / ctT * xm
-            B = ym / ctB
-            return self._sin2_pair_integral(A, B)
+            return [(1, "1", C["TT"], one), (2, "1", one, C["TT"])]
         if est == "TE":
-            # simplified filters: F = f / (C^TTtot1 C^EEtot2)
-            CTE = self.cl2d["TE"]
-            ctT, ctE = self.ctot["TT"], self.ctot["EE"]
-            # f^2 = C1^2 cos^2 (L.l1)^2 + 2 C1 C2 cos (L.l1)(L.l2)
-            #       + C2^2 (L.l2)^2
-            ly, lx = self.ly, self.lx
-            c, s = self.cos2phi, self.sin2phi
-            out = 0.0
-            # term1: (L.l1)^2 C1^2 cos^2(2dphi) / (ctT1) * 1/ctE2
-            A = CTE ** 2 / ctT * xm
-            B = ym / ctE
-            out = out + self._cos2sq_dot_integral(A, B)
-            # term2: 2 (L.l1)(L.l2) C1 C2 cos / (ctT1 ctE2) -> cross with cos
-            A1 = CTE / ctT * xm
-            B1 = CTE / ctE * ym
-            out = out + 2.0 * self._cos2_cross_integral(A1, B1)
-            # term3: (L.l2)^2 C2^2 / ctE2 * 1/ctT1 (no angle factor)
-            A2 = xm / ctT
-            B2 = CTE ** 2 / ctE * ym
-            out = out + self._dot_conv_swapped(A2, B2)
-            return out
+            return [(1, "c", C["TE"], one), (2, "1", one, C["TE"])]
+        if est == "TB":
+            return [(1, "s", C["TE"], one)]
+        if est == "EE":
+            return [(1, "c", C["EE"], one), (2, "c", one, C["EE"])]
+        if est == "EB":
+            return [(1, "s", C["EE"], one), (2, "s", one, -C["BB"])]
         raise ValueError(f"unknown estimator {est}")
 
-    # --- angle-factor integral helpers --------------------------------
-    def _pairs_cos2(self):
-        """cos 2(phi1-phi2) = cc' + ss' as separable (w1, w2) pairs."""
-        return [(self.cos2phi, self.cos2phi), (self.sin2phi, self.sin2phi)]
-
-    def _pairs_sin2(self):
-        """sin 2(phi1-phi2) = s c' - c s'."""
-        return [(self.sin2phi, self.cos2phi, 1.0),
-                (self.cos2phi, self.sin2phi, -1.0)]
-
-    def _dot_conv_swapped(self, A, B):
-        """sum L_i L_j conv(A, l_i l_j B) (moment on the second leg)."""
-        Li = (self.ly, self.lx)
-        out = 0.0
-        for i in range(2):
-            for j in range(2):
-                out = out + Li[i] * Li[j] * self._conv(A, Li[i] * Li[j] * B)
+    @staticmethod
+    def _swap_terms(terms):
+        """terms of F(l2, l1) given terms of F(l1, l2): swap legs;
+        sin 2(phi2-phi1) = -sin 2(phi1-phi2)."""
+        out = []
+        for (d, a, w1, w2) in terms:
+            w1n, w2n = w2, w1
+            if a == "s":
+                w1n = -w1n
+            out.append((3 - d, a, w1n, w2n))
         return out
 
-    def _cos2sq_dot_integral(self, A, B):
-        """sum (L.l1)^2 cos^2(2dphi) A(l1) B(l2): cos^2 = sum over pair
-        products of (cc'+ss')^2 = cc cc' ... expand into 4 separable
-        terms."""
-        Li = (self.ly, self.lx)
-        ws = self._pairs_cos2()
-        out = 0.0
-        for (w1a, w2a) in ws:
-            for (w1b, w2b) in ws:
-                for i in range(2):
-                    for j in range(2):
-                        out = out + Li[i] * Li[j] * self._conv(
-                            Li[i] * Li[j] * w1a * w1b * A, w2a * w2b * B)
+    @staticmethod
+    def _scale_terms(terms, s1, s2):
+        return [(d, a, w1 * s1, w2 * s2) for (d, a, w1, w2) in terms]
+
+    def _filter_terms(self, est):
+        """Estimator weights F as a term list.
+
+        Same-field (TT, EE): F = f / (2 C1tot C2tot) — the exact minimum-
+        variance filter. TB/EB: F = f/(C1tot C2tot), exact when the
+        TB/EB total cross-spectra vanish. TE: the full Hu-Okamoto
+        minimum-variance solution of the coupled (l1,l2)/(l2,l1) system,
+
+          F(l1,l2) = [Ctt(l2) Cee(l1) f(l1,l2) - Cte(l1) Cte(l2) f(l2,l1)]
+                     / [Ctt(l1)Cee(l2)Ctt(l2)Cee(l1) - (Cte(l1)Cte(l2))^2]
+
+        with 1/(1-x) expanded in the separable x = r^2(l1) r^2(l2),
+        r^2 = Cte^2/(Ctt Cee) (|x| < ~0.15, 4 orders => <1e-4), unless
+        ``te_filter='hdv'`` requests the simplified f/(Ctt1 Cee2) family.
+        Leg masks are folded into the weights.
+        """
+        est = est.upper()
+        f1, f2 = LEG_FIELDS[est]
+        if self.field_masks is not None:
+            m1 = self.field_masks[f1]
+            m2 = self.field_masks[f2]
+        else:
+            m1, m2 = self.gmask, self.ymask
+        ct1 = self.ctot[f1 + f1]
+        ct2 = self.ctot[f2 + f2]
+        if est in ("TT", "EE"):
+            norm = 2.0
+        else:
+            norm = 1.0
+        if est != "TE" or self.te_filter == "hdv":
+            return self._scale_terms(self._f_terms(est),
+                                     m1 / (norm * ct1), m2 / ct2)
+        # full Hu-Okamoto TE
+        ctt, cee, cte = self.ctot["TT"], self.ctot["EE"], self.cl2d["TE"]
+        r2 = cte ** 2 / (ctt * cee)
+        fterms = self._f_terms(est)
+        fswap = self._swap_terms(fterms)
+        out = []
+        for k in range(self.te_series_order + 1):
+            xk1 = r2 ** k
+            xk2 = r2 ** k
+            # + x^k f(l1,l2) / (Ctt1 Cee2)
+            out += self._scale_terms(fterms, xk1 * m1 / ctt, xk2 * m2 / cee)
+            # - x^k f(l2,l1) Cte1 Cte2 / (Ctt1 Cee1 Ctt2 Cee2)
+            out += self._scale_terms(
+                fswap, -xk1 * cte / (ctt * cee) * m1,
+                xk2 * cte / (ctt * cee) * m2)
         return out
 
-    def _cos2_cross_integral(self, A, B):
-        """sum (L.l1)(L.l2) cos(2dphi) A(l1) B(l2)."""
+    def _angle_pairs(self, a):
+        """Separable (u1, u2, coef) expansion of the angle factor."""
+        c, s = self.cos2phi, self.sin2phi
+        one = jnp.ones((), self.dtype)
+        if a == "1":
+            return [(one, one, 1.0)]
+        if a == "c":
+            return [(c, c, 1.0), (s, s, 1.0)]
+        if a == "s":
+            return [(s, c, 1.0), (c, s, -1.0)]
+        raise ValueError(a)
+
+    @staticmethod
+    def _is_zero(w):
+        try:
+            return bool(np.all(np.asarray(w) == 0))
+        except Exception:
+            return False
+
+    def _pair_integral(self, termsA, termsB):
+        """integral d^2 l1/(2pi)^2 [termsA](l1, L-l1) [termsB](l1, L-l1)."""
         Li = (self.ly, self.lx)
         out = 0.0
-        for (w1, w2) in self._pairs_cos2():
-            for i in range(2):
-                for j in range(2):
-                    out = out + Li[i] * Li[j] * self._conv(
-                        Li[i] * w1 * A, Li[j] * w2 * B)
+        for (dA, aA, w1A, w2A) in termsA:
+            if self._is_zero(w1A) or self._is_zero(w2A):
+                continue
+            for (dB, aB, w1B, w2B) in termsB:
+                if self._is_zero(w1B) or self._is_zero(w2B):
+                    continue
+                for (u1a, u2a, ca) in self._angle_pairs(aA):
+                    for (u1b, u2b, cb) in self._angle_pairs(aB):
+                        W1 = w1A * w1B * u1a * u1b
+                        W2 = w2A * w2B * u2a * u2b
+                        coef = ca * cb
+                        for i in range(2):
+                            for j in range(2):
+                                X1, X2 = W1, W2
+                                if dA == 1:
+                                    X1 = X1 * Li[i]
+                                else:
+                                    X2 = X2 * Li[i]
+                                if dB == 1:
+                                    X1 = X1 * Li[j]
+                                else:
+                                    X2 = X2 * Li[j]
+                                out = out + (coef * Li[i] * Li[j]) \
+                                    * self._conv(X1, X2)
         return out
 
-    def _sym_cos2_integral(self, C, ct, xm, ym):
-        """EE: integral f^2/(2 C1tot C2tot) with
-        f = [C1(L.l1)+C2(L.l2)] cos2dphi."""
-        out = 0.0
-        Li = (self.ly, self.lx)
-        ws = self._pairs_cos2()
-        # (C1 (L.l1))^2 cos^2 term and (C2 (L.l2))^2 term (equal by symmetry)
-        A = C ** 2 / ct * xm
-        B = ym / ct
-        for (w1a, w2a) in ws:
-            for (w1b, w2b) in ws:
-                for i in range(2):
-                    for j in range(2):
-                        out = out + 0.5 * Li[i] * Li[j] * self._conv(
-                            Li[i] * Li[j] * w1a * w1b * A, w2a * w2b * B)
-                        out = out + 0.5 * Li[i] * Li[j] * self._conv(
-                            w1a * w1b * xm / ct, Li[i] * Li[j] * w2a * w2b
-                            * C ** 2 / ct * ym)
-        # cross term 2 C1C2 (L.l1)(L.l2) cos^2/(2 C1 C2) -> 1x
-        A1 = C / ct * xm
-        B1 = C / ct * ym
-        for (w1a, w2a) in ws:
-            for (w1b, w2b) in ws:
-                for i in range(2):
-                    for j in range(2):
-                        out = out + Li[i] * Li[j] * self._conv(
-                            Li[i] * w1a * w1b * A1, Li[j] * w2a * w2b * B1)
-        return out
+    def _fF_integral(self, est):
+        """integral d^2 l1/(2pi)^2 f F (the inverse normalization)."""
+        return self._pair_integral(self._f_terms(est),
+                                   self._filter_terms(est))
 
-    def _asym_sin2_integral(self, CE, CB, ctE, ctB, xm, ym):
-        """EB: integral [CE1(L.l1) - CB2(L.l2)]^2 sin^2(2dphi)
-        / (CE1tot CB2tot)."""
-        Li = (self.ly, self.lx)
-        pairs = self._pairs_sin2()
-        out = 0.0
-        # expand sin^2 = sum_{a,b} sa sb with signs
-        for (w1a, w2a, sa) in pairs:
-            for (w1b, w2b, sb) in pairs:
-                sign = sa * sb
-                # CE1^2 (L.l1)^2 term
-                for i in range(2):
-                    for j in range(2):
-                        out = out + sign * Li[i] * Li[j] * self._conv(
-                            Li[i] * Li[j] * w1a * w1b * CE ** 2 / ctE * xm,
-                            w2a * w2b * ym / ctB)
-                        # CB2^2 (L.l2)^2 term
-                        out = out + sign * Li[i] * Li[j] * self._conv(
-                            w1a * w1b * xm / ctE,
-                            Li[i] * Li[j] * w2a * w2b * CB ** 2 / ctB * ym)
-                        # -2 CE1 CB2 (L.l1)(L.l2) term
-                        out = out - 2.0 * sign * Li[i] * Li[j] * self._conv(
-                            Li[i] * w1a * w1b * CE / ctE * xm,
-                            Li[j] * w2a * w2b * CB / ctB * ym)
-        return out
+    def _ctot_cross(self, fa, fb):
+        """Total cross-spectrum of two fields (noise uncorrelated between
+        T and E/B; TB and EB vanish for the fiducial)."""
+        if fa == fb:
+            return self.ctot[fa + fb]
+        pair = "".join(sorted(fa + fb))
+        if pair == "ET":
+            return self.cl2d["TE"]
+        return None  # TB, EB
 
-    def _sin2_pair_integral(self, A, B):
-        """sum (L.l1)^2 sin^2(2dphi) A(l1) B(l2)."""
-        Li = (self.ly, self.lx)
-        pairs = self._pairs_sin2()
-        out = 0.0
-        for (w1a, w2a, sa) in pairs:
-            for (w1b, w2b, sb) in pairs:
-                sign = sa * sb
-                for i in range(2):
-                    for j in range(2):
-                        out = out + sign * Li[i] * Li[j] * self._conv(
-                            Li[i] * Li[j] * w1a * w1b * A, w2a * w2b * B)
-        return out
+    def N0_phi_cross(self, estA, estB):
+        """Gaussian reconstruction-noise cross-spectrum N_L^{phi,AB}
+        between two estimators (Hu-Okamoto 2002 eq. 17 generalized):
+
+          N_AB = A_A A_B int F_A(l1,l2) [ F_B(l1,l2) Caa'(l1) Cbb'(l2)
+                                    + F_B(l2,l1) Cab'(l1) Cba'(l2) ]
+
+        For A == B with exact MV filters this reduces to A_L. Cached;
+        concrete at trace time like A_L.
+        """
+        key = ("n0", estA, estB)
+        if key not in self._al_cache:
+            with jax.ensure_compile_time_eval():
+                FA = self._filter_terms(estA)
+                FB = self._filter_terms(estB)
+                fa, fb = LEG_FIELDS[estA], LEG_FIELDS[estB]
+                total = 0.0
+                c11 = self._ctot_cross(fa[0], fb[0])
+                c22 = self._ctot_cross(fa[1], fb[1])
+                if c11 is not None and c22 is not None:
+                    total = total + self._pair_integral(
+                        FA, self._scale_terms(FB, c11, c22))
+                c12 = self._ctot_cross(fa[0], fb[1])
+                c21 = self._ctot_cross(fa[1], fb[0])
+                if c12 is not None and c21 is not None:
+                    total = total + self._pair_integral(
+                        FA, self._scale_terms(self._swap_terms(FB),
+                                              c12, c21))
+                if isinstance(total, float):
+                    n0 = jnp.zeros(self.geom.shape, self.dtype)
+                else:
+                    alA = self.A_L(estA)
+                    alB = self.A_L(estB)
+                    n0 = (alA * alB * total.real).astype(self.dtype)
+                self._al_cache[key] = n0 * _safe_mask(self.kmask)
+        return self._al_cache[key]
+
+    def N_L_kk_cross(self, estA, estB):
+        """kappa-convention cross N0: (L^2/2)^2 N^{phi,AB}."""
+        L = self.modlmap
+        return (L ** 4 / 4.0) * self.N0_phi_cross(estA, estB)
 
     # -- reconstruction --------------------------------------------------
     def unnormalized_phi(self, est, kx, ky):
-        """integral F T T as FFT products; kx, ky are *raw* fft k-maps of
+        """integral F X Y as FFT products; kx, ky are *raw* fft k-maps of
         the beam-deconvolved X and Y legs (per estimator: X in {T,E},
-        Y in {T,E,B})."""
+        Y in {T,E,B}). Generic over the filter term list.
+
+        Note on the sin sign: our queb_rotmat angle convention
+        (a = 2 atan2(-lx, ly), the enmap/healpix one) flips sin(2 dphi)
+        relative to the Hu-Okamoto phi_l = atan2(ly, lx) convention, so
+        every linear appearance of sin 2(phi1-phi2) in the reconstruction
+        carries an extra -1 (validated end-to-end by the EB Monte-Carlo
+        cross-ratio test). Quadratic appearances (the A_L / N0 integrals)
+        are insensitive.
+        """
         est = est.upper()
         X = kx * self._phys
         Y = ky * self._phys
         Li = (self.ly, self.lx)
-        if est == "TT":
-            barG = self.cl2d["TT"] * X / self.ctot["TT"] * self.gmask
-            barW = Y / self.ctot["TT"] * self.ymask
-            out = 0.0
-            for i in range(2):
-                out = out + Li[i] * self._conv(Li[i] * barG, barW)
-            return out
-        if est == "EB":
-            # Our queb_rotmat angle convention (a = 2 atan2(-lx, ly), the
-            # enmap/healpix one) flips sin(2 dphi) relative to the
-            # Hu-Okamoto phi_l = atan2(ly, lx) convention; validated by the
-            # EB Monte-Carlo cross-ratio test (sign measured end-to-end).
-            sgn = -1.0
-            CE = self.cl2d["EE"]
-            barE = CE * X / self.ctot["EE"] * self.gmask
-            barB = Y / self.ctot["BB"] * self.ymask
-            out = 0.0
-            for (w1, w2, s) in self._pairs_sin2():
+        out = 0.0
+        for (d, a, w1, w2) in self._filter_terms(est):
+            if self._is_zero(w1) or self._is_zero(w2):
+                continue
+            for (u1, u2, c) in self._angle_pairs(a):
+                if a == "s":
+                    c = -c  # convention flip, see docstring
+                A1 = u1 * w1 * X
+                A2 = u2 * w2 * Y
                 for i in range(2):
-                    out = out + sgn * s * Li[i] * self._conv(
-                        Li[i] * w1 * barE, w2 * barB)
-            # (the CB2 coupling term vanishes for CBB=0 fiducial; include it
-            # when BB is nonzero)
-            if bool(np.any(np.asarray(self.cl2d["BB"]) != 0)):
-                CB = self.cl2d["BB"]
-                barE2 = X / self.ctot["EE"] * self.gmask
-                barB2 = CB * Y / self.ctot["BB"] * self.ymask
-                for (w1, w2, s) in self._pairs_sin2():
-                    for i in range(2):
-                        out = out - sgn * s * Li[i] * self._conv(
-                            w1 * barE2, Li[i] * w2 * barB2)
-            return out
-        if est == "TB":
-            # same sin-convention flip as EB
-            CTE = self.cl2d["TE"]
-            barT = CTE * X / self.ctot["TT"] * self.gmask
-            barB = Y / self.ctot["BB"] * self.ymask
-            out = 0.0
-            for (w1, w2, s) in self._pairs_sin2():
-                for i in range(2):
-                    out = out - s * Li[i] * self._conv(Li[i] * w1 * barT, w2 * barB)
-            return out
-        if est == "EE":
-            C = self.cl2d["EE"]
-            out = 0.0
-            barG = C * X / self.ctot["EE"] * self.gmask
-            barW = Y / self.ctot["EE"] * self.ymask
-            barG2 = X / self.ctot["EE"] * self.gmask
-            barW2 = C * Y / self.ctot["EE"] * self.ymask
-            for (w1, w2) in self._pairs_cos2():
-                for i in range(2):
-                    out = out + 0.5 * Li[i] * self._conv(Li[i] * w1 * barG, w2 * barW)
-                    out = out + 0.5 * Li[i] * self._conv(
-                        w1 * barG2, Li[i] * w2 * barW2)
-            return out
-        if est == "TE":
-            CTE = self.cl2d["TE"]
-            out = 0.0
-            barT = CTE * X / self.ctot["TT"] * self.gmask   # l1 leg (T)
-            barE = Y / self.ctot["EE"] * self.ymask
-            for (w1, w2) in self._pairs_cos2():
-                for i in range(2):
-                    out = out + Li[i] * self._conv(Li[i] * w1 * barT, w2 * barE)
-            barT2 = X / self.ctot["TT"] * self.gmask
-            barE2 = CTE * Y / self.ctot["EE"] * self.ymask
-            for i in range(2):
-                out = out + Li[i] * self._conv(barT2, Li[i] * barE2)
-            return out
-        raise ValueError(est)
+                    B1, B2 = A1, A2
+                    if d == 1:
+                        B1 = B1 * Li[i]
+                    else:
+                        B2 = B2 * Li[i]
+                    out = out + (c * Li[i]) * self._conv(B1, B2)
+        return out
 
     @partial(jax.jit, static_argnames=("self", "est", "return_ft"))
     def kappa_from_map(self, est, kx, ky=None, return_ft: bool = True):
@@ -471,11 +447,13 @@ class NlGenerator:
                                 self.dtype)
         xt = F.mask_kspace(self.geom, lmin=tellmin, lmax=tellmax)
         kmask = F.mask_kspace(self.geom, lmin=kmin, lmax=kmax)
-        self._qe_t = QE(self.geom, self.theory, ctot, xmask=xt, kmask=kmask,
-                        dtype=self.dtype)
         xp = F.mask_kspace(self.geom, lmin=pellmin, lmax=pellmax)
-        self._qe_p = QE(self.geom, self.theory, ctot, xmask=xp, kmask=kmask,
-                        dtype=self.dtype)
+        # one engine with per-field multipole masks: cross-N0 between a
+        # T-leg and a P-leg estimator then carries each field's own cuts
+        qe = QE(self.geom, self.theory, ctot, kmask=kmask, dtype=self.dtype,
+                field_masks={"T": xt, "E": xp, "B": xp})
+        self._qe_t = qe
+        self._qe_p = qe
         return self
 
     updateNoise = update_noise
@@ -489,17 +467,66 @@ class NlGenerator:
 
     getNl = get_nl
 
-    def get_nl_mv(self, ests=("TT", "TE", "EE", "EB", "TB")):
-        """Naive minimum-variance combination 1/N = sum 1/N_est."""
-        invs = []
-        for est in ests:
-            qe = self._qe_t if est == "TT" else self._qe_p
-            n2d = np.asarray(qe.N_L_kk(est), dtype=np.float64)
-            invs.append(np.where(n2d > 0, 1.0 / n2d, 0.0))
-        tot = np.sum(invs, axis=0)
-        n_mv = np.where(tot > 0, 1.0 / tot, 0.0)
-        cents, n1d = self.binner.bin(jnp.asarray(n_mv))
+    def get_nl_cross(self, estA, estB):
+        """Binned cross-N0 between two estimators (kappa convention)."""
+        qe = self._qe_t if (estA == estB == "TT") else self._qe_p
+        cents, n1d = self.binner.bin(qe.N_L_kk_cross(estA.upper(),
+                                                     estB.upper()))
         return cents, np.asarray(n1d)
+
+    def get_nl_matrix(self, ests=("TT", "TE", "EE", "EB", "TB")):
+        """Binned N0 covariance matrix between estimators, shape
+        (nest, nest, nbins). Off-diagonals vanish for pairs that share
+        no total cross-spectrum (e.g. TTxEB)."""
+        ests = [e.upper() for e in ests]
+        n = len(ests)
+        qe = self._qe_p
+        cents = None
+        mat = None
+        for i in range(n):
+            for j in range(i, n):
+                cents, nij = self.binner.bin(
+                    qe.N_L_kk_cross(ests[i], ests[j]))
+                if mat is None:
+                    mat = np.zeros((n, n, len(np.asarray(cents))))
+                mat[i, j] = mat[j, i] = np.asarray(nij)
+        return np.asarray(cents), mat
+
+    def get_nl_mv(self, ests=("TT", "TE", "EE", "EB", "TB"),
+                  naive=False):
+        """Minimum-variance N_L^kk over estimators.
+
+        Full combination: N_mv(L) = 1 / sum_ij [N^-1(L)]_ij with N the
+        per-bin estimator covariance including cross-N0 terms (the
+        reference/symlens full-covariance combination; round-1's naive
+        1/N = sum 1/N_i is kept behind ``naive=True``).
+        """
+        if naive:
+            invs = []
+            for est in ests:
+                qe = self._qe_t if est == "TT" else self._qe_p
+                n2d = np.asarray(qe.N_L_kk(est), dtype=np.float64)
+                invs.append(1.0 / np.where(n2d > 0, n2d, np.inf))
+            tot = np.sum(invs, axis=0)
+            n_mv = 1.0 / np.where(tot > 0, tot, np.inf)
+            cents, n1d = self.binner.bin(jnp.asarray(n_mv))
+            return cents, np.asarray(n1d)
+        cents, mat = self.get_nl_matrix(ests)
+        nb = mat.shape[-1]
+        out = np.zeros(nb)
+        for b in range(nb):
+            N = mat[:, :, b]
+            good = np.diag(N) > 0
+            if not np.any(good):
+                continue
+            Ng = N[np.ix_(good, good)]
+            try:
+                inv = np.linalg.inv(Ng)
+            except np.linalg.LinAlgError:
+                inv = np.linalg.pinv(Ng)
+            s = inv.sum()
+            out[b] = 1.0 / s if s > 0 else 0.0
+        return cents, out
 
 
 def _safe_mask(m):

@@ -1,0 +1,122 @@
+"""Minimum-variance QE combination: cross-N0 matrix, full Hu-Okamoto TE
+filter, and the shape comparison against the shipped Planck 2018 MV
+lensing-noise curve (data/planck_2018_mv_nlkk.dat)."""
+import os
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from orphics_tpu import rect_geometry
+from orphics_tpu.models import theory, qe
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "orphics_tpu", "data")
+
+
+@pytest.fixture(scope="module")
+def nlgen():
+    geom = rect_geometry(width_arcmin=128 * 8.0, px_res_arcmin=8.0)
+    th = theory.default_theory()
+    edges = np.arange(40, 1000, 60.0)
+    g = qe.NlGenerator(geom, th, edges, dtype=jnp.float64)
+    g.update_noise(beam_arcmin=7.0, noise_t_uk_arcmin=35.0,
+                   noise_p_uk_arcmin=55.0, tellmin=100, tellmax=2048,
+                   pellmin=100, pellmax=2048, kmin=20, kmax=2100)
+    return g
+
+
+class TestCrossN0:
+    def test_symmetry(self, nlgen):
+        _, ab = nlgen.get_nl_cross("TT", "TE")
+        _, ba = nlgen.get_nl_cross("TE", "TT")
+        np.testing.assert_allclose(ab, ba, rtol=1e-8)
+
+    def test_disconnected_pairs_vanish(self, nlgen):
+        """TT x EB shares no total cross-spectrum (C^TB = C^EB = 0)."""
+        _, n = nlgen.get_nl_cross("TT", "EB")
+        assert np.max(np.abs(n)) == 0.0
+
+    def test_connected_pairs_nonzero(self, nlgen):
+        """Pairs coupled through C^TE carry nonzero cross-N0; TT-TE and
+        TE-EE are positive over the signal range (TT-EE oscillates in
+        sign, as its weights enter through (C^TE)^2 combinations)."""
+        for pair in (("TT", "TE"), ("TE", "EE"), ("EB", "TB")):
+            cents, n = nlgen.get_nl_cross(*pair)
+            sel = (cents > 60) & (cents < 600)
+            assert np.all(n[sel] > 0), pair
+        cents, n = nlgen.get_nl_cross("TT", "EE")
+        sel = (cents > 60) & (cents < 600)
+        assert np.any(n[sel] != 0)
+        # bounded by the Cauchy-Schwarz envelope of the diagonals
+        _, ntt = nlgen.get_nl("TT")
+        _, nee = nlgen.get_nl("EE")
+        assert np.all(np.abs(n[sel]) <= np.sqrt(ntt[sel] * nee[sel]))
+
+    def test_tb_uncorrelated_with_te(self, nlgen):
+        """TE x TB vanishes at Gaussian order (B uncorrelated with T,E)."""
+        _, n = nlgen.get_nl_cross("TE", "TB")
+        assert np.max(np.abs(n)) == 0.0
+
+    def test_diagonal_matches_al_for_mv_filters(self, nlgen):
+        """For exact MV filters the true N0 equals (L^4/4) A_L."""
+        q = nlgen._qe_t
+        n0 = np.asarray(q.N_L_kk("TT"))
+        al = np.asarray((q.modlmap ** 4 / 4.0) * q.A_L("TT") * q.kmask)
+        sel = al > 0
+        np.testing.assert_allclose(n0[sel], al[sel], rtol=1e-6)
+
+    def test_te_huok_beats_hdv(self):
+        """The full Hu-Okamoto TE filter has lower (or equal) N0 than the
+        simplified f/(Ctt1 Cee2) family."""
+        geom = rect_geometry(width_arcmin=128 * 8.0, px_res_arcmin=8.0)
+        th = theory.default_theory()
+        from orphics_tpu.ops import fourier as F
+        ctot = qe.lensing_noise_2d(geom, th, 7.0, 35.0, 55.0,
+                                   dtype=jnp.float64)
+        masks = dict(xmask=F.mask_kspace(geom, lmin=100, lmax=2048),
+                     kmask=F.mask_kspace(geom, lmin=20, lmax=2100))
+        q_ho = qe.QE(geom, th, ctot, te_filter="hu_ok", dtype=jnp.float64,
+                     **masks)
+        q_sf = qe.QE(geom, th, ctot, te_filter="hdv", dtype=jnp.float64,
+                     **masks)
+        n_ho = np.asarray(q_ho.N_L_kk("TE"))
+        n_sf = np.asarray(q_sf.N_L_kk("TE"))
+        sel = (np.asarray(q_ho.modlmap) > 60) \
+            & (np.asarray(q_ho.modlmap) < 800) & (n_sf > 0)
+        assert np.all(n_ho[sel] <= n_sf[sel] * 1.001)
+        # and it is a genuine improvement somewhere
+        assert np.median(n_ho[sel] / n_sf[sel]) < 0.999
+
+
+class TestMV:
+    def test_mv_below_each_estimator(self, nlgen):
+        cents, mv = nlgen.get_nl_mv()
+        sel = (cents > 60) & (cents < 800)
+        for est in qe.ESTIMATORS:
+            _, n = nlgen.get_nl(est)
+            assert np.all(mv[sel] <= n[sel] * 1.001), est
+
+    def test_full_mv_above_naive(self, nlgen):
+        """Ignoring the positive cross-covariances under-counts noise, so
+        the full combination must lie above the naive 1/sum(1/N)."""
+        cents, mv = nlgen.get_nl_mv()
+        _, naive = nlgen.get_nl_mv(naive=True)
+        sel = (cents > 60) & (cents < 800)
+        assert np.all(mv[sel] >= naive[sel] * 0.999)
+        assert np.median(mv[sel] / naive[sel]) > 1.005
+
+    def test_vs_planck_2018_curve(self, nlgen):
+        """Shape/amplitude envelope against the shipped Planck 2018 MV
+        N_L^kk (the released curve includes inhomogeneous noise, masking
+        and realization corrections an idealized isotropic flat-sky
+        calculation cannot reproduce exactly; agreement is expected at
+        the tens-of-percent level with the right shape)."""
+        planck = np.loadtxt(os.path.join(DATA, "planck_2018_mv_nlkk.dat"))
+        cents, mv = nlgen.get_nl_mv()
+        pl = np.interp(cents, planck[:, 0], planck[:, 1])
+        sel = (cents > 100) & (cents < 950)
+        ratio = mv[sel] / pl[sel]
+        assert np.all(ratio > 0.5) and np.all(ratio < 1.5), ratio
+        # shape: both rise by a similar factor over the range
+        rise_ours = mv[sel][-1] / mv[sel][0]
+        rise_planck = pl[sel][-1] / pl[sel][0]
+        assert abs(np.log(rise_ours / rise_planck)) < np.log(2.0)
