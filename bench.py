@@ -1,14 +1,25 @@
-"""Headline benchmark: GRF-synthesize -> FFT -> binned-Cl pipelines/sec.
+"""Benchmarks for the five BASELINE.md configs.
 
-BASELINE.json north star: >= 1000 pipelines/sec at 2048^2 fp32 on one
-TPU v5e chip. The pipeline per sim (reference call stack SURVEY §3.1):
+Headline (config 1, printed first): GRF-synthesize -> FFT -> binned-Cl
+pipelines/sec. BASELINE.json north star: >= 1000 pipelines/sec at 2048^2
+fp32 on one TPU v5e chip. The pipeline per sim (reference call stack
+SURVEY §3.1):
   1. draw complex white noise on the Fourier plane,
   2. multiply by the precomputed covsqrt (lensed TT theory),
   3. unitary inverse FFT -> real CMB map          [the map materializes],
   4. raw forward FFT -> |.|^2 * area/npix^2       [FourierCalc.f2power],
   5. radial bin into 1D bandpowers                 [stats.bin2D].
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also measured (BASELINE.json configs 2-5, one JSON line each):
+  2. masked cross-spectra with Knox errors @ 2048^2
+  3. TT quadratic-estimator kappa reconstruction @ 512^2, SO-like noise
+  4. 6-band tSZ-deprojected harmonic ILC coadds @ 512^2
+  5. cluster stacking: batched inpaint + profile + NFW mass fit over
+     10^4 cutouts
+
+Each config prints one JSON line {"metric","value","unit","vs_baseline"};
+the headline line comes first. Select with BENCH_CONFIGS="1,2,..."
+(default all).
 """
 import json
 import os
@@ -18,7 +29,12 @@ import time
 import numpy as np
 
 
-def main():
+def _sync_scalar(x):
+    """Force execution on axon (block_until_ready is a no-op there)."""
+    return float(np.asarray(x).ravel()[0])
+
+
+def bench_headline():
     import jax
     import jax.numpy as jnp
 
@@ -180,6 +196,275 @@ def main():
         "unit": "pipelines/s",
         "vs_baseline": round(rate / 1000.0, 4),
     }))
+
+
+def bench_masked_cross():
+    """Config 2: apodized-window cross-spectra with Knox errors @ 2048^2
+    (FourierCalc.f2power + bin2D pattern, reference maps.py:1594)."""
+    import jax
+    import jax.numpy as jnp
+    from orphics_tpu import rect_geometry
+    from orphics_tpu.models import theory, grf
+    from orphics_tpu.models.fastcl import FastCl
+    from orphics_tpu.ops.windows import get_taper
+
+    n = int(os.environ.get("BENCH2_N", 2048))
+    batch = int(os.environ.get("BENCH2_BATCH", 32))
+    px = 0.5
+    geom = rect_geometry(width_arcmin=n * px, px_res_arcmin=px)
+    th = theory.default_theory()
+    ells = np.arange(th.lpad + 1)
+    cltt = np.asarray(th.lCl("TT", ells))
+    edges = np.arange(80, 8000, 80.0)
+    fc = FastCl(geom, ells, cltt, bin_edges=edges)
+    taper, w2 = get_taper(geom, taper_percent=12.0)
+    taper = jnp.asarray(taper, jnp.float32)
+    w2 = jnp.float32(w2)
+    fsky = float(geom.area / (4 * np.pi))
+    cents = np.asarray(fc.centers)
+    dl = float(edges[1] - edges[0])
+    knox_fac = jnp.asarray(
+        np.sqrt(2.0 / np.maximum((2 * cents + 1) * dl * fsky, 1e-30)),
+        jnp.float32)
+
+    @jax.jit
+    def step(seed):
+        # fresh correlated sims -> mask -> packed-FFT cross spectra ->
+        # debias by w2 -> Gaussian Knox errors
+        from orphics_tpu.ops import pallas_fft as pf
+        npairs = batch // 2
+        m1, m2 = pf.ifft2pp_noise(fc._covsqrt_pp, seed, npairs)
+        bs = fc.cross_bandpowers(m1 * taper, m2 * taper) / w2
+        errs = bs * knox_fac
+        return bs, errs
+
+    out = step(0)
+    _sync_scalar(out[0])
+    nrep = int(os.environ.get("BENCH2_REPS", 10))
+    t0 = time.perf_counter()
+    for i in range(nrep):
+        out = step(i + 1)
+    _sync_scalar(out[0])
+    dt = time.perf_counter() - t0
+    rate = nrep * (batch // 2) / dt
+    print(json.dumps({
+        "metric": f"masked_cross_spectra_per_sec_{n}x{n}_fp32",
+        "value": round(rate, 2), "unit": "cross-spectra/s",
+        "vs_baseline": round(rate, 2)}))
+
+
+def bench_qe_recon():
+    """Config 3: TT QE kappa reconstruction rate @ 512^2 with SO-like
+    noise, N_L^0-debiased binned auto spectrum included (the
+    Lensing-noise-curves pattern)."""
+    import jax
+    import jax.numpy as jnp
+    from orphics_tpu import rect_geometry
+    from orphics_tpu.models import theory, qe, grf
+    from orphics_tpu.ops import fourier as F
+    from orphics_tpu.ops.binning import Bin2D
+
+    n = int(os.environ.get("BENCH3_N", 512))
+    batch = int(os.environ.get("BENCH3_BATCH", 32))
+    px = 2.0
+    geom = rect_geometry(width_arcmin=n * px, px_res_arcmin=px)
+    th = theory.default_theory()
+    beam, noise = 1.4, 6.0  # SO-like LAT
+    ctot = qe.lensing_noise_2d(geom, th, beam, noise)
+    lmax_grid = geom.ellmax_safe()
+    q = qe.QE(geom, th, ctot,
+              xmask=F.mask_kspace(geom, lmin=100, lmax=min(3000, lmax_grid)),
+              kmask=F.mask_kspace(geom, lmin=40,
+                                  lmax=min(3000, lmax_grid * 0.8)))
+    n0 = q.N_L_kk("TT")
+    edges = np.arange(40, 2000, 80.0)
+    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    ells = np.arange(th.lpad + 1)
+    mgen = grf.MapGen(geom, np.asarray(th.lCl("TT", ells))[None, None])
+    norm = jnp.float32(geom.area / geom.npix ** 2)
+
+    @jax.jit
+    def step(key):
+        keys = jax.random.split(key, batch)
+        obs = jax.vmap(mgen.get_map)(keys)          # stand-in observed maps
+        kobs = jnp.fft.fft2(obs)
+        fk = jax.vmap(lambda k: q.kappa_from_map("TT", k))(kobs)
+        p2d = (fk.conj() * fk).real * norm - n0[None]
+        _, p1d = binner.bin(p2d)
+        return p1d
+
+    out = step(jax.random.PRNGKey(0))
+    _sync_scalar(out)
+    nrep = int(os.environ.get("BENCH3_REPS", 10))
+    t0 = time.perf_counter()
+    for i in range(nrep):
+        out = step(jax.random.PRNGKey(i + 1))
+    _sync_scalar(out)
+    dt = time.perf_counter() - t0
+    rate = nrep * batch / dt
+    print(json.dumps({
+        "metric": f"qe_tt_recon_per_sec_{n}x{n}_fp32",
+        "value": round(rate, 2), "unit": "recons/s",
+        "vs_baseline": round(rate, 2)}))
+
+
+def bench_ilc():
+    """Config 4: 6-band tSZ-deprojected constrained ILC map coadds @
+    512^2 (harmonic-ILC pattern, reference ilc.py)."""
+    import jax
+    import jax.numpy as jnp
+    from orphics_tpu import rect_geometry
+    from orphics_tpu.models import theory, ilc, foregrounds as fg, grf
+    from orphics_tpu.ops.fourier import gauss_beam
+    from orphics_tpu.geometry import arcmin
+
+    n = int(os.environ.get("BENCH4_N", 512))
+    batch = int(os.environ.get("BENCH4_BATCH", 16))
+    geom = rect_geometry(width_arcmin=n * 2.0, px_res_arcmin=2.0)
+    freqs = np.array([39.0, 93.0, 145.0, 225.0, 280.0, 350.0])
+    beams = np.array([5.1, 2.2, 1.4, 1.0, 0.9, 0.8])
+    noises = np.array([36.0, 8.0, 10.0, 22.0, 54.0, 100.0])
+    nf = len(freqs)
+    th = theory.default_theory()
+    ellmax = int(geom.ellmax_safe())
+    ells = np.arange(2, ellmax)
+    cltt = np.asarray(th.lCl("TT", ells))
+    kbeams = [np.asarray(gauss_beam(ells, b)) for b in beams]
+    cinv1d, _ = ilc.ilc_cinv(ells, cltt, kbeams, freqs,
+                             (noises * arcmin) ** 2,
+                             components=("tsz", "cibc", "ksz"),
+                             fdict=fg.fg_dict(10.0 + 0 * freqs, freqs))
+    ml = np.asarray(geom.modlmap(jnp.float64))
+    cinv1d = np.asarray(cinv1d)                  # (nf, nf, nells)
+    cinv2d = np.zeros((nf, nf, n, n), np.float32)
+    for i in range(nf):
+        for j in range(nf):
+            cinv2d[i, j] = np.interp(ml, ells, cinv1d[i, j],
+                                     left=0, right=0)
+    cinv2d = jnp.asarray(cinv2d)
+    a_cmb = jnp.ones(nf, jnp.float32)
+    a_tsz = jnp.asarray(np.asarray(fg.g_tsz(freqs)), jnp.float32)
+    ells_full = np.arange(th.lpad + 1)
+    mgen = grf.MapGen(geom, np.asarray(th.lCl("TT", ells_full))[None, None])
+
+    @jax.jit
+    def step(key):
+        keys = jax.random.split(key, batch * nf).reshape(batch, nf, -1)
+        maps6 = jax.vmap(jax.vmap(mgen.get_map))(keys)   # (B, nf, n, n)
+        kmaps = jnp.fft.fft2(maps6)
+        coadd = jax.vmap(lambda km: ilc.cilc(km, cinv2d, a_cmb, a_tsz))(
+            kmaps)
+        omaps = jnp.fft.ifft2(coadd).real
+        return omaps.mean(axis=(-2, -1))
+
+    out = step(jax.random.PRNGKey(0))
+    _sync_scalar(out)
+    nrep = int(os.environ.get("BENCH4_REPS", 10))
+    t0 = time.perf_counter()
+    for i in range(nrep):
+        out = step(jax.random.PRNGKey(i + 1))
+    _sync_scalar(out)
+    dt = time.perf_counter() - t0
+    rate = nrep * batch / dt
+    print(json.dumps({
+        "metric": f"ilc_6band_deproj_coadds_per_sec_{n}x{n}_fp32",
+        "value": round(rate, 2), "unit": "coadds/s",
+        "vs_baseline": round(rate, 2)}))
+
+
+def bench_stack():
+    """Config 5: cluster stacking — batched max-likelihood inpainting +
+    kappa profile binning + NFW mass chi^2 over 10^4 cutouts
+    (reference examples/inpainting + lensing.fit_nfw_profile pattern)."""
+    import jax
+    import jax.numpy as jnp
+    from orphics_tpu import rect_geometry
+    from orphics_tpu.geometry import Geometry, arcmin
+    from orphics_tpu.models import theory, pixcov, nfwfit, cosmology, grf
+    from orphics_tpu.ops import fourier as F
+    from orphics_tpu.ops.binning import Bin2D
+
+    nstamp = int(os.environ.get("BENCH5_NSTAMP", 10000))
+    npix = 64
+    res = 0.5
+    gs = Geometry(npix, npix, res * arcmin, res * arcmin)
+    th = theory.default_theory()
+    beam_fn = lambda l: F.gauss_beam(l, 1.4)
+
+    # one shared hole geometry (same radius every stamp): covsqrt/meanmul
+    # precomputed once, fill is a batched matmul
+    m1, m2 = pixcov.get_geometry_regions(1, npix, res * arcmin,
+                                         5.0 * arcmin)
+    scov = pixcov.scov_from_theory(gs, th, beam_fn, ncomp=1)
+    nvar = (10.0 * arcmin) ** 2 / (gs.dy * gs.dx)  # 10 uK-arcmin white
+    pcov = jnp.asarray(scov) + nvar * jnp.eye(scov.shape[-1])
+    covsqrt, meanmul = pixcov.make_geometry(pcov, jnp.asarray(m1),
+                                            jnp.asarray(m2), ncomp=1)
+
+    # NFW mass templates on the stamp's profile bins
+    cc = cosmology.Cosmology()
+    masses = np.geomspace(5e13, 8e14, 16)
+    redges = np.arange(0.0, 10.0, 1.0) * arcmin
+    modr = np.asarray(gs.modrmap(jnp.float64))
+    pbin = Bin2D(modr, redges)
+    temps = []
+    for m in masses:
+        k2d = nfwfit.nfw_kappa(m, jnp.asarray(modr), cc)
+        _, prof = pbin.bin(k2d)
+        temps.append(np.asarray(prof))
+    temps = jnp.asarray(np.asarray(temps), jnp.float32)  # (nm, nb)
+    nb = temps.shape[-1]
+    cinv = jnp.eye(nb, dtype=jnp.float32) * 1e4
+
+    ells = np.arange(th.lpad + 1)
+    mgen = grf.MapGen(gs, np.asarray(th.lCl("TT", ells))[None, None])
+    m1j, m2j = jnp.asarray(m1), jnp.asarray(m2)
+
+    @jax.jit
+    def step(key):
+        keys = jax.random.split(key, nstamp)
+        stamps = jax.vmap(mgen.get_map)(keys)[:, None]     # (B,1,n,n)
+        B = stamps.shape[0]
+        cs = jnp.broadcast_to(covsqrt, (B,) + covsqrt.shape)
+        mm = jnp.broadcast_to(meanmul, (B,) + meanmul.shape)
+        filled = pixcov.inpaint_stamps_batched(stamps, cs, mm, m1j, m2j)
+        _, profs = pbin.bin(filled[:, 0])                  # (B, nb)
+        diff = profs[:, None, :] - temps[None, :, :]       # (B, nm, nb)
+        chi2 = jnp.einsum("bmi,ij,bmj->bm", diff, cinv, diff)
+        best = jnp.argmin(chi2, axis=1)
+        return best
+
+    out = step(jax.random.PRNGKey(0))
+    _sync_scalar(out)
+    nrep = int(os.environ.get("BENCH5_REPS", 5))
+    t0 = time.perf_counter()
+    for i in range(nrep):
+        out = step(jax.random.PRNGKey(i + 1))
+    _sync_scalar(out)
+    dt = time.perf_counter() - t0
+    rate = nrep * nstamp / dt
+    print(json.dumps({
+        "metric": f"stack_inpaint_nfwfit_stamps_per_sec_{npix}x{npix}",
+        "value": round(rate, 2), "unit": "stamps/s",
+        "vs_baseline": round(rate, 2)}))
+
+
+def main():
+    configs = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5").split(",")
+    fns = {"1": bench_headline, "2": bench_masked_cross,
+           "3": bench_qe_recon, "4": bench_ilc, "5": bench_stack}
+    for c in configs:
+        c = c.strip()
+        if not c:
+            continue
+        try:
+            fns[c]()
+        except Exception as e:  # one config must not kill the others
+            print(json.dumps({"metric": f"config{c}_error",
+                              "value": 0.0, "unit": "error",
+                              "vs_baseline": 0.0,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

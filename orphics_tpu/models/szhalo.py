@@ -1,0 +1,235 @@
+"""Native halo-model thermal-SZ power spectra.
+
+Replaces the reference's hmvec-backed ``compute_cl_yy`` /
+``compute_tsz_power`` (``orphics/foregrounds.py:123,168``) with an owned
+implementation: Tinker et al. (2008) mass function + Tinker et al.
+(2010) bias at Delta=200*mean, NFW mass-definition conversion (Duffy
+concentrations, vectorized bisection), the Battaglia et al. (2012)
+AGN-feedback GNFW pressure profile at Delta=200*critical, and a Limber
+projection — all dense vectorized quadratures over (z, M, l) grids
+(vmap-friendly; the setup is host float64 numpy like the rest of the
+theory layer).
+
+Validated against the reference's shipped Battaglia simulation template
+(``data/foregrounds/sz_template_battaglia.csv``) at the ~10% level over
+l in [300, 8000].
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["tinker_f", "tinker_bias", "duffy_c200c", "m200c_to_m200m",
+           "battaglia_yl", "HaloModelYY", "compute_cl_yy",
+           "compute_tsz_power"]
+
+# cgs constants for the pressure -> y conversion
+_SIGMA_T = 6.6524587e-25          # cm^2
+_ME_C2 = 8.1871057e-7             # erg
+_G_CGS = 6.67430e-8               # cm^3 g^-1 s^-2
+_MSUN_G = 1.98892e33              # g
+_MPC_CM = 3.0856776e24            # cm
+_RHO_CRIT0_H2 = 2.7754e11         # Msun / Mpc^3 (times h^2)
+_PTH_TO_PE = 0.5176               # (2+2X)/(3+5X), X = 0.76
+
+
+def tinker_f(sigma, z):
+    """Tinker et al. 2008 f(sigma) at Delta = 200 x mean density, with
+    their redshift evolution (capped at z=3 as in the paper)."""
+    zc = np.minimum(np.asarray(z, np.float64), 3.0)
+    A = 0.186 * (1 + zc) ** -0.14
+    a = 1.47 * (1 + zc) ** -0.06
+    # alpha = 10^{-(0.75/log10(Delta/75))^1.2} with Delta=200
+    alpha = 10 ** (-(0.75 / np.log10(200.0 / 75.0)) ** 1.2)
+    b = 2.57 * (1 + zc) ** -alpha
+    c = 1.19
+    s = np.asarray(sigma, np.float64)
+    return A * ((s / b) ** -a + 1.0) * np.exp(-c / s ** 2)
+
+
+def tinker_bias(nu):
+    """Tinker et al. 2010 halo bias at Delta = 200 x mean."""
+    y = np.log10(200.0)
+    expy = np.exp(-((4.0 / y) ** 4))
+    A = 1.0 + 0.24 * y * expy
+    a = 0.44 * y - 0.88
+    B = 0.183
+    b = 1.5
+    C = 0.019 + 0.107 * y + 0.19 * expy
+    c = 2.4
+    dc = 1.686
+    nu = np.asarray(nu, np.float64)
+    return 1.0 - A * nu ** a / (nu ** a + dc ** a) + B * nu ** b \
+        + C * nu ** c
+
+
+def duffy_c200c(m200c_msun, z, h):
+    """Duffy et al. 2008 c200c(M, z) (full-sample fit)."""
+    mpivot = 2e12 / h  # Msun
+    return 5.71 * (np.asarray(m200c_msun) / mpivot) ** -0.084 \
+        * (1 + np.asarray(z)) ** -0.47
+
+
+def _nfw_mu(x):
+    return np.log(1.0 + x) - x / (1.0 + x)
+
+
+def m200c_to_m200m(m200c, z, cc):
+    """Convert M200c -> M200m assuming an NFW profile with Duffy
+    concentration (vectorized bisection over the outer radius).
+
+    m200c: (nm,) Msun; z: scalar. Returns (m200m, r200c_phys_mpc).
+    """
+    m200c = np.asarray(m200c, np.float64)
+    h = cc.h
+    rho_c = _RHO_CRIT0_H2 * h ** 2 * cc.Ez(z) ** 2          # Msun/Mpc^3
+    rho_m = _RHO_CRIT0_H2 * h ** 2 * cc.om * (1 + z) ** 3   # physical
+    r200c = (3 * m200c / (4 * np.pi * 200.0 * rho_c)) ** (1 / 3.0)
+    c = duffy_c200c(m200c, z, h)
+    rs = r200c / c
+    rho_s = m200c / (4 * np.pi * rs ** 3 * _nfw_mu(c))
+    # solve 4 pi rho_s rs^3 mu(r/rs) = (4 pi/3) r^3 200 rho_m
+    lo = 0.5 * r200c
+    hi = 10.0 * r200c
+
+    def g(r):
+        return rho_s * rs ** 3 * _nfw_mu(r / rs) \
+            - (200.0 / 3.0) * rho_m * r ** 3
+
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        pos = g(mid) > 0
+        lo = np.where(pos, mid, lo)
+        hi = np.where(pos, hi, mid)
+    r200m = 0.5 * (lo + hi)
+    m200m = (4 * np.pi / 3.0) * 200.0 * rho_m * r200m ** 3
+    return m200m, r200c
+
+
+def battaglia_yl(ells, m200c, z, cc, xmax=6.0, nx=200):
+    """Fourier-space Compton-y profile y_l(M, z) for the Battaglia 2012
+    AGN-feedback pressure fit (Delta = 200 critical).
+
+    ells: (nl,), m200c: (nm,) Msun. Returns (nm, nl).
+    """
+    ells = np.asarray(ells, np.float64)
+    m200c = np.asarray(m200c, np.float64)
+    h = cc.h
+    rho_c = _RHO_CRIT0_H2 * h ** 2 * cc.Ez(z) ** 2          # Msun/Mpc^3
+    r200c = (3 * m200c / (4 * np.pi * 200.0 * rho_c)) ** (1 / 3.0)  # phys
+    m14 = m200c / (1e14 / 1.0)
+    # Battaglia 2012 Table 1 (AGN feedback, Delta=200c) scalings
+    P0 = 18.1 * m14 ** 0.154 * (1 + z) ** -0.758
+    xc = 0.497 * m14 ** -0.00865 * (1 + z) ** 0.731
+    beta = 4.35 * m14 ** 0.0393 * (1 + z) ** 0.415
+    gamma, alpha = -0.3, 1.0
+    # P200 = G M200 * 200 rho_c(z) f_b / (2 R200)   [cgs]
+    fb = cc.ob / cc.om
+    P200 = (_G_CGS * (m200c * _MSUN_G) * 200.0
+            * (rho_c * _MSUN_G / _MPC_CM ** 3) * fb
+            / (2.0 * r200c * _MPC_CM))                       # erg/cm^3
+    x = np.linspace(1e-4, xmax, nx)                          # r / R200c
+    xx = x[None, :] / xc[:, None]
+    pe = _PTH_TO_PE * P0[:, None] * xx ** gamma \
+        * (1.0 + xx ** alpha) ** -beta[:, None]              # (nm, nx)
+    # l_s = d_A(z)/R200 (both physical); y_l = sigT/(me c^2) * 4 pi R200
+    #       / l_s^2 * int dx x^2 P_e(x) sinc((l+1/2) x / l_s)
+    d_a = cc.comoving_radial_distance(z) / (1 + z)           # phys Mpc
+    ls = d_a / r200c                                         # (nm,)
+    q = (ells[None, None, :] + 0.5) * x[None, :, None] / ls[:, None, None]
+    sinc = np.sin(q) / q
+    integrand = (x ** 2)[None, :, None] * pe[:, :, None] * sinc
+    integral = np.trapezoid(integrand, x, axis=1)            # (nm, nl)
+    pref = (_SIGMA_T / _ME_C2) * 4 * np.pi * (r200c * _MPC_CM) \
+        / ls ** 2 * P200
+    return pref[:, None] * integral
+
+
+class HaloModelYY:
+    """Compton-y halo-model power on dense (z, M, l) grids."""
+
+    def __init__(self, cc=None, zmin=0.005, zmax=5.0, nz=40,
+                 m_min=1e11, m_max=2e15, nm=56):
+        if cc is None:
+            from .cosmology import Cosmology
+            cc = Cosmology()
+        self.cc = cc
+        self.zs = np.linspace(zmin, zmax, nz)
+        self.ms = np.geomspace(m_min, m_max, nm)   # M200c, Msun
+        self._init_mass_function()
+
+    def _sigma_grid(self, r_mpch, z):
+        """sigma(R, z) for an array of Lagrangian radii (Mpc/h)."""
+        cc = self.cc
+        k = np.logspace(-4, 1.5, 600)             # 1/Mpc
+        P = cc.P_lin(k, z)                        # Mpc^3
+        R = np.asarray(r_mpch) / cc.h             # Mpc
+        kR = k[None, :] * R[:, None]
+        W = 3 * (np.sin(kR) - kR * np.cos(kR)) / kR ** 3
+        integ = (k ** 2 * P)[None, :] * W ** 2 / (2 * np.pi ** 2)
+        return np.sqrt(np.trapezoid(integ, k, axis=1))
+
+    def _init_mass_function(self):
+        """dn/dlnM200c (comoving Mpc^-3) and bias on the (z, M) grid."""
+        cc = self.cc
+        nz, nm = len(self.zs), len(self.ms)
+        self.dndlnm = np.zeros((nz, nm))
+        self.bias = np.zeros((nz, nm))
+        self.r200c = np.zeros((nz, nm))
+        rho_m0 = _RHO_CRIT0_H2 * cc.h ** 2 * cc.om      # Msun/Mpc^3 comoving
+        for iz, z in enumerate(self.zs):
+            m200m, r200c = m200c_to_m200m(self.ms, z, cc)
+            self.r200c[iz] = r200c
+            # Lagrangian radius of M200m (comoving Mpc/h)
+            rlag = (3 * m200m / (4 * np.pi * rho_m0)) ** (1 / 3.0) * cc.h
+            sig = self._sigma_grid(rlag, z)
+            f = tinker_f(sig, z)
+            dlnsinv_dlnm = -np.gradient(np.log(sig), np.log(m200m))
+            dndlnm_200m = f * (rho_m0 / m200m) * dlnsinv_dlnm
+            # change variables to the M200c grid
+            jac = np.gradient(np.log(m200m), np.log(self.ms))
+            self.dndlnm[iz] = dndlnm_200m * jac
+            self.bias[iz] = tinker_bias(1.686 / sig)
+
+    def cl_yy(self, ells, include_2h=True):
+        """C_l^yy (dimensionless y^2)."""
+        cc = self.cc
+        ells = np.asarray(ells, np.float64)
+        zs, ms = self.zs, self.ms
+        chi = np.array([cc.comoving_radial_distance(z) for z in zs])
+        Hz = np.array([cc.hubble_parameter(z) for z in zs])   # km/s/Mpc
+        c_kms = 299792.458
+        dvdz = c_kms / Hz * chi ** 2                          # Mpc^3/sr
+        one = np.zeros((len(zs), len(ells)))
+        two = np.zeros((len(zs), len(ells)))
+        lnm = np.log(ms)
+        for iz, z in enumerate(zs):
+            yl = battaglia_yl(ells, ms, z, cc)                # (nm, nl)
+            w = self.dndlnm[iz]                               # per lnM
+            one[iz] = np.trapezoid(w[:, None] * yl ** 2, lnm, axis=0)
+            if include_2h:
+                by = np.trapezoid((w * self.bias[iz])[:, None] * yl,
+                                  lnm, axis=0)                # (nl,)
+                k = (ells + 0.5) / chi[iz]                    # 1/Mpc
+                two[iz] = by ** 2 * cc.P_lin(k, z)
+        cl1 = np.trapezoid(dvdz[:, None] * one, zs, axis=0)
+        cl2 = np.trapezoid(dvdz[:, None] * two, zs, axis=0)
+        return (cl1 + cl2) if include_2h else cl1
+
+
+def compute_cl_yy(ell, M_min=1e11, M_max=2e15, zmin=0.005, zmax=5.0,
+                  nm=56, nz=40, include_2h=True, cc=None):
+    """Thermal-SZ y-power with clusters above ``M_max`` masked
+    (reference ``compute_cl_yy``, ``foregrounds.py:123``)."""
+    hm = HaloModelYY(cc=cc, zmin=zmin, zmax=zmax, nz=nz,
+                     m_min=M_min, m_max=M_max, nm=nm)
+    return hm.cl_yy(np.asarray(ell), include_2h=include_2h)
+
+
+def compute_tsz_power(ell, nu_i_ghz, nu_j_ghz, Cyy=None, **kw):
+    """tSZ power in thermodynamic uK^2 at a frequency pair (reference
+    ``compute_tsz_power``, ``foregrounds.py:168``)."""
+    from .foregrounds import g_tsz, TCMB_uK
+    if Cyy is None:
+        Cyy = compute_cl_yy(ell, **kw)
+    return np.asarray(Cyy) * np.asarray(g_tsz(nu_i_ghz)) \
+        * np.asarray(g_tsz(nu_j_ghz)) * TCMB_uK ** 2
