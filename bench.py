@@ -349,11 +349,10 @@ def bench_ilc():
 
     @jax.jit
     def step(key):
-        keys = jax.random.split(key, batch * nf).reshape(batch, nf, -1)
-        maps6 = jax.vmap(jax.vmap(mgen.get_map))(keys)   # (B, nf, n, n)
+        keys = jax.random.split(key, batch * nf)
+        maps6 = jax.vmap(mgen.get_map)(keys).reshape(batch, nf, n, n)
         kmaps = jnp.fft.fft2(maps6)
-        coadd = jax.vmap(lambda km: ilc.cilc(km, cinv2d, a_cmb, a_tsz))(
-            kmaps)
+        coadd = ilc.cilc(jnp.moveaxis(kmaps, 1, 0), cinv2d, a_cmb, a_tsz)
         omaps = jnp.fft.ifft2(coadd).real
         return omaps.mean(axis=(-2, -1))
 

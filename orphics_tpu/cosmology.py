@@ -5,6 +5,10 @@ from .models.cosmology import (defaultConstants, defaultCosmology, Cosmology,
                                get_lensed_cls, get_lensed_cls_exact,
                                noise_pad_infinity)
 from .models.lensed_cls import lensed_cls, lensed_correlations
+from .models.shear import LimberCosmicShear, gaussian_band_covariance
+
+# the reference exposes the cobaya likelihood under this name
+GenericLimberCosmicShear = LimberCosmicShear
 from .models.theory import (TheorySpectra, default_theory, planck_theory,
                             load_theory_from_camb)
 from .models.noise import (noise_func, atm_factor, get_atmosphere)

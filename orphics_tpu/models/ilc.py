@@ -27,7 +27,15 @@ def _def_response(response, cinv):
 
 
 def ilc_map_term(kmaps, cinv, response):
-    """response^T . Cinv . kmaps (reference ``orphics/maps.py:2043``)."""
+    """response^T . Cinv . kmaps (reference ``orphics/maps.py:2043``).
+
+    Complex k-maps are contracted as separate real/imag einsums: complex
+    dot_general is unimplemented on the axon TPU backend."""
+    kmaps = jnp.asarray(kmaps)
+    if jnp.iscomplexobj(kmaps):
+        re = jnp.einsum("k,kl...,l...->...", response, cinv, kmaps.real)
+        im = jnp.einsum("k,kl...,l...->...", response, cinv, kmaps.imag)
+        return re + 1j * im
     return jnp.einsum("k,kl...,l...->...", response, cinv, kmaps)
 
 

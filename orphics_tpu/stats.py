@@ -10,6 +10,7 @@ from .utils.fitting import (fit_linear_model, fit_linear_model_pte_from_sims,
                             get_sigma2, npspace, alpha_from_confidence,
                             timeit)
 from .models.grf import eig_pow
+from .utils.plot import corner_plot
 
 # reference-compatible aliases
 bin2D = Bin2D

@@ -9,7 +9,8 @@ import os
 
 import numpy as np
 
-__all__ = ["Plotter", "plot_img", "hist", "html_gallery"]
+__all__ = ["Plotter", "plot_img", "hist", "html_gallery", "corner_plot",
+           "alpha_from_confidence"]
 
 _SCHEMES = {
     "Dell": (r"$\ell$", r"$D_{\ell}$", "linlog", lambda x: x ** 2 / 2 / np.pi),
@@ -191,6 +192,84 @@ def fisher_plot(chi2ds, xval, yval, paramlabelx, paramlabely, thk=2,
         fig.savefig(save_file, bbox_inches="tight")
     plt.close(fig)
     return fig, ax
+
+
+from .fitting import alpha_from_confidence
+
+
+def corner_plot(fishers, labels, params, fid_dict=None, latex_dict=None,
+                confidence_level=0.683, show_1d=True, colors=None,
+                save_file=None, thk=2):
+    """Triangle/corner plot from Fisher matrices (reference
+    ``orphics/stats.py:253`` ``corner_plot``).
+
+    fishers : list of (nP, nP) Fisher matrices over ``params`` (same
+        ordering); labels : one legend label per matrix; fid_dict maps
+        parameter name -> fiducial value (ellipse centers).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    params = list(params)
+    nP = len(params)
+    fid_dict = fid_dict or {}
+    latex_dict = latex_dict or {}
+    colors = colors or [f"C{i}" for i in range(len(fishers))]
+    alpha = alpha_from_confidence(confidence_level)
+    xx = np.arange(360) / 180.0 * np.pi
+    circl = np.array([np.cos(xx), np.sin(xx)])
+    covs = [np.linalg.inv(np.asarray(f)) for f in fishers]
+    size = nP if show_1d else nP - 1
+    fig, axes = plt.subplots(size, size, figsize=(2.2 * size, 2.2 * size),
+                             squeeze=False)
+    start = 0 if show_1d else 1
+    for i in range(nP):
+        for j in range(nP):
+            if j < i + start:
+                continue
+            r, c = (j, i) if show_1d else (j - 1, i)
+            ax = axes[r][c]
+            xf = fid_dict.get(params[i], 0.0)
+            yf = fid_dict.get(params[j], 0.0)
+            for cov, col, lab in zip(covs, colors, labels):
+                if i == j:
+                    sig = np.sqrt(cov[i, i])
+                    ts = np.linspace(xf - 4 * sig, xf + 4 * sig, 200)
+                    ax.plot(ts, np.exp(-(ts - xf) ** 2 / (2 * sig ** 2)),
+                            color=col, linewidth=thk,
+                            label=lab if (i == 0) else None)
+                else:
+                    sub = cov[np.ix_([i, j], [i, j])]
+                    L = np.linalg.cholesky(sub)
+                    pts = alpha * (L @ circl)
+                    ax.plot(pts[0] + xf, pts[1] + yf, color=col,
+                            linewidth=thk,
+                            label=lab if (i == 0 and j == 1 and not
+                                          show_1d) else None)
+            if r == size - 1:
+                ax.set_xlabel(latex_dict.get(params[i], params[i]))
+            else:
+                ax.xaxis.set_visible(False)
+            if c == 0 and r > 0:
+                ax.set_ylabel(latex_dict.get(params[j], params[j]))
+            elif c > 0:
+                ax.yaxis.set_visible(False)
+    # hide the unused upper triangle
+    for r in range(size):
+        for c in range(size):
+            used = (c <= r) if show_1d else (c <= r)
+            if not used:
+                axes[r][c].axis("off")
+    handles, labs = axes[0][0].get_legend_handles_labels()
+    if not handles and size > 1:
+        handles, labs = axes[1][0].get_legend_handles_labels()
+    if handles:
+        fig.legend(handles, labs, loc="upper right")
+    fig.tight_layout()
+    if save_file:
+        fig.savefig(save_file, bbox_inches="tight")
+    plt.close(fig)
+    return fig
 
 
 class FisherPlots:
