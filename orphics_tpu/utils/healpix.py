@@ -183,3 +183,160 @@ def query_strip(nside, theta1, theta2):
     pix = np.arange(nside2npix(nside), dtype=np.int64)
     theta, _ = pix2ang(nside, pix)
     return pix[(theta >= theta1) & (theta <= theta2)]
+
+
+# ---------------------------------------------------------------------
+# RING <-> NEST and ud_grade (healpy surface used by reference masks)
+# ---------------------------------------------------------------------
+
+_JRLL = np.array([2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4])
+_JPLL = np.array([1, 3, 5, 7, 0, 2, 4, 6, 1, 3, 5, 7])
+
+
+def _isqrt(v):
+    return np.floor(np.sqrt(v.astype(np.float64) + 0.5)).astype(np.int64)
+
+
+def _ring2xyf(nside, pix):
+    pix = np.asarray(pix, np.int64)
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+    iring = np.empty_like(pix)
+    iphi = np.empty_like(pix)
+    kshift = np.zeros_like(pix)
+    face = np.empty_like(pix)
+    nr = np.empty_like(pix)
+
+    north = pix < ncap
+    eq = (~north) & (pix < npix - ncap)
+    south = pix >= npix - ncap
+
+    if np.any(north):
+        p = pix[north]
+        ir = (1 + _isqrt(1 + 2 * p)) >> 1
+        ip = p + 1 - 2 * ir * (ir - 1)
+        iring[north] = ir
+        iphi[north] = ip
+        nr[north] = ir
+        face[north] = (ip - 1) // ir
+    if np.any(eq):
+        p = pix[eq] - ncap
+        ir = p // (4 * nside) + nside
+        ip = p % (4 * nside) + 1
+        iring[eq] = ir
+        iphi[eq] = ip
+        kshift[eq] = (ir + nside) & 1
+        nr[eq] = nside
+        ire = ir - nside + 1
+        irm = 2 * nside + 2 - ire
+        ifm = (ip - ire // 2 + nside - 1) // nside
+        ifp = (ip - irm // 2 + nside - 1) // nside
+        f = np.where(ifp == ifm, ifp | 4,
+                     np.where(ifp < ifm, ifp, ifm + 8))
+        face[eq] = f
+    if np.any(south):
+        p = npix - pix[south]
+        ir = (1 + _isqrt(2 * p - 1)) >> 1
+        ip = 4 * ir + 1 - (p - 2 * ir * (ir - 1))
+        iphi[south] = ip
+        nr[south] = ir
+        face[south] = (ip - 1) // ir + 8
+        iring[south] = 4 * nside - ir
+
+    irt = iring - _JRLL[face] * nside + 1
+    ipt = 2 * iphi - _JPLL[face] * nr - kshift - 1
+    ipt = np.where(ipt >= 2 * nside, ipt - 8 * nside, ipt)
+    ix = (ipt - irt) >> 1
+    iy = (-(ipt + irt)) >> 1
+    return ix, iy, face
+
+
+def _xyf2ring(nside, ix, iy, face):
+    nl4 = 4 * nside
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+    jr = _JRLL[face] * nside - ix - iy - 1
+    north = jr < nside
+    south = jr > 3 * nside
+    eq = ~(north | south)
+    nr = np.where(north, jr, np.where(south, nl4 - jr, nside))
+    n_before = np.where(
+        north, 2 * nr * (nr - 1),
+        np.where(south, npix - 2 * nr * (nr + 1),
+                 ncap + (jr - nside) * nl4))
+    kshift = np.where(eq, (jr - nside) & 1, 0)
+    jp = (_JPLL[face] * nr + ix - iy + 1 + kshift) // 2
+    jp = np.where(jp > nl4, jp - nl4, np.where(jp < 1, jp + nl4, jp))
+    return n_before + jp - 1
+
+
+def _interleave(v):
+    """Spread the low 29 bits of v into even positions."""
+    v = np.asarray(v, np.uint64)
+    v &= np.uint64(0x1FFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _deinterleave(v):
+    v = np.asarray(v, np.uint64) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def ring2nest(nside, pix):
+    """RING -> NEST pixel indices (healpy ``ring2nest``)."""
+    ix, iy, face = _ring2xyf(nside, pix)
+    return (face.astype(np.int64) * nside * nside
+            + (_interleave(ix) | (_interleave(iy) << np.uint64(1)))
+            .astype(np.int64))
+
+
+def nest2ring(nside, pix):
+    """NEST -> RING pixel indices (healpy ``nest2ring``)."""
+    pix = np.asarray(pix, np.int64)
+    face = pix // (nside * nside)
+    rem = (pix % (nside * nside)).astype(np.uint64)
+    ix = _deinterleave(rem).astype(np.int64)
+    iy = _deinterleave(rem >> np.uint64(1)).astype(np.int64)
+    return _xyf2ring(nside, ix, iy, face)
+
+
+def ud_grade(hmap, nside_out, power=None):
+    """Up/downgrade a RING map (healpy ``ud_grade``): children are
+    averaged on degrade, replicated on upgrade. ``power=-2`` rescales
+    like a count/ivar map (sum-preserving)."""
+    hmap = np.asarray(hmap, np.float64)
+    nside_in = npix2nside(hmap.shape[-1])
+    if nside_out == nside_in:
+        return hmap.copy()
+    nest_in = hmap[..., nest2ring(nside_in, np.arange(hmap.shape[-1]))]
+    if nside_out < nside_in:
+        rat = (nside_in // nside_out) ** 2
+        nest_out = nest_in.reshape(hmap.shape[:-1]
+                                   + (12 * nside_out ** 2, rat)).mean(-1)
+    else:
+        rat = (nside_out // nside_in) ** 2
+        nest_out = np.repeat(nest_in, rat, axis=-1)
+    if power is not None:
+        nest_out = nest_out * (float(nside_in) / nside_out) ** (-power)
+    npo = 12 * nside_out ** 2
+    out = np.empty(hmap.shape[:-1] + (npo,), hmap.dtype)
+    out[..., _xyf2ring_of_nest(nside_out)] = nest_out
+    return out
+
+
+def _xyf2ring_of_nest(nside):
+    """ring index of each nest-ordered pixel (cache-free helper)."""
+    return nest2ring(nside, np.arange(12 * nside * nside))
+
+
+__all__ += ["ring2nest", "nest2ring", "ud_grade"]
