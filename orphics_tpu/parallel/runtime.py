@@ -21,6 +21,7 @@ from typing import Callable, Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .statistics import SuffStats
@@ -111,18 +112,26 @@ def ensemble_stats(fn: Callable, nsims: int, key=None, mesh: Optional[Mesh] = No
     def device_body(dev_keys):
         # dev_keys: (per, 2) on each device
         nchunks = per // chunk
+        dev = jax.lax.axis_index("sims")
 
-        def step(state, ck):
+        def step(state, scanned):
+            ck, cstart = scanned
+            # zero-weight the keys beyond the requested nsims (the count
+            # is rounded up to ndev*chunk; padding must not bias stats)
+            gidx = dev * per + cstart + jnp.arange(chunk)
+            valid = (gidx < nsims).astype(jnp.float32)
             vals = jax.vmap(fn)(ck)
             st, sst = state
-            st = {k: st[k].add(vals[k].reshape(chunk, -1)) for k in st}
+            st = {k: st[k].add(vals[k].reshape(chunk, -1), w=valid)
+                  for k in st}
             if stack_fn is not None:
                 svals = jax.vmap(stack_fn)(ck)
-                sst = {k: sst[k].add_stack(svals[k]) for k in sst}
+                sst = {k: sst[k].add_stack(svals[k], w=valid) for k in sst}
             return (st, sst), 0.0
 
         ck = dev_keys.reshape(nchunks, chunk, -1)
-        (st, sst), _ = jax.lax.scan(step, (zeros, szeros), ck)
+        cstarts = jnp.arange(nchunks) * chunk
+        (st, sst), _ = jax.lax.scan(step, (zeros, szeros), (ck, cstarts))
         st = {k: v.psum("sims") for k, v in st.items()}
         sst = {k: v.psum("sims") for k, v in sst.items()}
         return st, sst

@@ -60,28 +60,43 @@ class SuffStats:
                          nstack=jnp.zeros((), dtype))
 
     # ---- accumulation (pure) -----------------------------------------
-    def add(self, x) -> "SuffStats":
-        """Add one (d,) sample or a (B, d) batch."""
+    def add(self, x, w=None) -> "SuffStats":
+        """Add one (d,) sample or a (B, d) batch; optional (B,) 0/1
+        weights exclude padding entries from the statistics."""
         x = jnp.atleast_2d(x)
+        if w is None:
+            n_add = x.shape[0]
+            xw = x
+        else:
+            w = jnp.asarray(w, x.dtype)
+            n_add = w.sum()
+            xw = x * w[:, None]
         new = dataclasses.replace(
             self,
-            n=self.n + x.shape[0],
-            s=self.s + x.sum(axis=0),
+            n=self.n + n_add,
+            s=self.s + xw.sum(axis=0),
         )
         if self.ss is not None:
             new = dataclasses.replace(
-                new, ss=self.ss + jnp.einsum("bi,bj->ij", x, x,
+                new, ss=self.ss + jnp.einsum("bi,bj->ij", xw, x,
                                              preferred_element_type=self.ss.dtype))
         return new
 
-    def add_stack(self, arr) -> "SuffStats":
-        """Add one array (or (B, ...) batch) to the running stack sum."""
+    def add_stack(self, arr, w=None) -> "SuffStats":
+        """Add one array (or (B, ...) batch) to the running stack sum;
+        optional (B,) 0/1 weights exclude padding entries."""
         arr = jnp.asarray(arr)
         if arr.ndim == self.stack.ndim:
             arr = arr[None]
+        if w is None:
+            n_add = arr.shape[0]
+        else:
+            w = jnp.asarray(w, arr.dtype)
+            n_add = w.sum()
+            arr = arr * w.reshape((-1,) + (1,) * (arr.ndim - 1))
         return dataclasses.replace(
             self, stack=self.stack + arr.sum(axis=0),
-            nstack=self.nstack + arr.shape[0])
+            nstack=self.nstack + n_add)
 
     # ---- reduction -----------------------------------------------------
     def psum(self, axis_name) -> "SuffStats":

@@ -103,3 +103,32 @@ def test_get_stats_dict():
     np.testing.assert_allclose(np.asarray(d["mean"]), x.mean(axis=0), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(d["err"]),
                                x.std(axis=0, ddof=1) / np.sqrt(50), rtol=1e-3)
+
+
+def test_ensemble_stats_padding_excluded():
+    """nsims not a multiple of ndev*chunk: padded sims must not bias the
+    statistics (ADVICE round-1: previously the count was rounded up)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from orphics_tpu.parallel import ensemble_stats
+    from orphics_tpu.parallel.runtime import get_mesh
+
+    mesh = get_mesh()
+    ndev = mesh.shape["sims"]
+    nsims = ndev * 2 + 3  # deliberately ragged
+
+    def sim(key):
+        return {"x": jax.random.normal(key, (4,))}
+
+    st = ensemble_stats(sim, nsims=nsims, key=jax.random.PRNGKey(5),
+                        mesh=mesh, chunk=1)
+    assert int(np.asarray(st["x"].n)) == nsims
+    # serial reference over exactly the same first-nsims keys
+    per = -(-nsims // ndev)
+    keys = jax.random.split(jax.random.PRNGKey(5), ndev * per)
+    vals = np.stack([np.asarray(sim(k)["x"]) for k in keys])
+    # global order is device-major: key index d*per + i
+    want = vals[np.arange(ndev * per) < nsims].mean(axis=0)
+    np.testing.assert_allclose(np.asarray(st["x"].mean()), want,
+                               rtol=1e-6, atol=1e-7)
