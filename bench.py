@@ -264,6 +264,8 @@ def bench_qe_recon():
     from orphics_tpu.ops import fourier as F
     from orphics_tpu.ops.binning import Bin2D
 
+    from orphics_tpu.ops.binning import RfftBin2D
+
     n = int(os.environ.get("BENCH3_N", 512))
     batch = int(os.environ.get("BENCH3_BATCH", 32))
     px = 2.0
@@ -273,23 +275,29 @@ def bench_qe_recon():
     ctot = qe.lensing_noise_2d(geom, th, beam, noise)
     lmax_grid = geom.ellmax_safe()
     q = qe.QE(geom, th, ctot,
-              xmask=F.mask_kspace(geom, lmin=100, lmax=min(3000, lmax_grid)),
+              xmask=F.mask_kspace(geom, lmin=100,
+                                  lmax=min(3000, lmax_grid - 1)),
               kmask=F.mask_kspace(geom, lmin=40,
                                   lmax=min(3000, lmax_grid * 0.8)))
-    n0 = q.N_L_kk("TT")
+    nxr = geom.nx // 2 + 1
+    n0_h = q.N_L_kk("TT")[:, :nxr]
     edges = np.arange(40, 2000, 80.0)
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    binner = RfftBin2D(geom, edges)
     ells = np.arange(th.lpad + 1)
-    mgen = grf.MapGen(geom, np.asarray(th.lCl("TT", ells))[None, None])
+    cltt = np.asarray(th.lCl("TT", ells))
+    # Fused path: synthesize the stand-in observed sims directly on the
+    # rfft half-plane (exactly rfft2 of a real GRF map; zero transforms),
+    # then the fused half-plane TT reconstruction (qe.kappa_tt_rfft).
+    covsqrt_h = grf.covsqrt_half(geom, ells, cltt, dtype=jnp.float32)
     norm = jnp.float32(geom.area / geom.npix ** 2)
 
     @jax.jit
     def step(key):
         keys = jax.random.split(key, batch)
-        obs = jax.vmap(mgen.get_map)(keys)          # stand-in observed maps
-        kobs = jnp.fft.fft2(obs)
-        fk = jax.vmap(lambda k: q.kappa_from_map("TT", k))(kobs)
-        p2d = (fk.conj() * fk).real * norm - n0[None]
+        eta = jax.vmap(lambda k: grf.rand_hermitian_half(k, geom))(keys)
+        kobs_h = covsqrt_h * eta                    # stand-in observed sims
+        fk = q.kappa_tt_rfft(kobs_h)
+        p2d = (fk.conj() * fk).real * norm - n0_h[None]
         _, p1d = binner.bin(p2d)
         return p1d
 

@@ -120,3 +120,69 @@ class TestMV:
         rise_ours = mv[sel][-1] / mv[sel][0]
         rise_planck = pl[sel][-1] / pl[sel][0]
         assert abs(np.log(rise_ours / rise_planck)) < np.log(2.0)
+
+
+class TestFusedTTHalfPlane:
+    """kappa_tt_rfft must equal kappa_from_map('TT', .) on the half-plane."""
+
+    def _setup(self, **qe_kw):
+        import jax
+        from orphics_tpu.ops import fourier as F
+        geom = rect_geometry(width_arcmin=64 * 8.0, px_res_arcmin=8.0)
+        th = theory.default_theory()
+        ctot = qe.lensing_noise_2d(geom, th, 7.0, 30.0, dtype=jnp.float64)
+        lmax = geom.ellmax_safe()
+        # Masks strictly below the Nyquist modulus: the fused half-plane
+        # path requires the gradient leg to exclude unpaired Nyquist modes.
+        q = qe.QE(geom, th, ctot, dtype=jnp.float64,
+                  xmask=F.mask_kspace(geom, lmin=100, lmax=min(1300, lmax - 1)),
+                  kmask=F.mask_kspace(geom, lmin=40, lmax=min(900, lmax * 0.8)),
+                  **qe_kw)
+        key = jax.random.PRNGKey(3)
+        imap = jax.random.normal(key, geom.shape, jnp.float64)
+        return geom, q, imap
+
+    def test_matches_full_plane(self):
+        geom, q, imap = self._setup()
+        nxr = geom.nx // 2 + 1
+        full = np.asarray(q.kappa_from_map("TT", jnp.fft.fft2(imap)))
+        half = np.asarray(q.kappa_tt_rfft(jnp.fft.rfft2(imap)))
+        scale = np.abs(full[:, :nxr]).max()
+        np.testing.assert_allclose(half, full[:, :nxr], atol=2e-10 * scale)
+
+    def test_asymmetric_masks(self):
+        from orphics_tpu.ops import fourier as F
+        geom, q, imap = self._setup()
+        ymask = F.mask_kspace(geom, lmin=150, lmax=1200)
+        th = theory.default_theory()
+        ctot = qe.lensing_noise_2d(geom, th, 7.0, 30.0, dtype=jnp.float64)
+        q3 = qe.QE(geom, th, ctot, dtype=jnp.float64,
+                   xmask=F.mask_kspace(geom, lmin=100, lmax=1300),
+                   ymask=ymask,
+                   kmask=F.mask_kspace(geom, lmin=40, lmax=900))
+        nxr = geom.nx // 2 + 1
+        full = np.asarray(q3.kappa_from_map("TT", jnp.fft.fft2(imap)))
+        half = np.asarray(q3.kappa_tt_rfft(jnp.fft.rfft2(imap)))
+        scale = np.abs(full[:, :nxr]).max()
+        np.testing.assert_allclose(half, full[:, :nxr], atol=2e-10 * scale)
+
+    def test_batched(self):
+        import jax
+        geom, q, imap = self._setup()
+        maps = jnp.stack([imap, imap * 0.5 + 1.0])
+        half_b = np.asarray(q.kappa_tt_rfft(jnp.fft.rfft2(maps, axes=(-2, -1))))
+        for i in range(2):
+            ref = np.asarray(q.kappa_tt_rfft(jnp.fft.rfft2(maps[i])))
+            np.testing.assert_allclose(half_b[i], ref, rtol=0, atol=1e-12)
+
+    def test_two_leg_input(self):
+        geom, q, imap = self._setup()
+        import jax
+        other = jax.random.normal(jax.random.PRNGKey(7), geom.shape, jnp.float64)
+        nxr = geom.nx // 2 + 1
+        full = np.asarray(q.kappa_from_map(
+            "TT", jnp.fft.fft2(imap), jnp.fft.fft2(other)))
+        half = np.asarray(q.kappa_tt_rfft(jnp.fft.rfft2(imap),
+                                          jnp.fft.rfft2(other)))
+        scale = np.abs(full[:, :nxr]).max()
+        np.testing.assert_allclose(half, full[:, :nxr], atol=2e-10 * scale)
