@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 __all__ = ["defaultConstants", "defaultCosmology", "Cosmology",
            "LimberCosmology", "LensForecast", "s8_from_as", "As_from_s8",
-           "get_limber_clkk_flat_universe"]
+           "get_limber_clkk_flat_universe", "pkgrid_from_table",
+           "load_camb_pk"]
 
 C_KM_S = 299792.458  # km/s
 
@@ -307,6 +308,88 @@ def As_from_s8(sigma8=0.81, params=None, **kw):
     base = Cosmology(p, **kw)
     s80 = base.sigma8()
     return base.As * (sigma8 / s80) ** 2
+
+
+def pkgrid_from_table(zs, ks_invmpc, P_mpc3):
+    """Build a ``pkgrid_override`` callable from a tabulated P(k, z) grid.
+
+    The table-ingestion path for reference-parity accuracy: the internal
+    EH98 transfer is ~2% off a Boltzmann P(k); feeding an externally
+    computed (e.g. CAMB/CLASS) grid through this override recovers it
+    (reference behavior: ``camb.get_matter_power_interpolator``,
+    used at ``orphics/cosmology.py:633``).
+
+    Parameters
+    ----------
+    zs : (nz,) increasing redshifts
+    ks_invmpc : (nk,) increasing wavenumbers [1/Mpc]
+    P_mpc3 : (nz, nk) linear power [Mpc^3]
+
+    Returns a callable ``pk(z, k_invmpc)`` (elementwise broadcast,
+    log-log interpolation in k, linear-in-z of log P, constant
+    extrapolation at the grid edges).
+    """
+    zs = np.asarray(zs, dtype=np.float64)
+    lk = np.log(np.asarray(ks_invmpc, dtype=np.float64))
+    lP = np.log(np.maximum(np.asarray(P_mpc3, dtype=np.float64), 1e-300))
+    if lP.shape != (len(zs), len(lk)):
+        raise ValueError(f"P grid shape {lP.shape} != ({len(zs)},{len(lk)})")
+
+    def pk(z, k_invmpc):
+        z = np.asarray(z, dtype=np.float64)
+        logk = np.log(np.maximum(np.asarray(k_invmpc, np.float64), 1e-300))
+        z, logk = np.broadcast_arrays(z, logk)
+        iz = np.interp(z, zs, np.arange(len(zs)))
+        iz0 = np.clip(iz.astype(int), 0, max(len(zs) - 2, 0))
+        fz = np.clip(iz - iz0, 0.0, 1.0)
+        flat_lk = logk.reshape(-1)
+        flat0 = np.empty_like(flat_lk)
+        flat1 = np.empty_like(flat_lk)
+        iz0f = iz0.reshape(-1)
+        for row in np.unique(iz0f):
+            sel = iz0f == row
+            flat0[sel] = np.interp(flat_lk[sel], lk, lP[row])
+            flat1[sel] = np.interp(flat_lk[sel], lk,
+                                   lP[min(row + 1, len(zs) - 1)])
+        lp = (flat0.reshape(logk.shape) * (1 - fz)
+              + flat1.reshape(logk.shape) * fz)
+        return np.exp(lp)
+
+    return pk
+
+
+def load_camb_pk(paths, zs, h, k_hunits=True):
+    """Load CAMB ``*_matterpower_*.dat`` outputs into a pkgrid override.
+
+    Parameters
+    ----------
+    paths : list of per-redshift two-column text files (k, P), in the
+        same order as ``zs``. CAMB's default output has k in h/Mpc and
+        P in (Mpc/h)^3 (``k_hunits=True``); pass False for 1/Mpc units.
+    zs : redshifts of the files (increasing).
+    h : dimensionless Hubble parameter used for unit conversion.
+
+    Returns ``(pk_callable, (zs, ks_invmpc, P_mpc3))``.
+    """
+    zs = np.asarray(zs, dtype=np.float64)
+    if len(paths) != len(zs):
+        raise ValueError("need one file per redshift")
+    ks = None
+    rows = []
+    for p in paths:
+        tab = np.loadtxt(p)
+        if ks is None:
+            ks = tab[:, 0]
+        elif not np.allclose(ks, tab[:, 0]):
+            raise ValueError(f"{p}: k grid differs between files")
+        rows.append(tab[:, 1])
+    P = np.asarray(rows)
+    if k_hunits:
+        ks = ks * h           # h/Mpc -> 1/Mpc
+        P = P / h ** 3        # (Mpc/h)^3 -> Mpc^3
+    order = np.argsort(zs)
+    zs, P = zs[order], P[order]
+    return pkgrid_from_table(zs, ks, P), (zs, ks, P)
 
 
 class LimberCosmology(Cosmology):

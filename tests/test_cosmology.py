@@ -139,3 +139,40 @@ def test_noise_pad_infinity():
     f = cosmo.noise_pad_infinity(lambda x: np.asarray(x) * 0 + 1.0, 100, 2000)
     out = f(np.array([50, 500, 3000]))
     assert np.isinf(out[0]) and out[1] == 1.0 and np.isinf(out[2])
+
+
+class TestPkgridIngestion:
+    """The P(k,z) table-ingestion path: an external matter-power grid fed
+    through ``pkgrid_override`` must reproduce the direct-P_lin Limber
+    clkk (lossless ingestion; reference behavior is CAMB's
+    get_matter_power_interpolator at ``orphics/cosmology.py:633``)."""
+
+    def test_table_roundtrip_clkk(self, tmp_path):
+        base = cosmo.LimberCosmology(lmax=800, numz=300, nz_pk=200,
+                                     nk_pk=300)
+        # dump the internal P_lin on a CAMB-like (k in h/Mpc, P in
+        # (Mpc/h)^3) per-redshift file set
+        h = base.H0 / 100.0
+        zs = np.expm1(np.linspace(0.0, np.log1p(1100.0), 80))
+        ks = np.logspace(-4, np.log10(40.0), 220)  # 1/Mpc
+        paths = []
+        for i, z in enumerate(zs):
+            P = base.P_lin(ks, z)
+            p = tmp_path / f"matterpower_{i}.dat"
+            np.savetxt(p, np.c_[ks / h, P * h ** 3])
+            paths.append(str(p))
+        pk, (zs2, ks2, P2) = cosmo.load_camb_pk(paths, zs, h)
+        np.testing.assert_allclose(ks2, ks, rtol=1e-12)
+        # elementwise evaluation matches the source away from grid edges
+        ztest = np.array([0.3, 1.0, 3.0, 10.0])
+        ktest = np.array([1e-3, 1e-2, 0.1, 1.0])
+        for z in ztest:
+            np.testing.assert_allclose(pk(z, ktest), base.P_lin(ktest, z),
+                                       rtol=2e-3)
+        over = cosmo.LimberCosmology(lmax=800, numz=300, nz_pk=200,
+                                     nk_pk=300, pkgrid_override=pk)
+        ells = np.arange(30, 800, 20)
+        base.generateCls(ells)
+        over.generateCls(ells)
+        r = over.getCl("cmb", "cmb") / base.getCl("cmb", "cmb")
+        assert np.max(np.abs(r - 1.0)) < 5e-3, r

@@ -1,0 +1,135 @@
+"""Real-chip checks of the Pallas kernels and the on-chip RNG.
+
+These promote the validation that previously lived only in bench-side
+prose (SURVEY.md round-1 report) into the suite:
+
+  * the rbg/prng_random_bits white-noise synthesis is statistically sound
+    and never produces non-finite values (the 23-bit-uniform erf_inv edge
+    case: t = 1 - 2^-24 rounds to fp32 1.0 and erf_inv(1.0) = inf);
+  * the Pallas permuted-layout FFT kernels agree with XLA's FFT when
+    compiled to the MXU (interpret=True coverage already exists in
+    tests/test_core.py; real-MXU behavior differs, e.g. the documented
+    second-draw RNG corruption);
+  * a full spectral-recovery Monte Carlo through the fused FastCl
+    pipeline on the chip.
+
+Run: ``ORPHICS_TPU_TESTS=1 python -m pytest tests/ -m tpu -q`` in the
+default session environment (axon backend). Skipped on CPU.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def onchip():
+    if jax.default_backend() in ("cpu",):
+        pytest.skip("no TPU backend")
+    return True
+
+
+def _geom(n, px=2.0):
+    from orphics_tpu import rect_geometry
+    return rect_geometry(width_arcmin=n * px, px_res_arcmin=px)
+
+
+class TestOnChipNoise:
+    """pallas_fft.ifft2pp_noise: on-chip PRNG white noise statistics."""
+
+    def test_finite_and_unit_variance(self, onchip):
+        from orphics_tpu.ops import pallas_fft as pf
+        n = 256
+        npairs = 32
+        # unit covsqrt in the permuted layout: synthesis output = white
+        # noise / sqrt(npix) iffts of unit-variance complex white noise
+        scale = jnp.ones((n, n), jnp.float32) * jnp.float32(np.sqrt(n * n))
+        m1, m2 = pf.ifft2pp_noise(scale, 12345, npairs)
+        m = np.concatenate([np.asarray(m1), np.asarray(m2)])
+        assert np.all(np.isfinite(m)), "erf_inv edge produced non-finites"
+        # each map is white with unit pixel variance
+        assert abs(m.mean()) < 5e-3, m.mean()
+        assert abs(m.var() - 1.0) < 2e-2, m.var()
+
+    def test_seeds_decorrelated(self, onchip):
+        from orphics_tpu.ops import pallas_fft as pf
+        n = 256
+        scale = jnp.ones((n, n), jnp.float32) * jnp.float32(n)
+        a1, _ = pf.ifft2pp_noise(scale, 1, 2)
+        b1, _ = pf.ifft2pp_noise(scale, 2, 2)
+        a, b = np.asarray(a1).ravel(), np.asarray(b1).ravel()
+        r = np.corrcoef(a, b)[0, 1]
+        assert abs(r) < 5e-2, r
+
+
+class TestOnChipFFT:
+    """Pallas MXU FFT kernels vs XLA's FFT, compiled (not interpreted)."""
+
+    def test_fft2p_matches_xla(self, onchip):
+        from orphics_tpu.ops import pallas_fft as pf
+        n = 256
+        key = jax.random.PRNGKey(0)
+        x1 = jax.random.normal(key, (2, n, n), jnp.float32)
+        x2 = jax.random.normal(jax.random.PRNGKey(1), (2, n, n), jnp.float32)
+        Zr, Zi = pf.fft2pp(x1, x2, interpret=False)
+        perm, _ = pf.row_perm(n)
+
+        @jax.jit
+        def ref(x1, x2):
+            Z = jnp.fft.fft2(x1 + 1j * x2)
+            Zp = Z[:, perm][:, :, perm]
+            return Zp.real, Zp.imag
+
+        Rr, Ri = ref(x1, x2)
+        scale = float(np.abs(np.asarray(Rr)).max())
+        np.testing.assert_allclose(np.asarray(Zr), np.asarray(Rr),
+                                   atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(Zi), np.asarray(Ri),
+                                   atol=2e-4 * scale)
+
+    def test_bin_matmul_matches_rowcum(self, onchip):
+        from orphics_tpu.ops.binning import Bin2D
+        n = 512
+        geom = _geom(n)
+        ml = np.asarray(geom.modlmap(jnp.float64))
+        edges = np.arange(100, 4000, 100.0)
+        data = jax.random.normal(jax.random.PRNGKey(3), (4, n, n),
+                                 jnp.float32) ** 2
+        bp = Bin2D(ml, edges, strategy="pallas")
+        br = Bin2D(ml, edges, strategy="rowcum")
+        _, vp = bp.bin(data)
+        _, vr = br.bin(data)
+        np.testing.assert_allclose(np.asarray(vp), np.asarray(vr),
+                                   rtol=2e-4)
+
+
+class TestSpectralRecovery:
+    """The canonical on-chip Monte Carlo: 512 fused sims recover the
+    input spectrum (round-1 record: mean ratio 1.0002)."""
+
+    def test_512_sim_recovery(self, onchip):
+        from orphics_tpu.models import theory
+        from orphics_tpu.models.fastcl import FastCl
+        n = 512
+        geom = _geom(n)
+        th = theory.default_theory()
+        ells = np.arange(th.lpad + 1)
+        cltt = np.asarray(th.lCl("TT", ells))
+        edges = np.arange(200, 4000, 200.0)
+        fc = FastCl(geom, ells, cltt, bin_edges=edges)
+        bats = [np.asarray(fc.sim_bandpowers(seed, 128))
+                for seed in (11, 22, 33, 44)]
+        mean = np.concatenate(bats).mean(axis=0)
+        # expectation = annulus mean of the 2D theory (NOT theory at the
+        # bin center: for steep spectra those differ by several %)
+        from orphics_tpu.ops.binning import Bin2D
+        ml = np.asarray(geom.modlmap(jnp.float64))
+        cl2d = np.interp(ml, ells, cltt)
+        _, thb = Bin2D(ml, edges, strategy="rowcum").bin(jnp.asarray(cl2d))
+        ratio = mean / np.asarray(thb)
+        assert np.all(np.isfinite(ratio))
+        # per-bin MC scatter ~ sqrt(2/(Nsims*Nmodes)) < 1%; demand 3%
+        assert np.all(np.abs(ratio - 1.0) < 0.03), ratio
+        assert abs(ratio.mean() - 1.0) < 0.005, ratio.mean()
