@@ -26,6 +26,7 @@ better onto the MXU anyway).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -37,6 +38,57 @@ __all__ = ["colfft", "colifft", "row_perm", "natural_rows", "fft2p",
            "ifft2p", "mirror_pp"]
 
 _PREC = jax.lax.Precision.HIGHEST
+
+# MXU dot strategy for the 128-point DFT stages. Mosaic supports only
+# DEFAULT (one bf16 pass) and HIGHEST (~6-pass fp32 emulation) in-kernel;
+# "split3" evaluates fp32 x fp32 as three bf16 passes (ah bh + ah bl +
+# al bh, dropping the ~2^-32 al bl term) — fp32-split-float accuracy
+# (~1.5e-5 relative on a 2048-point transform, i.e. ~3e-5 on bandpowers,
+# well inside the 1e-4 accuracy budget) at half HIGHEST's MXU time.
+# Set ORPHICS_TPU_FFT_PRECISION=exact to force HIGHEST everywhere.
+# Interpret mode (CPU tests) always uses HIGHEST (bit-stable references).
+_FAST = os.environ.get("ORPHICS_TPU_FFT_PRECISION", "split3") != "exact"
+
+
+def _bsplit(x):
+    """Split fp32 into a bf16 head + bf16 tail with x ~= hi + lo."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mxu_dot(a, b, fast, sa=None, sb=None):
+    """fp32 a @ b on the MXU: 3-pass bf16 split-float when ``fast``,
+    Precision.HIGHEST otherwise. ``sa``/``sb``: precomputed _bsplit of a
+    constant operand (hoisted out of the kernel loops).
+
+    The three bf16 passes (ah bh + ah bl + al bh) are packed into ONE
+    dot over a 3K contraction axis — [ah, ah, al] @ [bh; bl; bh] — so
+    the Mosaic program stays one matmul op per product (the 3-dot form
+    tripled kernel code size and blew compile times past 200 s even for
+    small grids)."""
+    if not fast:
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=_PREC)
+    ah, al = sa if sa is not None else _bsplit(a)
+    bh, bl = sb if sb is not None else _bsplit(b)
+    a3 = jnp.concatenate([ah, ah, al], axis=-1)
+    b3 = jnp.concatenate([bh, bl, bh], axis=-2)
+    return jnp.dot(a3, b3, preferred_element_type=jnp.float32)
+
+
+def _perm_dot(a, J, fast):
+    """a @ J where J is a 0/1 permutation matrix: two bf16 passes are
+    EXACT (J is exactly representable, each output is one input value),
+    vs 6 HIGHEST passes. Packed as one dot over a 2K axis."""
+    if not fast:
+        return jnp.dot(a, J, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    ah, al = _bsplit(a)
+    Jh = J.astype(jnp.bfloat16)
+    a2 = jnp.concatenate([ah, al], axis=-1)
+    J2 = jnp.concatenate([Jh, Jh], axis=-2)
+    return jnp.dot(a2, J2, preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=8)
@@ -69,10 +121,12 @@ def row_perm(n: int):
 
 
 def _fwd_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
-                xre_ref, xim_ref, ore_ref, oim_ref, *, A, B):
+                xre_ref, xim_ref, ore_ref, oim_ref, *, A, B, fast):
     FBre, FBim = FBre_ref[:], FBim_ref[:]
     FAre, FAim = FAre_ref[:], FAim_ref[:]
     TWre, TWim = TWre_ref[:], TWim_ref[:]
+    sFre = _bsplit(FAre) if fast else None
+    sFim = _bsplit(FAim) if fast else None
     C = xre_ref.shape[-1]
     # stage 1: 16-point DFT over the block index b — radix butterflies
     # with baked twiddles (mostly adds; beats MXU matmuls for this shape)
@@ -85,24 +139,24 @@ def _fwd_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
         twi = TWim[k2][:, None]
         hrk = gr[k2] * twr - gi[k2] * twi
         hik = gr[k2] * twi + gi[k2] * twr
-        orr = (jnp.dot(FAre, hrk, preferred_element_type=jnp.float32,
-                       precision=_PREC)
-               - jnp.dot(FAim, hik, preferred_element_type=jnp.float32,
-                         precision=_PREC))
-        oii = (jnp.dot(FAre, hik, preferred_element_type=jnp.float32,
-                       precision=_PREC)
-               + jnp.dot(FAim, hrk, preferred_element_type=jnp.float32,
-                         precision=_PREC))
+        shr = _bsplit(hrk) if fast else None
+        shi = _bsplit(hik) if fast else None
+        orr = (_mxu_dot(FAre, hrk, fast, sa=sFre, sb=shr)
+               - _mxu_dot(FAim, hik, fast, sa=sFim, sb=shi))
+        oii = (_mxu_dot(FAre, hik, fast, sa=sFre, sb=shi)
+               + _mxu_dot(FAim, hrk, fast, sa=sFim, sb=shr))
         ore_ref[0, k2 * A:(k2 + 1) * A, :] = orr
         oim_ref[0, k2 * A:(k2 + 1) * A, :] = oii
 
 
 def _inv_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
-                xre_ref, xim_ref, ore_ref, oim_ref, *, A, B):
+                xre_ref, xim_ref, ore_ref, oim_ref, *, A, B, fast):
     """Inverse with P-permuted input rows -> natural-order output."""
     FBre, FBim = FBre_ref[:], FBim_ref[:]
     FAre, FAim = FAre_ref[:], FAim_ref[:]
     TWre, TWim = TWre_ref[:], TWim_ref[:]
+    sFre = _bsplit(FAre) if fast else None
+    sFim = _bsplit(FAim) if fast else None
     C = xre_ref.shape[-1]
     inv_n = 1.0 / (A * B)
     # stage 1 streamed per permuted block k2: 128-point MXU DFT + twiddle.
@@ -110,14 +164,12 @@ def _inv_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
     for k2 in range(B):
         xr = xre_ref[0, k2 * A:(k2 + 1) * A, :]
         xi = xim_ref[0, k2 * A:(k2 + 1) * A, :]
-        ir = (jnp.dot(FAre, xr, preferred_element_type=jnp.float32,
-                      precision=_PREC)
-              - jnp.dot(FAim, xi, preferred_element_type=jnp.float32,
-                        precision=_PREC))
-        ii = (jnp.dot(FAre, xi, preferred_element_type=jnp.float32,
-                      precision=_PREC)
-              + jnp.dot(FAim, xr, preferred_element_type=jnp.float32,
-                        precision=_PREC))
+        sxr = _bsplit(xr) if fast else None
+        sxi = _bsplit(xi) if fast else None
+        ir = (_mxu_dot(FAre, xr, fast, sa=sFre, sb=sxr)
+              - _mxu_dot(FAim, xi, fast, sa=sFim, sb=sxi))
+        ii = (_mxu_dot(FAre, xi, fast, sa=sFre, sb=sxi)
+              + _mxu_dot(FAim, xr, fast, sa=sFim, sb=sxr))
         twr = TWre[k2][:, None]
         twi = TWim[k2][:, None]
         ore_ref[0, k2 * A:(k2 + 1) * A, :] = (ir * twr - ii * twi) * inv_n
@@ -162,7 +214,7 @@ def _call(kernel, xre, xim, A, B, consts, ctile, interpret):
     flops_mm = b * ncols * n * (128 + B) * 8
     cj = [jnp.asarray(c) for c in consts]
     return pl.pallas_call(
-        functools.partial(kernel, A=A, B=B),
+        functools.partial(kernel, A=A, B=B, fast=_FAST and not interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(xre.shape, jnp.float32),
                    jax.ShapeDtypeStruct(xre.shape, jnp.float32)],
@@ -262,9 +314,12 @@ def _fft16_static(re, im, sign):
 
 
 def _rowfft_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref,
-                   xre_ref, xim_ref, ore_ref, oim_ref, *, A, B, inverse):
+                   xre_ref, xim_ref, ore_ref, oim_ref, *, A, B, inverse,
+                   fast):
     FAre, FAim = FAre_ref[:], FAim_ref[:]
     TWre, TWim = TWre_ref[:], TWim_ref[:]
+    sFre = _bsplit(FAre) if fast else None
+    sFim = _bsplit(FAim) if fast else None
     sign = 1.0 if inverse else -1.0
     inv_n = 1.0 / (A * B) if inverse else 1.0
     if inverse:
@@ -275,14 +330,12 @@ def _rowfft_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref,
         for k2 in range(B):
             xr = xre_ref[0, :, k2 * A:(k2 + 1) * A]
             xi = xim_ref[0, :, k2 * A:(k2 + 1) * A]
-            ir = (jnp.dot(xr, FAre, preferred_element_type=jnp.float32,
-                          precision=_PREC)
-                  - jnp.dot(xi, FAim, preferred_element_type=jnp.float32,
-                            precision=_PREC))
-            ii = (jnp.dot(xi, FAre, preferred_element_type=jnp.float32,
-                          precision=_PREC)
-                  + jnp.dot(xr, FAim, preferred_element_type=jnp.float32,
-                            precision=_PREC))
+            sxr = _bsplit(xr) if fast else None
+            sxi = _bsplit(xi) if fast else None
+            ir = (_mxu_dot(xr, FAre, fast, sa=sxr, sb=sFre)
+                  - _mxu_dot(xi, FAim, fast, sa=sxi, sb=sFim))
+            ii = (_mxu_dot(xi, FAre, fast, sa=sxi, sb=sFre)
+                  + _mxu_dot(xr, FAim, fast, sa=sxr, sb=sFim))
             twr = TWre[k2][None, :]
             twi = TWim[k2][None, :]
             jr.append(ir * twr - ii * twi)
@@ -303,25 +356,26 @@ def _rowfft_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref,
             twi = TWim[k2][None, :]
             hrk = gr[k2] * twr - gi[k2] * twi
             hik = gr[k2] * twi + gi[k2] * twr
-            orr = (jnp.dot(hrk, FAre, preferred_element_type=jnp.float32,
-                           precision=_PREC)
-                   - jnp.dot(hik, FAim, preferred_element_type=jnp.float32,
-                             precision=_PREC))
-            oii = (jnp.dot(hik, FAre, preferred_element_type=jnp.float32,
-                           precision=_PREC)
-                   + jnp.dot(hrk, FAim, preferred_element_type=jnp.float32,
-                             precision=_PREC))
+            shr = _bsplit(hrk) if fast else None
+            shi = _bsplit(hik) if fast else None
+            orr = (_mxu_dot(hrk, FAre, fast, sa=shr, sb=sFre)
+                   - _mxu_dot(hik, FAim, fast, sa=shi, sb=sFim))
+            oii = (_mxu_dot(hik, FAre, fast, sa=shi, sb=sFre)
+                   + _mxu_dot(hrk, FAim, fast, sa=shr, sb=sFim))
             ore_ref[0, :, k2 * A:(k2 + 1) * A] = orr
             oim_ref[0, :, k2 * A:(k2 + 1) * A] = oii
 
 
 def _rowifft_scaled_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, sc_ref,
-                           xre_ref, xim_ref, ore_ref, oim_ref, *, A, B):
+                           xre_ref, xim_ref, ore_ref, oim_ref, *, A, B,
+                           fast):
     """Inverse row DFT with an elementwise pre-multiplier fused in: the
     caller's ``scale * x`` product never materializes in HBM (the usual
     use is GRF synthesis, ``covsqrt * eta`` feeding ifft2pp)."""
     FAre, FAim = FAre_ref[:], FAim_ref[:]
     TWre, TWim = TWre_ref[:], TWim_ref[:]
+    sFre = _bsplit(FAre) if fast else None
+    sFim = _bsplit(FAim) if fast else None
     inv_n = 1.0 / (A * B)
     jr = []
     ji = []
@@ -329,14 +383,12 @@ def _rowifft_scaled_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, sc_ref,
         sc = sc_ref[:, k2 * A:(k2 + 1) * A]
         xr = xre_ref[0, :, k2 * A:(k2 + 1) * A] * sc
         xi = xim_ref[0, :, k2 * A:(k2 + 1) * A] * sc
-        ir = (jnp.dot(xr, FAre, preferred_element_type=jnp.float32,
-                      precision=_PREC)
-              - jnp.dot(xi, FAim, preferred_element_type=jnp.float32,
-                        precision=_PREC))
-        ii = (jnp.dot(xi, FAre, preferred_element_type=jnp.float32,
-                      precision=_PREC)
-              + jnp.dot(xr, FAim, preferred_element_type=jnp.float32,
-                        precision=_PREC))
+        sxr = _bsplit(xr) if fast else None
+        sxi = _bsplit(xi) if fast else None
+        ir = (_mxu_dot(xr, FAre, fast, sa=sxr, sb=sFre)
+              - _mxu_dot(xi, FAim, fast, sa=sxi, sb=sFim))
+        ii = (_mxu_dot(xi, FAre, fast, sa=sxi, sb=sFre)
+              + _mxu_dot(xr, FAim, fast, sa=sxr, sb=sFim))
         twr = TWre[k2][None, :]
         twi = TWim[k2][None, :]
         jr.append(ir * twr - ii * twi)
@@ -348,7 +400,7 @@ def _rowifft_scaled_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, sc_ref,
 
 
 def _rowifft_noise_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, sc_ref,
-                          seed_ref, ore_ref, oim_ref, *, A, B, rtile):
+                          seed_ref, ore_ref, oim_ref, *, A, B, rtile, fast):
     """Inverse row DFT of scale * (white noise): the standard-normal
     Fourier plane is generated *inside* the kernel with the on-chip PRNG
     (24-bit uniform -> erf_inv), so the noise never exists in HBM and
@@ -377,20 +429,20 @@ def _rowifft_noise_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, sc_ref,
     xim = normals(1) * sc
     FAre, FAim = FAre_ref[:], FAim_ref[:]
     TWre, TWim = TWre_ref[:], TWim_ref[:]
+    sFre = _bsplit(FAre) if fast else None
+    sFim = _bsplit(FAim) if fast else None
     inv_n = 1.0 / n
     jr = []
     ji = []
     for k2 in range(B):
         xr = xre[:, k2 * A:(k2 + 1) * A]
         xi = xim[:, k2 * A:(k2 + 1) * A]
-        ir = (jnp.dot(xr, FAre, preferred_element_type=jnp.float32,
-                      precision=_PREC)
-              - jnp.dot(xi, FAim, preferred_element_type=jnp.float32,
-                        precision=_PREC))
-        ii = (jnp.dot(xi, FAre, preferred_element_type=jnp.float32,
-                      precision=_PREC)
-              + jnp.dot(xr, FAim, preferred_element_type=jnp.float32,
-                        precision=_PREC))
+        sxr = _bsplit(xr) if fast else None
+        sxi = _bsplit(xi) if fast else None
+        ir = (_mxu_dot(xr, FAre, fast, sa=sxr, sb=sFre)
+              - _mxu_dot(xi, FAim, fast, sa=sxi, sb=sFim))
+        ii = (_mxu_dot(xi, FAre, fast, sa=sxi, sb=sFre)
+              + _mxu_dot(xr, FAim, fast, sa=sxr, sb=sFim))
         twr = TWre[k2][None, :]
         twi = TWim[k2][None, :]
         jr.append((ir * twr - ii * twi) * inv_n)
@@ -430,7 +482,8 @@ def ifft2pp_noise(scale, seed, batch: int, ctile: int = 128,
     dblk = pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
                         memory_space=pltpu.VMEM)
     yre, yim = pl.pallas_call(
-        functools.partial(_rowifft_noise_kernel, A=A, B=B, rtile=rtile),
+        functools.partial(_rowifft_noise_kernel, A=A, B=B, rtile=rtile,
+                          fast=_FAST),
         grid=(batch, nt),
         in_specs=[const_spec((A, A)), const_spec((A, A)),
                   const_spec((B, A)), const_spec((B, A)),
@@ -463,13 +516,15 @@ def _row_call(xre, xim, inverse, rtile, interpret, scale=None):
             jnp.asarray(TWim)]
     if scale is None:
         kernel = functools.partial(_rowfft_kernel, A=A, B=B,
-                                   inverse=inverse)
+                                   inverse=inverse,
+                                   fast=_FAST and not interpret)
         grid = (b, nt)
         dblk = pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
     else:
         assert inverse and scale.shape == (nrows, n)
-        kernel = functools.partial(_rowifft_scaled_kernel, A=A, B=B)
+        kernel = functools.partial(_rowifft_scaled_kernel, A=A, B=B,
+                                   fast=_FAST and not interpret)
         # batch innermost so the scale block stays resident in VMEM
         # across the whole batch sweep of each row tile
         grid = (nt, b)
@@ -541,7 +596,7 @@ def _mirror_tables(n):
     return mrow, J
 
 
-def _mirror_kernel(jm_ref, ar_ref, ai_ref, or_ref, oi_ref, *, ncc):
+def _mirror_kernel(jm_ref, ar_ref, ai_ref, or_ref, oi_ref, *, ncc, fast):
     def rev(z):
         # sublane reversal of 8 via three swap levels (lax.rev is not
         # lowered on TPU Pallas), then per-128-chunk lane reversal as an
@@ -560,9 +615,7 @@ def _mirror_kernel(jm_ref, ar_ref, ai_ref, or_ref, oi_ref, *, ncc):
         for q in range(ncc):
             c = (ncc - q) % ncc
             piece = z[:, :, 128 * c:128 * (c + 1)].reshape(bs8, 128)
-            piece = jnp.dot(piece, jm_ref[:],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+            piece = _perm_dot(piece, jm_ref[:], fast)
             chunks.append(piece.reshape(z.shape[0], 8, 128))
         return jnp.concatenate(chunks, axis=-1)
 
@@ -585,7 +638,7 @@ def half_rows(n: int):
 
 
 def _mirror_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref,
-                        cr_ref, ci_ref, omr_ref, omi_ref, *, ncc):
+                        cr_ref, ci_ref, omr_ref, omi_ref, *, ncc, fast):
     def rev(z):
         z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
         z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
@@ -599,9 +652,7 @@ def _mirror_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref,
             c = (ncc - q) % ncc
             piece = z[:, :, 128 * c:128 * (c + 1)].reshape(z.shape[0] * 8,
                                                            128)
-            piece = jnp.dot(piece, jm_ref[:],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+            piece = _perm_dot(piece, jm_ref[:], fast)
             chunks.append(piece.reshape(z.shape[0], 8, 128))
         return jnp.concatenate(chunks, axis=-1)
 
@@ -647,7 +698,8 @@ def mirror_pp_half(zr, zi, bb: int = 8, interpret: bool = False):
     mrow_np, J = _mirror_tables(n)
     oshape = [jax.ShapeDtypeStruct((bsz, nh, n), jnp.float32)] * 4
     zc_r, zc_i, omr, omi = pl.pallas_call(
-        functools.partial(_mirror_half_kernel, ncc=ncc),
+        functools.partial(_mirror_half_kernel, ncc=ncc,
+                          fast=_FAST and not interpret),
         grid=(bsz // bb, nh // 8),
         in_specs=[pl.BlockSpec((128, 128), lambda gb, g: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -683,7 +735,7 @@ def mirror_pp_half(zr, zi, bb: int = 8, interpret: bool = False):
 
 
 def _qc_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref,
-                    oq_ref, oc_ref, *, ncc):
+                    oq_ref, oc_ref, *, ncc, fast):
     def rev(z):
         z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
         z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
@@ -697,9 +749,7 @@ def _qc_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref,
             c = (ncc - q) % ncc
             piece = z[:, :, 128 * c:128 * (c + 1)].reshape(z.shape[0] * 8,
                                                            128)
-            piece = jnp.dot(piece, jm_ref[:],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+            piece = _perm_dot(piece, jm_ref[:], fast)
             chunks.append(piece.reshape(z.shape[0], 8, 128))
         return jnp.concatenate(chunks, axis=-1)
 
@@ -711,7 +761,7 @@ def _qc_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref,
     oc_ref[:] = dr * mr - di * mi
 
 
-def _s_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref, os_ref, *, ncc):
+def _s_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref, os_ref, *, ncc, fast):
     def rev(z):
         z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
         z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
@@ -725,9 +775,7 @@ def _s_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref, os_ref, *, ncc):
             c = (ncc - q) % ncc
             piece = z[:, :, 128 * c:128 * (c + 1)].reshape(z.shape[0] * 8,
                                                            128)
-            piece = jnp.dot(piece, jm_ref[:],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+            piece = _perm_dot(piece, jm_ref[:], fast)
             chunks.append(piece.reshape(z.shape[0], 8, 128))
         return jnp.concatenate(chunks, axis=-1)
 
@@ -763,7 +811,8 @@ def s_pp_half(zr, zi, bb: int = 8, interpret: bool = False):
                                     memory_space=pltpu.VMEM)
     mrow_np, J = _mirror_tables(n)
     s = pl.pallas_call(
-        functools.partial(_s_half_kernel, ncc=ncc),
+        functools.partial(_s_half_kernel, ncc=ncc,
+                          fast=_FAST and not interpret),
         grid=(bsz // bb, nh // 8),
         in_specs=[pl.BlockSpec((128, 128), lambda gb, g: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -834,7 +883,8 @@ def qc_pp_half(zr, zi, bb: int = 8, interpret: bool = False):
                                     memory_space=pltpu.VMEM)
     mrow_np, J = _mirror_tables(n)
     qs, c = pl.pallas_call(
-        functools.partial(_qc_half_kernel, ncc=ncc),
+        functools.partial(_qc_half_kernel, ncc=ncc,
+                          fast=_FAST and not interpret),
         grid=(bsz // bb, nh // 8),
         in_specs=[pl.BlockSpec((128, 128), lambda gb, g: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -905,7 +955,8 @@ def mirror_pp(zr, zi, bb: int = 8, interpret: bool = False):
                                    memory_space=pltpu.VMEM)
     mrow_np, J = _mirror_tables(n)
     omr, omi = pl.pallas_call(
-        functools.partial(_mirror_kernel, ncc=ncc),
+        functools.partial(_mirror_kernel, ncc=ncc,
+                          fast=_FAST and not interpret),
         grid=(bsz // bb, nrb),
         in_specs=[pl.BlockSpec((128, 128), lambda gb, i: (0, 0),
                                memory_space=pltpu.VMEM), blk(src), blk(src)],
