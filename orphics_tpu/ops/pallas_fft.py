@@ -3,8 +3,10 @@
 XLA's TPU FFT runs ~8x off the HBM roofline per axis (~0.7-0.8 ms per
 2048-axis transform of a 2048^2 map). This kernel evaluates the
 column-axis (axis=-2) DFT with a single Cooley-Tukey split N = B*A
-(B=16 blocks of A=128 rows) entirely as matrix products that ride the
-MXU, streaming column tiles through VMEM:
+(B = N/128 blocks of A = 128 rows; any B >= 2 — power-of-2 B uses
+radix-2 butterflies for stage 1, other B a compile-time mixed-radix
+DFT) entirely as matrix products that ride the MXU, streaming column
+tiles through VMEM:
 
   n = a + A*b,  k = k2 + B*k1  (a,k1 in [0,A), b,k2 in [0,B))
   G[k2, a, c]   = sum_b  FB[k2, b] X[b, a, c]        (16x16 matmul)
@@ -128,11 +130,12 @@ def _fwd_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
     sFre = _bsplit(FAre) if fast else None
     sFim = _bsplit(FAim) if fast else None
     C = xre_ref.shape[-1]
-    # stage 1: 16-point DFT over the block index b — radix butterflies
-    # with baked twiddles (mostly adds; beats MXU matmuls for this shape)
+    # stage 1: B-point DFT over the block index b — static butterflies /
+    # mixed-radix with baked twiddles (mostly adds; beats MXU matmuls
+    # for this shape)
     xr = [xre_ref[0, b_ * A:(b_ + 1) * A, :] for b_ in range(B)]
     xi = [xim_ref[0, b_ * A:(b_ + 1) * A, :] for b_ in range(B)]
-    gr, gi = _fft16_static(xr, xi, -1.0)
+    gr, gi = _fft_static(xr, xi, -1.0)
     # stage 2 streamed per k2: twiddle + 128-point MXU DFT
     for k2 in range(B):
         twr = TWre[k2][:, None]
@@ -178,7 +181,7 @@ def _inv_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
     # via radix butterflies with baked twiddles
     jr = [ore_ref[0, k2 * A:(k2 + 1) * A, :] for k2 in range(B)]
     ji = [oim_ref[0, k2 * A:(k2 + 1) * A, :] for k2 in range(B)]
-    br, bi = _fft16_static(jr, ji, 1.0)
+    br, bi = _fft_static(jr, ji, 1.0)
     for b_ in range(B):
         ore_ref[0, b_ * A:(b_ + 1) * A, :] = br[b_]
         oim_ref[0, b_ * A:(b_ + 1) * A, :] = bi[b_]
@@ -277,6 +280,40 @@ def ifft2p(kre, kim, ctile: int = 128):
 # the right. Output columns in row_perm order (same contract as colfft).
 # ----------------------------------------------------------------------
 
+def _fft_static(re, im, sign):
+    """DFT of a list of (R, A) planes over the list index, entirely with
+    compile-time constants: radix-2 DIT butterflies for power-of-2
+    lengths, mixed-radix Cooley-Tukey (smallest-prime splits, pow2
+    sub-lengths routed back to the butterfly path) otherwise. Lists in
+    natural order in, natural frequency order out."""
+    nloc = len(re)
+    if nloc & (nloc - 1) == 0:
+        return _fft16_static(re, im, sign)
+    p = next(q for q in range(2, nloc + 1) if nloc % q == 0)
+    m = nloc // p
+    subs = [_fft_static(re[r::p], im[r::p], sign) for r in range(p)]
+    out_r = [None] * nloc
+    out_i = [None] * nloc
+    for kk in range(nloc):
+        k = kk % m
+        accr, acci = subs[0][0][k], subs[0][1][k]
+        for r in range(1, p):
+            w = np.exp(sign * 2j * np.pi * r * kk / nloc)
+            wr, wi = float(w.real), float(w.imag)
+            yr, yi = subs[r][0][k], subs[r][1][k]
+            if abs(wi) < 1e-12:     # w = +-1
+                tr, ti = wr * yr, wr * yi
+            elif abs(wr) < 1e-12:   # w = +-i
+                tr, ti = -wi * yi, wi * yr
+            else:
+                tr = wr * yr - wi * yi
+                ti = wr * yi + wi * yr
+            accr = accr + tr
+            acci = acci + ti
+        out_r[kk], out_i[kk] = accr, acci
+    return out_r, out_i
+
+
 def _fft16_static(re, im, sign):
     """Power-of-2 DFT of a list of (R, A) planes via radix-2 DIT with
     baked twiddle constants. re/im: lists in natural order; returns lists
@@ -341,7 +378,7 @@ def _rowfft_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref,
             jr.append(ir * twr - ii * twi)
             ji.append(ir * twi + ii * twr)
         # stage 2: 16-point DFT over k2 -> natural chunks b
-        br, bi = _fft16_static(jr, ji, sign)
+        br, bi = _fft_static(jr, ji, sign)
         for b_ in range(B):
             ore_ref[0, :, b_ * A:(b_ + 1) * A] = br[b_] * inv_n
             oim_ref[0, :, b_ * A:(b_ + 1) * A] = bi[b_] * inv_n
@@ -349,7 +386,7 @@ def _rowfft_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref,
         # stage 1: 16-point DFT over the natural chunk index b
         xr = [xre_ref[0, :, b_ * A:(b_ + 1) * A] for b_ in range(B)]
         xi = [xim_ref[0, :, b_ * A:(b_ + 1) * A] for b_ in range(B)]
-        gr, gi = _fft16_static(xr, xi, sign)
+        gr, gi = _fft_static(xr, xi, sign)
         # per k2: twiddle + 128-point DFT over lanes (matmul from right)
         for k2 in range(B):
             twr = TWre[k2][None, :]
@@ -393,7 +430,7 @@ def _rowifft_scaled_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, sc_ref,
         twi = TWim[k2][None, :]
         jr.append(ir * twr - ii * twi)
         ji.append(ir * twi + ii * twr)
-    br, bi = _fft16_static(jr, ji, 1.0)
+    br, bi = _fft_static(jr, ji, 1.0)
     for b_ in range(B):
         ore_ref[0, :, b_ * A:(b_ + 1) * A] = br[b_] * inv_n
         oim_ref[0, :, b_ * A:(b_ + 1) * A] = bi[b_] * inv_n
@@ -447,7 +484,7 @@ def _rowifft_noise_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, sc_ref,
         twi = TWim[k2][None, :]
         jr.append((ir * twr - ii * twi) * inv_n)
         ji.append((ir * twi + ii * twr) * inv_n)
-    br, bi = _fft16_static(jr, ji, 1.0)
+    br, bi = _fft_static(jr, ji, 1.0)
     for b_ in range(B):
         ore_ref[0, :, b_ * A:(b_ + 1) * A] = br[b_]
         oim_ref[0, :, b_ * A:(b_ + 1) * A] = bi[b_]

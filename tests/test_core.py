@@ -458,6 +458,43 @@ def test_pallas_fft_interpret_mode():
     np.testing.assert_allclose(np.asarray(zi), np.asarray(xi), atol=1e-5)
 
 
+def test_pallas_fft_generic_B_interpret_mode():
+    """Non-power-of-2 B = n/128 (mixed-radix stage 1): full 2D pp
+    pipeline — fft2pp, mirror, half-plane qc, inverse — vs numpy at
+    n = 384 (B = 3) and n = 640 (B = 5)."""
+    from orphics_tpu.ops import pallas_fft as pf
+    rng = np.random.default_rng(44)
+    for n in (384, 640):
+        x = rng.standard_normal((1, n, n)).astype(np.float32)
+        y = rng.standard_normal((1, n, n)).astype(np.float32)
+        Zr, Zi = pf.fft2pp(jnp.asarray(x), jnp.asarray(y), interpret=True)
+        perm, inv = pf.row_perm(n)
+        ref = np.fft.fft2(x + 1j * y)
+        got = (np.asarray(Zr) + 1j * np.asarray(Zi))[:, inv][:, :, inv]
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-5
+        # mirror Z(-k) in the doubly-permuted layout
+        mr, mi = pf.mirror_pp(Zr, Zi, interpret=True)
+        mref = np.roll(ref[:, ::-1, ::-1], (1, 1), (-2, -1))
+        mgot = (np.asarray(mr) + 1j * np.asarray(mi))[:, inv][:, :, inv]
+        assert np.abs(mgot - mref).max() / scale < 1e-5
+        # half-plane mirror-even fields
+        qs, c = pf.qc_pp_half(Zr, Zi, interpret=True)
+        Znat = got
+        qs_ref = (0.5 * (np.abs(Znat) ** 2 + np.abs(mref) ** 2)
+                  )[:, perm][:, :, perm]
+        c_ref = (Znat * mref).real[:, perm][:, :, perm]
+        p_of_h, _ = pf.half_rows(n)
+        assert (np.abs(np.asarray(qs) - qs_ref[:, p_of_h]).max()
+                / qs_ref.max() < 1e-5)
+        assert (np.abs(np.asarray(c) - c_ref[:, p_of_h]).max()
+                / np.abs(c_ref).max() < 1e-5)
+        # roundtrip
+        rr, ri = pf.ifft2pp(Zr, Zi, interpret=True)
+        np.testing.assert_allclose(np.asarray(rr), x, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(ri), y, atol=3e-5)
+
+
 def test_row_perm_consistency():
     from orphics_tpu.ops import pallas_fft as pf
     n = 2048
