@@ -34,6 +34,17 @@ def _sync_scalar(x):
     return float(np.asarray(x).ravel()[0])
 
 
+def _maybe_trace(tag):
+    """Profiler trace context for the timed reps when BENCH_TRACE is set
+    (a logdir path); no-op otherwise."""
+    logdir = os.environ.get("BENCH_TRACE")
+    if not logdir:
+        import contextlib
+        return contextlib.nullcontext()
+    from orphics_tpu.utils import profiling
+    return profiling.trace(os.path.join(logdir, tag))
+
+
 def bench_headline():
     import jax
     import jax.numpy as jnp
@@ -131,11 +142,12 @@ def bench_headline():
         out = step(0)
         _ = np.asarray(out)
         nrep = int(os.environ.get("BENCH_REPS", 20))
-        t0 = time.perf_counter()
-        for i in range(nrep):
-            out = step(i + 1)
-        _ = np.asarray(out)
-        dt = time.perf_counter() - t0
+        with _maybe_trace("config1"):
+            t0 = time.perf_counter()
+            for i in range(nrep):
+                out = step(i + 1)
+            _ = np.asarray(out)
+            dt = time.perf_counter() - t0
         rate = nrep * batch / dt
         print(json.dumps({
             "metric": f"grf_fft_bin_pipelines_per_sec_{n}x{n}_fp32",
@@ -241,11 +253,12 @@ def bench_masked_cross():
     out = step(0)
     _sync_scalar(out[0])
     nrep = int(os.environ.get("BENCH2_REPS", 10))
-    t0 = time.perf_counter()
-    for i in range(nrep):
-        out = step(i + 1)
-    _sync_scalar(out[0])
-    dt = time.perf_counter() - t0
+    with _maybe_trace("config2"):
+        t0 = time.perf_counter()
+        for i in range(nrep):
+            out = step(i + 1)
+        _sync_scalar(out[0])
+        dt = time.perf_counter() - t0
     rate = nrep * (batch // 2) / dt
     print(json.dumps({
         "metric": f"masked_cross_spectra_per_sec_{n}x{n}_fp32",
@@ -304,11 +317,12 @@ def bench_qe_recon():
     out = step(jax.random.PRNGKey(0))
     _sync_scalar(out)
     nrep = int(os.environ.get("BENCH3_REPS", 10))
-    t0 = time.perf_counter()
-    for i in range(nrep):
-        out = step(jax.random.PRNGKey(i + 1))
-    _sync_scalar(out)
-    dt = time.perf_counter() - t0
+    with _maybe_trace("config3"):
+        t0 = time.perf_counter()
+        for i in range(nrep):
+            out = step(jax.random.PRNGKey(i + 1))
+        _sync_scalar(out)
+        dt = time.perf_counter() - t0
     rate = nrep * batch / dt
     print(json.dumps({
         "metric": f"qe_tt_recon_per_sec_{n}x{n}_fp32",
@@ -367,11 +381,12 @@ def bench_ilc():
     out = step(jax.random.PRNGKey(0))
     _sync_scalar(out)
     nrep = int(os.environ.get("BENCH4_REPS", 10))
-    t0 = time.perf_counter()
-    for i in range(nrep):
-        out = step(jax.random.PRNGKey(i + 1))
-    _sync_scalar(out)
-    dt = time.perf_counter() - t0
+    with _maybe_trace("config4"):
+        t0 = time.perf_counter()
+        for i in range(nrep):
+            out = step(jax.random.PRNGKey(i + 1))
+        _sync_scalar(out)
+        dt = time.perf_counter() - t0
     rate = nrep * batch / dt
     print(json.dumps({
         "metric": f"ilc_6band_deproj_coadds_per_sec_{n}x{n}_fp32",
@@ -444,11 +459,12 @@ def bench_stack():
     out = step(jax.random.PRNGKey(0))
     _sync_scalar(out)
     nrep = int(os.environ.get("BENCH5_REPS", 5))
-    t0 = time.perf_counter()
-    for i in range(nrep):
-        out = step(jax.random.PRNGKey(i + 1))
-    _sync_scalar(out)
-    dt = time.perf_counter() - t0
+    with _maybe_trace("config5"):
+        t0 = time.perf_counter()
+        for i in range(nrep):
+            out = step(jax.random.PRNGKey(i + 1))
+        _sync_scalar(out)
+        dt = time.perf_counter() - t0
     rate = nrep * nstamp / dt
     print(json.dumps({
         "metric": f"stack_inpaint_nfwfit_stamps_per_sec_{npix}x{npix}",

@@ -216,3 +216,33 @@ def test_crossband_errors_knox_scaling():
                                       f_sky_eff=0.4)
     np.testing.assert_allclose(sig1 / sig2, 2.0, rtol=1e-6)  # 1/sqrt(fsky)
     assert np.all(np.isfinite(sig1)) and np.all(sig1 > 0)
+
+
+def test_profiling_trace_annotate_show(tmp_path, capsys):
+    """jax.profiler trace wrapper captures events; named scopes compile
+    under jit; show prints a wall time (SURVEY §5.1 tracing layer)."""
+    import jax
+    from orphics_tpu.utils import profiling as prof
+
+    @jax.jit
+    def step(x):
+        with prof.annotate("double"):
+            y = x * 2.0
+        return y.sum()
+
+    logdir = str(tmp_path / "trace")
+    with prof.trace(logdir):
+        out = step(jnp.arange(8, dtype=jnp.float32))
+        prof.sync(out)
+    assert float(out) == 56.0
+    # trace files were written (plugins/profile/<run>/...)
+    import os
+    found = []
+    for root, _dirs, files in os.walk(logdir):
+        found += files
+    assert found, "profiler trace produced no files"
+
+    with prof.show("twostep"):
+        out = prof.sync(step(jnp.ones(4, jnp.float32)))
+    printed = capsys.readouterr().out
+    assert "twostep:" in printed
