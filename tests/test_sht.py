@@ -37,13 +37,17 @@ def wigner_d_brute(l, m, n, beta):
 def get_lambda(lmax, theta, n):
     """Extract Lambda^{m,n}_l(theta) for all (l, m) from the scan."""
     T = len(theta)
-    out0 = jnp.zeros((lmax + 1, lmax + 1, T))
+    Lpad = -(-(lmax + 1) // sht._LBLOCK) * sht._LBLOCK
+    out0 = jnp.zeros((Lpad, lmax + 1, T))
 
-    def contract(l, lam_eff, out, _):
-        return out.at[l].set(lam_eff[0])
+    def contract(l_base, lam_blk, out, _):
+        from jax import lax
+        return lax.dynamic_update_slice_in_dim(out, lam_blk[:, 0], l_base,
+                                               axis=0)
 
-    return np.asarray(sht._lambda_scan(lmax, np.asarray(theta), (n,),
-                                       jnp.float64, contract, out0))
+    out = sht._lambda_scan(lmax, np.asarray(theta), (n,),
+                           jnp.float64, contract, out0)
+    return np.asarray(out)[: lmax + 1]
 
 
 THETAS = np.array([0.013, 0.3, 1.0, np.pi / 2, 2.2, np.pi - 0.013])
