@@ -367,16 +367,80 @@ def bench_ilc():
     a_cmb = jnp.ones(nf, jnp.float32)
     a_tsz = jnp.asarray(np.asarray(fg.g_tsz(freqs)), jnp.float32)
     ells_full = np.arange(th.lpad + 1)
-    mgen = grf.MapGen(geom, np.asarray(th.lCl("TT", ells_full))[None, None])
+    cltt_full = np.asarray(th.lCl("TT", ells_full))
+    mgen = grf.MapGen(geom, cltt_full[None, None])
 
-    @jax.jit
-    def step(key):
-        keys = jax.random.split(key, batch * nf)
-        maps6 = jax.vmap(mgen.get_map)(keys).reshape(batch, nf, n, n)
-        kmaps = jnp.fft.fft2(maps6)
-        coadd = ilc.cilc(jnp.moveaxis(kmaps, 1, 0), cinv2d, a_cmb, a_tsz)
-        omaps = jnp.fft.ifft2(coadd).real
-        return omaps.mean(axis=(-2, -1))
+    impl = os.environ.get("BENCH_IMPL", "pallas")
+    if impl == "pallas" and n % 128 == 0 and n >= 256 and nf % 2 == 0:
+        # The cILC is linear in the maps, so the per-band weights are a
+        # STATIC real 2D filter (ilc.cilc_weights): each packed FFT pair
+        # (bands 2q, 2q+1 of one coadd) contributes w1 F1 + w2 F2 with
+        # F1/F2 from the Hermitian split — evaluated directly on the
+        # (Z, Z(-k)) permuted planes, so the whole coadd is Pallas
+        # synthesis + packed Pallas FFTs + one block-copy mirror + a
+        # weighted sum, and pairs of Hermitian coadds invert in ONE
+        # complex Pallas ifft each.
+        from orphics_tpu.ops import pallas_fft as pf
+        assert batch % 2 == 0
+        perm, _ = pf.row_perm(n)
+        covsqrt = grf.spec2flat(geom, cltt_full[None, None], exp=0.5,
+                                dtype=jnp.float32)[0, 0]
+        covsqrt_pp = jnp.asarray(np.asarray(covsqrt)[perm][:, perm]
+                                 * np.sqrt(geom.npix).astype(np.float32))
+        w2d = np.asarray(ilc.cilc_weights(cinv2d, a_cmb, a_tsz),
+                         np.float32)                     # (nf, n, n)
+        w_pp = jnp.asarray(w2d[:, perm][:, :, perm])
+        wa = w_pp[0::2]                                   # (nf/2, n, n)
+        wb = w_pp[1::2]
+        npairs_tot = batch * nf // 2
+        nq = nf // 2
+
+        @jax.jit
+        def step(seed):
+            m1, m2 = pf.ifft2pp_noise(covsqrt_pp, seed, npairs_tot)
+            Zr, Zi = pf.fft2pp(m1, m2)
+            Zmr, Zmi = pf.mirror_pp(Zr, Zi)
+            F1r = 0.5 * (Zr + Zmr)
+            F1i = 0.5 * (Zi - Zmi)
+            F2r = 0.5 * (Zi + Zmi)
+            F2i = 0.5 * (Zmr - Zr)
+            sh = (batch, nq, n, n)
+            cr = (jnp.einsum("jq...,q...->j...", F1r.reshape(sh), wa)
+                  + jnp.einsum("jq...,q...->j...", F2r.reshape(sh), wb))
+            ci = (jnp.einsum("jq...,q...->j...", F1i.reshape(sh), wa)
+                  + jnp.einsum("jq...,q...->j...", F2i.reshape(sh), wb))
+            # pack Hermitian coadd pairs: ifft2(C1 + i C2) = map1 + i map2
+            Pr = cr[0::2] - ci[1::2]
+            Pi = ci[0::2] + cr[1::2]
+            o1, o2 = pf.ifft2pp(Pr, Pi)
+            return (o1.mean(axis=(-2, -1)), o2.mean(axis=(-2, -1)))
+    else:
+        @jax.jit
+        def step(key):
+            keys = jax.random.split(key, batch * nf)
+            maps6 = jax.vmap(mgen.get_map)(keys).reshape(batch, nf, n, n)
+            kmaps = jnp.fft.fft2(maps6)
+            coadd = ilc.cilc(jnp.moveaxis(kmaps, 1, 0), cinv2d, a_cmb,
+                             a_tsz)
+            omaps = jnp.fft.ifft2(coadd).real
+            return omaps.mean(axis=(-2, -1))
+
+    if impl == "pallas" and n % 128 == 0 and n >= 256 and nf % 2 == 0:
+        out = step(0)
+        _sync_scalar(out[0])
+        nrep = int(os.environ.get("BENCH4_REPS", 10))
+        with _maybe_trace("config4"):
+            t0 = time.perf_counter()
+            for i in range(nrep):
+                out = step(i + 1)
+            _sync_scalar(out[0])
+            dt = time.perf_counter() - t0
+        rate = nrep * batch / dt
+        print(json.dumps({
+            "metric": f"ilc_6band_deproj_coadds_per_sec_{n}x{n}_fp32",
+            "value": round(rate, 2), "unit": "coadds/s",
+            "vs_baseline": round(rate, 2)}))
+        return
 
     out = step(jax.random.PRNGKey(0))
     _sync_scalar(out)

@@ -14,7 +14,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["silc", "cilc", "silc_noise", "cilc_noise", "ilc_cov", "ilc_cinv",
+__all__ = ["silc", "cilc", "silc_weights", "cilc_weights",
+           "silc_noise", "cilc_noise", "ilc_cov", "ilc_cinv",
            "ilc_empirical_cov", "calculate_harmonic_coadd_weights",
            "harmonic_coaddition", "kspace_coadd", "ilc_map_term",
            "ilc_comb_a_b"]
@@ -69,6 +70,33 @@ def cilc(kmaps, cinv, response_a, response_b):
     numer = brb * arM - arb * brM
     norm = ara * brb - arb ** 2
     return jnp.where(jnp.abs(norm) > 0, numer / jnp.where(norm == 0, 1.0, norm), 0.0)
+
+
+def silc_weights(cinv, response=None):
+    """Per-band standard-ILC weights w with ``silc(kmaps) = sum_b w_b
+    kmap_b`` (the ILC is linear in the maps; precomputing w turns each
+    coadd into one elementwise weighted sum — real weights, so re/im
+    planes combine independently on TPU)."""
+    response = _def_response(response, cinv)
+    cia = jnp.einsum("kl...,l->k...", cinv, response)
+    return cia * silc_noise(cinv, response)[None]
+
+
+def cilc_weights(cinv, response_a, response_b):
+    """Per-band constrained-ILC weights w with ``cilc(kmaps) = sum_b w_b
+    kmap_b`` (deprojects ``response_b``; same linearization as
+    :func:`silc_weights`)."""
+    response_a = jnp.asarray(response_a, cinv.dtype)
+    response_b = jnp.asarray(response_b, cinv.dtype)
+    cia = jnp.einsum("kl...,l->k...", cinv, response_a)
+    cib = jnp.einsum("kl...,l->k...", cinv, response_b)
+    brb = ilc_comb_a_b(response_b, response_b, cinv)
+    arb = ilc_comb_a_b(response_a, response_b, cinv)
+    ara = ilc_comb_a_b(response_a, response_a, cinv)
+    numer = brb[None] * cia - arb[None] * cib
+    norm = ara * brb - arb ** 2
+    return jnp.where(jnp.abs(norm)[None] > 0,
+                     numer / jnp.where(norm == 0, 1.0, norm)[None], 0.0)
 
 
 def cilc_noise(cinv, response_a, response_b):

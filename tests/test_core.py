@@ -495,6 +495,48 @@ def test_pallas_fft_generic_B_interpret_mode():
         np.testing.assert_allclose(np.asarray(ri), y, atol=3e-5)
 
 
+def test_pallas_ilc_coadd_parity_interpret_mode():
+    """The bench config-4 fast path: cILC coadd as static per-band
+    weights applied to packed Fourier pairs via the (Z, Z(-k)) planes,
+    vs the reference-convention ilc.cilc on XLA ffts."""
+    from orphics_tpu.ops import pallas_fft as pf
+    from orphics_tpu.models import ilc
+    rng = np.random.default_rng(7)
+    n, nf = 256, 4
+    maps = rng.standard_normal((nf, n, n)).astype(np.float32)
+    cov = rng.standard_normal((nf, nf, n, n)).astype(np.float64)
+    cov = np.einsum("ik...,jk...->ij...", cov, cov) + 5 * np.eye(nf)[
+        :, :, None, None]
+    cinv = np.moveaxis(np.linalg.inv(np.moveaxis(cov, (0, 1), (-2, -1))),
+                       (-2, -1), (0, 1)).astype(np.float32)
+    a = np.ones(nf, np.float32)
+    b = np.asarray([1.0, -2.0, 0.5, 3.0], np.float32)
+    # reference: full cilc on XLA ffts
+    kmaps = np.fft.fft2(maps)
+    coadd_ref = np.fft.ifft2(np.asarray(
+        ilc.cilc(jnp.asarray(kmaps), jnp.asarray(cinv), jnp.asarray(a),
+                 jnp.asarray(b)))).real
+    # fast path: packed pairs + mirror + static weights, permuted layout
+    perm, _ = pf.row_perm(n)
+    w2d = np.asarray(ilc.cilc_weights(jnp.asarray(cinv), jnp.asarray(a),
+                                      jnp.asarray(b)), np.float32)
+    w_pp = jnp.asarray(w2d[:, perm][:, :, perm])
+    m1 = jnp.asarray(maps[0::2])
+    m2 = jnp.asarray(maps[1::2])
+    Zr, Zi = pf.fft2pp(m1, m2, interpret=True)
+    Zmr, Zmi = pf.mirror_pp(Zr, Zi, interpret=True)
+    F1r, F1i = 0.5 * (Zr + Zmr), 0.5 * (Zi - Zmi)
+    F2r, F2i = 0.5 * (Zi + Zmi), 0.5 * (Zmr - Zr)
+    wa, wb = w_pp[0::2], w_pp[1::2]
+    cr = jnp.einsum("q...,q...->...", F1r, wa) + jnp.einsum(
+        "q...,q...->...", F2r, wb)
+    ci = jnp.einsum("q...,q...->...", F1i, wa) + jnp.einsum(
+        "q...,q...->...", F2i, wb)
+    o1, _ = pf.ifft2pp(cr[None], ci[None], interpret=True)
+    scale = np.abs(coadd_ref).max()
+    assert np.abs(np.asarray(o1)[0] - coadd_ref).max() / scale < 1e-4
+
+
 def test_row_perm_consistency():
     from orphics_tpu.ops import pallas_fft as pf
     n = 2048
