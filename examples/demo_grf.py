@@ -7,6 +7,9 @@ span a multi-chip mesh).
 
 Run: python examples/demo_grf.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run from anywhere
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -6,6 +6,9 @@ standard and constrained ILC noise curves.
 
 Run: python examples/ilc_forecast.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run from anywhere
 import numpy as np
 import jax.numpy as jnp
 

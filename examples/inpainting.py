@@ -7,6 +7,9 @@ one batched matmul.
 
 Run: python examples/inpainting.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run from anywhere
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -6,6 +6,9 @@ native quadratic-estimator normalization integrals (all FFTs, jitted).
 
 Run: python examples/lensing_noise_curves.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run from anywhere
 import numpy as np
 
 from orphics_tpu import maps, io

@@ -6,6 +6,9 @@ forecasting with LensForecast.
 
 Run: python examples/limber_forecast.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run from anywhere
 import numpy as np
 
 from orphics_tpu import io

@@ -8,6 +8,9 @@ reconstruction compile into one program per sim; the ensemble is a vmap
 
 Run: python examples/tt_verification.py [nsims]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # run from anywhere
 import sys
 
 import numpy as np
