@@ -128,3 +128,36 @@ class CAMBInterface:
     def get_cls(self, root, workdir="."):
         from .models.theory import load_theory_from_camb
         return load_theory_from_camb(os.path.join(workdir, root))
+
+
+def load_sdss_redmapper(path, lams=True, zs=True):
+    """Columns from the SDSS redMaPPer DR8 v6.3 cluster catalog
+    (reference ``interfaces.py`` ``load_sdss_redmapper``)."""
+    from .models.catalogs import load_fits
+    extra = []
+    if lams:
+        extra += ["LAMBDA"]
+    if zs:
+        extra += ["Z_LAMBDA"]
+    return load_fits(f"{path}/redmapper_dr8_public_v6.3_catalog.fits",
+                     column_names=["RA", "DEC"] + extra)
+
+
+def agora_redshift_to_halocat_files(z_min, z_max, lensed=False):
+    """Agora lightcone slice filenames covering [z_min, z_max]
+    (reference ``interfaces.py`` ``agora_redshift_to_halocat_files``;
+    comoving distances from the native background cosmology at the
+    Agora parameters instead of astropy)."""
+    from .models.cosmology import Cosmology
+    if lensed:
+        base = ("agora_halos_lenra_lendec_mag_rotreal_rotimag_"
+                "deflectnside16384_{}.npy")
+    else:
+        base = "agora_halolc_rot_{}_v050223.npz"
+    cc = Cosmology(dict(H0=67.77, omch2=(0.307 - 0.048) * 0.6777 ** 2,
+                        ombh2=0.048 * 0.6777 ** 2))
+    d_min = cc.comoving_radial_distance(z_min) * cc.h
+    d_max = cc.comoving_radial_distance(z_max) * cc.h
+    slice_start = max(int(d_min // 25) - 1, 4)
+    slice_end = min(int(d_max // 25) + 1, 200)
+    return [base.format(i) for i in range(slice_start, slice_end + 1)]

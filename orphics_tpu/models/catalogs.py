@@ -559,3 +559,67 @@ def reconstruct_velocities(ras, decs, zs, ras_rand, decs_rand, zs_rand,
 
 __all__ += ["load_boss", "BOSSMapper", "HSCMapper", "read_mangle_ply",
             "hp_from_mangle", "reconstruct_velocities"]
+
+
+def select_region(ra_col, dec_col, other_cols, ra_min, ra_max, dec_min,
+                  dec_max):
+    """Select catalog rows inside an (ra, dec) box, wrapping RA at 180
+    degrees (reference ``catalogs.py`` ``select_region``; native wrap
+    in place of astropy.Angle)."""
+    ra = np.asarray(ra_col, np.float64)
+    ra = (ra + 180.0) % 360.0 - 180.0          # wrap_at('180d')
+    dec = np.asarray(dec_col, np.float64)
+    sel = (ra > ra_min) & (ra < ra_max) & (dec > dec_min) & (dec < dec_max)
+    return ra[sel], dec[sel], [np.asarray(c)[sel] for c in other_cols]
+
+
+def enplot_annotate(fname, ras, decs, radius, width, color):
+    """Write an enplot annotation file of circles (reference
+    ``catalogs.py`` ``enplot_annotate``; the plain-text format is
+    independent of enplot itself)."""
+    with open(fname, "w") as f:
+        for i, (ra, dec) in enumerate(zip(ras, decs)):
+            r = radius[i] if isinstance(radius, (list, np.ndarray)) else radius
+            w = width[i] if isinstance(width, (list, np.ndarray)) else width
+            c = color[i] if isinstance(color, (list, np.ndarray)) else color
+            f.write("c %.4f %.4f 0 0 %d %d %s \n" % (dec, ra, r, w, c))
+
+
+def convert_catalog_to_enplot_annotate_file(annot_fname, ras, decs,
+                                            radius=10, width=4,
+                                            color="red", mask=None,
+                                            geom=None, threshold=0.99):
+    """Catalog -> annotation file, optionally mask-filtered (reference
+    ``catalogs.py`` ``convert_catalog_to_enplot_annotate_file``)."""
+    if mask is not None:
+        ras, decs = select_based_on_mask(ras, decs, mask, geom=geom,
+                                         threshold=threshold)
+    enplot_annotate(annot_fname, ras, decs, radius, width, color)
+
+
+def convert_fits_catalog_to_enplot_annotate_file(fits_file, annot_fname,
+                                                 ra_name="RA",
+                                                 dec_name="DEC", **kw):
+    """FITS catalog -> annotation file (reference
+    ``convert_fits_catalog_to_enplot_annotate_file``)."""
+    from ..utils.fitsio import read_bintable
+    tab = read_bintable(fits_file)
+    convert_catalog_to_enplot_annotate_file(annot_fname, tab[ra_name],
+                                            tab[dec_name], **kw)
+
+
+def convert_hilton_catalog_to_enplot_annotate_file(fits_file, annot_fname,
+                                                   **kw):
+    """ACT (Hilton et al.) cluster catalog -> annotation file (reference
+    ``convert_hilton_catalog_to_enplot_annotate_file``: the Hilton
+    catalogs use RADeg/decDeg column names)."""
+    convert_fits_catalog_to_enplot_annotate_file(
+        fits_file, annot_fname, ra_name="RADeg", dec_name="decDeg", **kw)
+
+
+def load_fits(fits_file, column_names, hdu_num=1):
+    """Columns from a FITS binary table as a list of arrays (reference
+    ``catalogs.py`` ``load_fits``; native FITS reader, no astropy)."""
+    from ..utils.fitsio import read_bintable
+    tab = read_bintable(fits_file, hdu=hdu_num)
+    return [np.asarray(tab[name]) for name in column_names]

@@ -809,3 +809,263 @@ def get_lensed_cls(ells, ucltt, clkk, lmax=None, npix=2048,
     lensed = np.interp(out_ells, cents, np.asarray(l1d), left=0, right=0)
     lensed[:2] = 0
     return out_ells, lensed
+
+
+# ---------------------------------------------------------------------------
+# Theory-matrix glue (reference cosmology.py:732, 747, 769, 1612, 1694)
+# ---------------------------------------------------------------------------
+
+def phi2kappa(ls):
+    """phi -> kappa multipole factor l(l+1)/2 (reference
+    ``cosmology.py:1694``)."""
+    ls = jnp.asarray(ls)
+    return ls * (ls + 1.0) / 2.0
+
+
+def unpack_cmb_theory(theory, ells, lensed=False):
+    """(cltt, clee, clte, clbb) tuple from a TheorySpectra (reference
+    ``cosmology.py:732``)."""
+    get = theory.lCl if lensed else theory.uCl
+    return (get("TT", ells), get("EE", ells), get("TE", ells),
+            get("BB", ells))
+
+
+def enmap_power_from_orphics_theory(theory, lmax=None, ells=None,
+                                    lensed=False, dimensionless=True,
+                                    orphics_dimensionless=True,
+                                    TCMB=2.7255e6):
+    """(3, 3, ...) TEB power matrix with the reference's dimensionless
+    conversion conventions (reference ``cosmology.py:747``). ``ells``
+    may be 1D or a 2D modlmap."""
+    if orphics_dimensionless and not dimensionless:
+        tmul = TCMB ** 2
+    elif (not orphics_dimensionless) and dimensionless:
+        tmul = 1.0 / TCMB ** 2
+    else:
+        tmul = 1.0
+    if ells is None:
+        ells = np.arange(0, lmax, 1)
+    ells = jnp.asarray(ells)
+    cltt, clee, clte, clbb = unpack_cmb_theory(theory, ells,
+                                               lensed=lensed)
+    z = jnp.zeros_like(jnp.asarray(cltt))
+    ps = jnp.stack([
+        jnp.stack([jnp.asarray(cltt), jnp.asarray(clte), z]),
+        jnp.stack([jnp.asarray(clte), jnp.asarray(clee), z]),
+        jnp.stack([z, z, jnp.asarray(clbb)]),
+    ])
+    return ps * tmul
+
+
+def loadTheorySpectraFromPycambResults(results, pars, kellmax,
+                                       unlensedEqualsLensed=False,
+                                       useTotal=False, TCMB=2.7255e6,
+                                       lpad=9000, get_dimensionless=True,
+                                       **_ignored):
+    """Build a TheorySpectra from a pycamb ``results`` object (reference
+    ``cosmology.py:769``). Requires the optional ``camb`` dependency
+    only to *produce* ``results`` — this function just unpacks the
+    standard ``get_cmb_power_spectra`` dict, so any object with that
+    method (or a plain dict of the same arrays) works.
+    """
+    from .theory import TheorySpectra
+    tmul = 1.0 if get_dimensionless else TCMB ** 2
+    if hasattr(results, "get_cmb_power_spectra"):
+        cmbmat = results.get_cmb_power_spectra(pars)
+    else:
+        cmbmat = results
+    lkey = "total" if useTotal else "lensed_scalar"
+    ukey = "unlensed_total" if useTotal else "unlensed_scalar"
+    theory = TheorySpectra(tables={}, lpad=lpad)
+    for which, key in (("l", lkey), ("u", ukey)):
+        if which == "u" and unlensedEqualsLensed:
+            key = lkey
+        mat = np.asarray(cmbmat[key])
+        ells = np.arange(mat.shape[0])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norm = np.nan_to_num(2.0 * np.pi / ells / (ells + 1.0))
+        for i, pol in enumerate(("TT", "EE", "BB", "TE")):
+            cls = mat[:, i] * norm * tmul
+            sel = ells < kellmax
+            theory.loadCls(ells[sel], cls[sel], pol,
+                           lensed=(which == "l"), lpad=lpad)
+    return theory
+
+
+def get_lss_cls(windows, lmax, nonlinear=True, params=None):
+    """Limber auto/cross Cls for a dict of LSS windows (the role of
+    reference ``cosmology.py:1612``, natively via LimberCosmology
+    instead of camb.sources; the nonlinear flag is accepted for
+    signature parity — the native P(k) is linear/EH98 unless a
+    ``pkgrid_override`` table is installed).
+
+    windows: name -> dict with ``stype`` ('counts'|'lensing'), and
+    either ``wtype='gaussian'`` (zmean, zsigma) or ``wtype='spline'``
+    (zs, dndz); counts windows take a bias ``b``.
+    Returns dict of 'name1,name2' -> Cl arrays over ells = 0..lmax.
+    """
+    lc = LimberCosmology(params=dict(params or {}), lmax=lmax)
+    for key, ws in dict(windows).items():
+        if ("P" in key) or ("x" in key):
+            raise ValueError("window names may not contain 'P' or 'x'")
+        stype = ws["stype"].strip().lower()
+        bias = ws.get("b") if stype == "counts" else None
+        wtype = ws["wtype"].strip().lower()
+        if wtype == "gaussian":
+            zs = np.linspace(max(ws["zmean"] - 5 * ws["zsigma"], 1e-3),
+                             ws["zmean"] + 5 * ws["zsigma"], 160)
+            dndz = np.exp(-0.5 * ((zs - ws["zmean"]) / ws["zsigma"]) ** 2)
+        elif wtype == "spline":
+            zs = np.asarray(ws["zs"])
+            dndz = np.asarray(ws["dndz"])
+        else:
+            raise ValueError(wtype)
+        # bias=None -> lensing window, else galaxy-counts window (the
+        # LimberCosmology convention, mirroring the reference)
+        lc.addNz(key, zs, dndz, bias=(None if stype == "lensing"
+                                      else bias))
+    ells = np.arange(lmax + 1, dtype=np.float64)
+    lc.generateCls(ells)
+    out = {}
+    names = list(dict(windows).keys())
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            out[f"{a},{b}"] = np.asarray(lc.getCl(a, b))
+    return out
+
+
+def fk_comparison(param, z, val1, val2, oparams=None, ks=None,
+                  plot_file=None):
+    """Fractional change of the growth rate f(k->scale-indep) between
+    two values of a parameter (reference ``cosmology.py`` comparison
+    helper, natively via the ODE growth solution). Returns (ks, ratio).
+    """
+    from .rsd import growth_rate
+    ks = np.logspace(-4, np.log10(0.3), 500) if ks is None else ks
+    out = []
+    for val in (val1, val2):
+        params = dict(oparams or {})
+        params[param] = val
+        cc = Cosmology(params)
+        out.append(growth_rate(cc, z))
+    ratio = np.full(len(ks), out[1] / out[0])
+    if plot_file:
+        from ..utils.plot import Plotter
+        pl = Plotter(xlabel="$k$", ylabel="$f_2/f_1$", xscale="log")
+        pl.add(ks, ratio)
+        pl.done(plot_file)
+    return ks, ratio
+
+
+def pk_comparison(param, z, val1, val2, oparams=None, ks=None,
+                  plot_file=None):
+    """Fractional change of P(k, z) between two parameter values
+    (reference ``cosmology.py`` ``pk_comparison``, natively).
+    Returns (ks, P2/P1)."""
+    ks = np.logspace(-4, np.log10(0.3), 500) if ks is None else ks
+    pks = []
+    for val in (val1, val2):
+        params = dict(oparams or {})
+        params[param] = val
+        cc = Cosmology(params)
+        pks.append(np.asarray(cc.P_lin(jnp.asarray(ks), z)))
+    ratio = pks[1] / pks[0]
+    if plot_file:
+        from ..utils.plot import Plotter
+        pl = Plotter(xlabel="$k$", ylabel="$P_2/P_1$", xscale="log")
+        pl.add(ks, ratio)
+        pl.done(plot_file)
+    return ks, ratio
+
+
+def get_camb_lens_obj(nz, kmax, zmax=None):
+    """(zs, chis) sampling for Limber integration (the role of
+    reference ``cosmology.py`` ``get_camb_lens_obj``, natively from the
+    background cosmology instead of a camb results object): ``nz``
+    points equally spaced in comoving distance from today to ``zmax``
+    (or to recombination)."""
+    cc = Cosmology()
+    zmax = zmax if zmax is not None else cc.cmbZ
+    chistar = cc.comoving_radial_distance(zmax)
+    chis = np.linspace(0, chistar, nz)
+    zs = np.asarray([cc.redshift_at_comoving_radial_distance(c)
+                     for c in chis[1:]])
+    zs = np.concatenate([[0.0], zs])
+    return dict(chis=chis, zs=zs, kmax=kmax, cosmology=cc)
+
+
+def load_theory_from_glens(out_name, total=False, lpad=9000,
+                           TCMB=2.7255e6):
+    """TheorySpectra (with gradient Cls as generic entries) from the
+    text files written by a glens/camb dump (reference ``cosmology.py``
+    ``load_theory_from_glens``): ``<out_name>_gradient.txt`` plus
+    ``<out_name>_{lensed_scalar|total}.txt`` and
+    ``<out_name>_unlensed_scalar.txt``."""
+    from .theory import TheorySpectra
+    gcls = np.loadtxt(f"{out_name}_gradient.txt")
+    lcls = np.loadtxt(f"{out_name}_{'total' if total else 'lensed_scalar'}.txt")
+    theory = TheorySpectra(tables={}, lpad=lpad)
+    lells = np.arange(2, len(lcls[2:, 0]) + 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lnorm = 2 * np.pi / lells / (lells + 1.0)
+    for i, pol in enumerate(("TT", "EE", "BB", "TE")):
+        theory.loadCls(lells, lcls[2:, i] * lnorm, pol, lensed=True,
+                       lpad=lpad)
+    try:
+        ucls = np.loadtxt(f"{out_name}_unlensed_scalar.txt")
+        for i, pol in enumerate(("TT", "EE", "BB", "TE")):
+            theory.loadCls(lells, ucls[2:, i] * lnorm, pol, lensed=False,
+                           lpad=lpad)
+    except OSError:
+        for i, pol in enumerate(("TT", "EE", "BB", "TE")):
+            theory.loadCls(lells, lcls[2:, i] * lnorm, pol, lensed=False,
+                           lpad=lpad)
+    gells = np.arange(2, len(gcls[2:, 0]) + 2)
+    # gradient files are raw_cl in muK^2: convert to dimensionless
+    for i, pol in enumerate(("TT", "EE", "BB", "TE")):
+        theory.loadGenericCls(gells, gcls[2:, i] / TCMB ** 2,
+                              f"gCl_grad_{pol}", lpad=lpad)
+    return theory
+
+
+def save_glens_cls_from_ini(ini_file, out_name, glmax=8000):
+    """camb-glue dump of lensed-gradient Cls (reference
+    ``cosmology.py`` ``save_glens_cls_from_ini``); requires the
+    optional ``camb`` package, exactly like the reference."""
+    import camb
+    from camb import model
+    pars = camb.read_ini(ini_file)
+    pars.NonLinear = model.NonLinear_both
+    pars.set_for_lmax(lmax=10000, lens_potential_accuracy=1)
+    results = camb.get_results(pars)
+    spec = results.get_cmb_power_spectra(pars)
+    gcls = results.get_lensed_gradient_cls(lmax=glmax, CMB_unit="muK",
+                                           raw_cl=True)
+    for key in spec:
+        np.savetxt(f"{out_name}_{key}.txt", spec[key])
+    np.savetxt(f"{out_name}_gradient.txt", gcls)
+
+
+def class_cls(lmax, params=None, cosmo=None, zmin=None, zmax=None,
+              bias=None, dndz_file=None):
+    """CLASS number-count Cls (reference ``cosmology.py``
+    ``class_cls``); requires the optional ``classy`` package like the
+    reference. For a dependency-free equivalent use
+    :func:`get_lss_cls` (native Limber)."""
+    from classy import Class  # optional dep, same gate as reference
+    raise NotImplementedError(
+        "classy is importable but the wrapper is not maintained; "
+        "use get_lss_cls for the native Limber equivalent")
+
+
+class ClassCosmology:
+    """Placeholder for the reference's CLASS-backed cosmology
+    (``cosmology.py`` ``ClassCosmology``); requires the optional
+    ``classy`` package. The native ``Cosmology``/``LimberCosmology``
+    cover the background/Limber functionality without CLASS."""
+
+    def __init__(self, *a, **kw):
+        from classy import Class  # noqa: F401 - same gate as reference
+        raise NotImplementedError(
+            "classy backend not available in this build; use "
+            "Cosmology/LimberCosmology (native)")

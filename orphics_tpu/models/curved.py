@@ -372,3 +372,61 @@ def galactic_mask_rings(rings: RingGeom, theta1, theta2, coords="equ"):
     colat = jnp.arccos(jnp.clip(vg[..., 2], -1.0, 1.0))
     inside = (colat >= min(theta1, theta2)) & (colat <= max(theta1, theta2))
     return jnp.where(inside, 0.0, 1.0)
+
+
+def galactic_mask_equ(geom, theta1, theta2):
+    """Galactic strip mask with colatitudes measured from the galactic
+    equator (reference ``maps.py:1193``)."""
+    return galactic_mask(geom, np.pi / 2.0 - theta1, np.pi / 2.0 - theta2)
+
+
+def north_galactic_mask(geom):
+    """Mask keeping the northern galactic hemisphere (reference
+    ``maps.py:1197``)."""
+    return galactic_mask(geom, 0.0, np.deg2rad(90.0))
+
+
+def south_galactic_mask(geom):
+    """Mask keeping the southern galactic hemisphere (reference
+    ``maps.py:1200``)."""
+    return galactic_mask(geom, np.deg2rad(90.0), np.deg2rad(180.0))
+
+
+class MapRotatorEquator(MapRotator):
+    """Rotate a map from a source geometry onto an equator-centered
+    target patch (reference ``maps.py:1687``): the target geometry is
+    built from the requested patch size, with the pixel size matched to
+    the source's (optionally scaled by cos(max |dec|) of the source, the
+    reference's recommended-pixel logic), then rotation proceeds as in
+    :class:`MapRotator` via the pointing rotation that carries the
+    source center to the target center.
+    """
+
+    def __init__(self, geom_source: Geometry, center_source,
+                 patch_width_deg, patch_height_deg,
+                 width_multiplier=1.0, height_multiplier=1.5,
+                 pix_target_override_arcmin=None, downsample_pix_arcmin=None):
+        from ..geometry import rect_geometry, arcmin as ARCMIN
+        source_pix_arcmin = min(geom_source.dy, geom_source.dx) / ARCMIN
+        if pix_target_override_arcmin is None:
+            max_dec = abs(center_source[0]) + geom_source.ny \
+                * geom_source.dy / 2.0
+            pix = source_pix_arcmin * np.cos(min(max_dec, np.pi / 2.2))
+        else:
+            pix = pix_target_override_arcmin
+        geom_target = rect_geometry(
+            width_arcmin=patch_width_deg * 60.0 * width_multiplier,
+            height_arcmin=patch_height_deg * 60.0 * height_multiplier,
+            px_res_arcmin=pix)
+        rot = pointing_rotation(center_source, (0.0, 0.0))
+        super().__init__(geom_source, geom_target, rot=rot)
+        self.downsample_pix_arcmin = downsample_pix_arcmin
+
+    def rotate(self, imap):
+        out = super().rotate(imap)
+        if self.downsample_pix_arcmin is not None:
+            from .mapstools import resample_fft
+            from ..geometry import arcmin as ARCMIN
+            out, _ = resample_fft(out, self.geom_target,
+                                  self.downsample_pix_arcmin * ARCMIN)
+        return out

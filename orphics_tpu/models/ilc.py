@@ -233,3 +233,34 @@ def harmonic_coaddition(alms, beams, cl_model, target_beam, resp_factors=None,
     if return_weights:
         return out, w
     return out
+
+
+def ilc_def_response(response, cinv):
+    """Default CMB response — vector of ones (reference
+    ``maps.py:2006``)."""
+    return _def_response(response, jnp.asarray(cinv))
+
+
+def ilc_index(ndim):
+    """Einsum spectral-index string for a cinv of this ndim (reference
+    ``maps.py:2014``): 'p' for 1D-power matrices, 'pq' for 2D k-space
+    matrices."""
+    if ndim == 3:
+        return "p"
+    if ndim == 4:
+        return "pq"
+    raise ValueError(ndim)
+
+
+def apply_harmonic_coadd_weights(alms, weights, target_beam):
+    """Apply precomputed (lmax+1, nfreq) harmonic coadd weights to a
+    list of alms and convolve with the target beam (reference
+    ``maps.py:339``)."""
+    from ..ops import alm as almops
+    alms = [jnp.asarray(a) for a in alms]
+    lmax = almops.getlmax(alms[0].shape[-1])
+    w = jnp.asarray(weights)
+    out = jnp.zeros_like(alms[0])
+    for k, a in enumerate(alms):
+        out = out + almops.almxfl(a, w[: lmax + 1, k])
+    return almops.almxfl(out, jnp.asarray(target_beam)[: lmax + 1])

@@ -27,6 +27,13 @@ from ..ops.binning import Bin2D
 __all__ = [
     "flux", "MatchedFilter", "matched_filter", "get_normalized_center",
     "FourierStack", "mask_center", "crop_center", "get_central", "Purify",
+    "radial_window", "apodize_profile", "radial_mask", "circular_mask",
+    "butterworth", "gauss_kern", "gkern_interp", "block_smooth",
+    "field_variance", "random_source_map", "get_ecc", "filter_alms",
+    "area_from_mask", "flat_sim", "resample_fft", "resampled_geometry",
+    "split_sky", "cutup", "bounds_from_list", "spec1d_to_2d",
+    "get_lnlike", "get_grf_cmb", "get_grf_realization", "rgeo",
+    "resolution", "autofiltered_maps", "fourier_stack",
     "iqu_to_pure_lteb", "inpaint_cg", "analytical_tf", "minimum_ell",
     "cosine_taper", "downsample_power", "SymMat", "symmat_from_data",
     "sanitize_beam", "gapfill_edge_conv_flat", "binary_mask", "area",
@@ -652,3 +659,397 @@ def rfilter(imap, kfilter=None, rfilt=None):
         rfilt = real_space_filter(kfilter)
     kf = jnp.fft.fft2(jnp.fft.ifftshift(rfilt, axes=(-2, -1)))
     return jnp.fft.ifft2(jnp.fft.fft2(jnp.asarray(imap)) * kf).real
+
+
+# ---------------------------------------------------------------------------
+# Radial windows / kernels / masks (reference maps.py:505-600, 2736-2800,
+# 2970)
+# ---------------------------------------------------------------------------
+
+def radial_window(r, r0, r1, window="kaiser", beta=6.0):
+    """Taper smoothly from 1 (r <= r0) to 0 (r >= r1) (reference
+    ``maps.py:505``). windows: kaiser | cosine | quintic."""
+    r = jnp.asarray(r)
+    x = jnp.clip((r - r0) / (r1 - r0), 0.0, 1.0)
+    if window == "kaiser":
+        from jax.scipy.special import i0
+        w = i0(beta * jnp.sqrt(1.0 - x ** 2)) / i0(beta)
+    elif window == "cosine":
+        w = 0.5 * (1.0 + jnp.cos(jnp.pi * x))
+    elif window == "quintic":
+        w = 1.0 - (10.0 * x ** 3 - 15.0 * x ** 4 + 6.0 * x ** 5)
+    else:
+        raise ValueError('window must be "kaiser", "cosine" or "quintic"')
+    return jnp.where(r <= r0, 1.0, jnp.where(r >= r1, 0.0, w))
+
+
+def apodize_profile(thetas, profile, roll_start, roll_width,
+                    window="kaiser", beta=6.0):
+    """Taper a 1D radial profile to zero over [roll_start,
+    roll_start + roll_width] (reference ``maps.py:547``)."""
+    w = radial_window(jnp.asarray(thetas), roll_start,
+                      roll_start + roll_width, window=window, beta=beta)
+    return jnp.asarray(profile) * w
+
+
+def radial_mask(geom: Geometry, roll_start, roll_width, window="kaiser",
+                beta=6.0, dtype=jnp.float32):
+    """Circular mask from the distance-to-center map (reference
+    ``maps.py:581``): 1 inside ``roll_start`` (radians), tapering to 0
+    over ``roll_width``."""
+    return radial_window(geom.modrmap(dtype), roll_start,
+                         roll_start + roll_width, window=window,
+                         beta=beta).astype(dtype)
+
+
+def circular_mask(geom: Geometry, center_pix, radius_rad, apo_deg=None,
+                  smooth_fwhm_rad=None, dtype=jnp.float32):
+    """Zero a disc of ``radius_rad`` around ``center_pix`` = (y, x),
+    optionally cosine-apodized and/or beam-smoothed (reference
+    ``maps.py:2970`` up to its coordinate conventions: centers are pixel
+    coordinates here, not degrees)."""
+    from ..ops import distance as D
+    srcs = np.asarray(center_pix, np.float64).reshape(1, 2)
+    mask = 1.0 - D.mask_srcs(geom, srcs, float(radius_rad))
+    if apo_deg:
+        mask = D.cosine_apodize(binary_mask(mask), geom, apo_deg)
+    if smooth_fwhm_rad:
+        fwhm_arcmin = float(smooth_fwhm_rad) * 180.0 * 60.0 / np.pi
+        bl2d = F.gauss_beam(geom.modlmap(jnp.float64), fwhm_arcmin)
+        mask = F.kfilter(jnp.asarray(mask, dtype), bl2d.astype(dtype),
+                         geom)
+    return jnp.asarray(mask, dtype)
+
+
+def butterworth(ells, ell0, n):
+    """Butterworth low-pass 1/(1 + (l/l0)^{2n}) (reference
+    ``maps.py:1869``)."""
+    return 1.0 / (1.0 + (jnp.asarray(ells) / ell0) ** (2.0 * n))
+
+
+def gauss_kern(sigma_y, sigma_x, nsigma=5.0):
+    """Normalized 2D Gaussian convolution kernel (reference
+    ``maps.py:2736``); sigmas in pixels."""
+    sy = int(nsigma * sigma_y)
+    sx = int(nsigma * sigma_x)
+    y = jnp.arange(-sy, sy + 1, dtype=jnp.float64)[:, None]
+    x = jnp.arange(-sx, sx + 1, dtype=jnp.float64)[None, :]
+    g = jnp.exp(-(x ** 2 / (2 * sigma_x ** 2)
+                  + y ** 2 / (2 * sigma_y ** 2)))
+    return g / g.sum()
+
+
+def gkern_interp(geom: Geometry, rs, bprof, fwhm_guess_arcmin,
+                 nsigma=20.0):
+    """Normalized 2D kernel from a 1D radial profile, cropped to
+    ~nsigma of the guess width (reference ``maps.py:2753``). ``rs`` in
+    radians."""
+    fwhm = fwhm_guess_arcmin * np.pi / (180.0 * 60.0)
+    sigma = fwhm / np.sqrt(8.0 * np.log(2.0))
+    ny, nx = geom.shape
+    sy = int(nsigma * sigma / geom.dy)
+    sx = int(nsigma * sigma / geom.dx)
+    if ((ny % 2 == 0) == (sy % 2 == 1)):
+        sy += 1
+    if ((nx % 2 == 0) == (sx % 2 == 1)):
+        sx += 1
+    rmap = crop_center(geom.modrmap(jnp.float64), sy, sx)
+    g = jnp.interp(rmap.reshape(-1), jnp.asarray(rs),
+                   jnp.asarray(bprof)).reshape(rmap.shape)
+    return g / g.sum()
+
+
+# ---------------------------------------------------------------------------
+# Map utilities tail (reference maps.py:703, 759, 774, 1262-1320,
+# 1366-1480, 1591, 1830, 2836-2880)
+# ---------------------------------------------------------------------------
+
+def block_smooth(imap, factor):
+    """Block-average in ``factor`` x ``factor`` tiles and project back to
+    the original pixelization (reference ``maps.py:703``)."""
+    imap = jnp.asarray(imap)
+    ny, nx = imap.shape[-2:]
+    assert ny % factor == 0 and nx % factor == 0, (ny, nx, factor)
+    down = imap.reshape(imap.shape[:-2]
+                        + (ny // factor, factor, nx // factor, factor)
+                        ).mean(axis=(-3, -1))
+    return jnp.repeat(jnp.repeat(down, factor, axis=-2), factor, axis=-1)
+
+
+def field_variance(cls):
+    """Real-space variance sum (2l+1) C_l / 4pi (reference
+    ``maps.py:759``)."""
+    cls = jnp.asarray(cls)
+    ells = jnp.arange(cls.shape[-1])
+    return jnp.sum((2 * ells + 1) * cls / (4 * jnp.pi), axis=-1)
+
+
+def random_source_map(key, geom: Geometry, nobj, fwhm=None, profile=None,
+                      amps=None, dtype=jnp.float32):
+    """Map of ``nobj`` point sources at uniform-random pixels, convolved
+    with a Gaussian beam or a 1D profile (reference ``maps.py:774``,
+    flat-sky: positions are uniform over the patch)."""
+    import jax
+    kpos, kamp = jax.random.split(jax.random.PRNGKey(key)
+                                  if isinstance(key, int) else key)
+    ny, nx = geom.shape
+    pix = jax.random.randint(kpos, (nobj, 2), 0,
+                             jnp.asarray([ny, nx])[None, :])
+    if amps is None:
+        amps = jnp.ones((nobj,), dtype)
+    srcmap = jnp.zeros((ny, nx), dtype).at[pix[:, 0], pix[:, 1]].add(
+        jnp.asarray(amps, dtype))
+    if fwhm is not None:
+        bl2d = F.gauss_beam(geom.modlmap(jnp.float64), fwhm)
+        return F.kfilter(srcmap, bl2d.astype(dtype), geom)
+    if profile is not None:
+        rs, bprof = profile
+        ker = spec1d_like_profile_k(geom, rs, bprof)
+        return F.kfilter(srcmap, ker.astype(dtype), geom)
+    return srcmap
+
+
+def spec1d_like_profile_k(geom: Geometry, rs, bprof, dtype=jnp.float32):
+    """k-space filter equal to the FFT of a radial real-space profile
+    (helper for profile-convolved source maps)."""
+    r2d = geom.modrmap(jnp.float64)
+    prof2d = jnp.interp(r2d.reshape(-1), jnp.asarray(rs),
+                        jnp.asarray(bprof), right=0.0).reshape(r2d.shape)
+    k = jnp.fft.fft2(jnp.fft.ifftshift(prof2d))
+    return jnp.real(k).astype(dtype)
+
+
+def get_ecc(img):
+    """Eccentricity from central image moments (reference
+    ``maps.py:1262``; computed natively instead of via skimage)."""
+    img = np.asarray(img, np.float64)
+    ny, nx = img.shape[-2:]
+    y = np.arange(ny)[:, None]
+    x = np.arange(nx)[None, :]
+    m00 = img.sum()
+    cy = (img * y).sum() / m00
+    cx = (img * x).sum() / m00
+    mu20 = (img * (y - cy) ** 2).sum() / m00
+    mu02 = (img * (x - cx) ** 2).sum() / m00
+    mu11 = (img * (y - cy) * (x - cx)).sum() / m00
+    disc = np.sqrt(4.0 * mu11 ** 2 + (mu20 - mu02) ** 2)
+    l1 = (mu20 + mu02) / 2.0 + disc / 2.0
+    l2 = (mu20 + mu02) / 2.0 - disc / 2.0
+    return np.sqrt(1.0 - l2 / l1)
+
+
+def filter_alms(alms, lmin, lmax):
+    """Top-hat multipole filter on packed alms (reference
+    ``maps.py:1282``)."""
+    from ..ops import alm as almops
+    nalm_lmax = almops.getlmax(jnp.asarray(alms).shape[-1])
+    ells = jnp.arange(nalm_lmax + 1)
+    fl = ((ells >= lmin) & (ells <= lmax)).astype(jnp.float32)
+    return almops.almxfl(alms, fl)
+
+
+def area_from_mask(mask, geom: Geometry):
+    """(area in sq deg, unmasked fraction) of a binary mask (the role of
+    reference ``maps.py:1316``, implemented via the equal-area flat
+    geometry rather than raising like the reference does)."""
+    frac = float(fsky_frac(mask))
+    return frac * geom.area * (180.0 / np.pi) ** 2, frac
+
+
+def fsky_frac(mask, threshold=0.5):
+    m = binary_mask(mask, threshold)
+    return m.sum() / np.prod(m.shape[-2:])
+
+
+def flat_sim(deg, px, lmax=6000, lensed=True, pol=False):
+    """One-liner bundle for flat-sky sims (reference ``maps.py:1366``):
+    returns (geom, modlmap, theory, MapGen)."""
+    from . import theory as theory_mod
+    from .grf import MapGen
+    from ..geometry import rect_geometry
+    geom = rect_geometry(width_deg=deg, px_res_arcmin=px)
+    th = theory_mod.default_theory()
+    ells = np.arange(min(lmax, th.lpad) + 1)
+    cfun = th.lCl if lensed else th.uCl
+    if pol:
+        ps = np.zeros((3, 3, len(ells)))
+        ps[0, 0] = cfun("TT", ells)
+        ps[0, 1] = ps[1, 0] = cfun("TE", ells)
+        ps[1, 1] = cfun("EE", ells)
+        ps[2, 2] = cfun("BB", ells)
+    else:
+        ps = np.asarray(cfun("TT", ells))[None, None]
+    return geom, geom.modlmap(jnp.float64), th, MapGen(geom, ps)
+
+
+def resampled_geometry(geom: Geometry, res_rad):
+    """Geometry covering the same patch at pixel size ``res_rad``
+    (reference ``maps.py:1397``)."""
+    ny = int(round(geom.ny * geom.dy / res_rad))
+    nx = int(round(geom.nx * geom.dx / res_rad))
+    return Geometry(ny, nx, res_rad, res_rad)
+
+
+def resample_fft(imap, geom: Geometry, res_rad):
+    """Fourier resampling to pixel size ``res_rad`` (reference
+    ``maps.py:1383``): crop or zero-pad the Fourier plane, preserving
+    the mean. Input must be periodic/windowed."""
+    imap = jnp.asarray(imap)
+    ogeom = resampled_geometry(geom, res_rad)
+    ny, nx = imap.shape[-2:]
+    oy, ox = ogeom.shape
+    k = jnp.fft.fftshift(jnp.fft.fft2(imap), axes=(-2, -1))
+    if oy <= ny:
+        y0 = (ny - oy) // 2
+        x0 = (nx - ox) // 2
+        k = k[..., y0:y0 + oy, x0:x0 + ox]
+    else:
+        py = (oy - ny) // 2
+        px_ = (ox - nx) // 2
+        k = jnp.pad(k, [(0, 0)] * (k.ndim - 2)
+                    + [(py, oy - ny - py), (px_, ox - nx - px_)])
+    k = jnp.fft.ifftshift(k, axes=(-2, -1))
+    out = jnp.fft.ifft2(k).real * (oy * ox) / (ny * nx)
+    return out, ogeom
+
+
+def split_sky(dec_width, num_decs, ra_width, dec_start=0.0, ra_start=0.0,
+              ra_extent=90.0):
+    """Tile the sky into boxes of roughly constant solid angle
+    (reference ``maps.py:1404``); degrees in, list of [[dec0, ra0],
+    [dec1, ra1]] boxes out."""
+    boxes = []
+    for yindex in range(num_decs):
+        y0 = dec_start + yindex * dec_width
+        y1 = dec_start + (yindex + 1) * dec_width
+        cosfact = np.cos(np.deg2rad((y0 + y1) / 2.0))
+        nx = int(ra_extent * cosfact / ra_width)
+        for xindex in range(nx):
+            x0 = ra_start + xindex * ra_width / cosfact
+            x1 = ra_start + (xindex + 1) * ra_width / cosfact
+            boxes.append(np.array([[y0, x0], [y1, x1]]))
+    return boxes
+
+
+def cutup(shape, numy, numx, pad=0):
+    """Pixel bounding boxes tiling a map into numy x numx (optionally
+    padded, clipped) blocks (reference ``maps.py:1446``)."""
+    Ny, Nx = shape[-2:]
+    pixs_y = np.linspace(0, Ny, num=numy + 1, endpoint=True)
+    pixs_x = np.linspace(0, Nx, num=numx + 1, endpoint=True)
+    boxes = np.zeros((numy * numx, 2, 2))
+    boxes[:, 0, 0] = np.clip(np.tile(pixs_y[:-1], numx) - pad, 0, None)
+    boxes[:, 1, 0] = np.clip(np.tile(pixs_y[1:], numx) + pad, None, Ny - 1)
+    boxes[:, 0, 1] = np.clip(np.repeat(pixs_x[:-1], numy) - pad, 0, None)
+    boxes[:, 1, 1] = np.clip(np.repeat(pixs_x[1:], numy) + pad, None,
+                             Nx - 1)
+    return boxes.astype(int)
+
+
+def bounds_from_list(blist):
+    """[dec0, ra0, dec1, ra1] degrees -> [[dec0, ra0], [dec1, ra1]]
+    radians (reference ``maps.py:1465``)."""
+    return np.array(blist).reshape((2, 2)) * np.pi / 180.0
+
+
+def spec1d_to_2d(geom: Geometry, ps, dtype=jnp.float32):
+    """1D spectrum painted on the 2D Fourier plane in physical units
+    (reference ``maps.py:1591``: spec2flat divided by npix/area)."""
+    ps = np.asarray(ps, np.float64)
+    ells = np.arange(ps.shape[-1], dtype=np.float64)
+    return F.interp1d_to_2d(ells, ps, geom, dtype=dtype)
+
+
+def get_lnlike(covinv, instamp):
+    """Gaussian chi^2 kernel v^T Cinv v of a flattened stamp (reference
+    ``maps.py:1830``)."""
+    vec = jnp.asarray(instamp).reshape(-1)
+    return vec @ jnp.asarray(covinv) @ vec
+
+
+def get_grf_realization(key, geom: Geometry, power2d):
+    """One GRF realization from a 2D power plane in spectrum units —
+    (ny, nx), (1, 1, ny, nx) or a full (ncomp, ncomp, ny, nx) matrix
+    (reference ``maps.py:2844``)."""
+    from .grf import MapGen, eig_pow
+    p = jnp.asarray(power2d, jnp.float64)
+    fac = geom.npix / geom.area
+    if p.ndim == 2 or (p.ndim == 4 and p.shape[0] == 1):
+        covsqrt = jnp.sqrt(jnp.maximum(p * fac, 0.0))
+    else:
+        stack = jnp.moveaxis(p * fac, (0, 1), (-2, -1))
+        covsqrt = jnp.moveaxis(eig_pow(stack, 0.5), (-2, -1), (0, 1))
+    if covsqrt.ndim == 2:
+        covsqrt = covsqrt[None, None]
+    import jax
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    return MapGen(geom, covsqrt=jnp.asarray(covsqrt, jnp.float32)
+                  ).get_map(key)
+
+
+def get_grf_cmb(key, geom: Geometry, theory, spec):
+    """GRF with a theory spectrum painted on this geometry's modlmap
+    (reference ``maps.py:2836``)."""
+    lmax = int(np.asarray(geom.modlmap(jnp.float64)).max())
+    ells = np.arange(lmax)
+    ps = np.asarray(theory.gCl(spec, ells))[None, None]
+    return get_grf_realization(key, geom, ps)
+
+
+def rgeo(degrees, pixarcmin, **kwargs):
+    """rect_geometry(width_deg=degrees, px_res_arcmin=pixarcmin)
+    (reference ``maps.py:2873``)."""
+    from ..geometry import rect_geometry
+    return rect_geometry(width_deg=degrees, px_res_arcmin=pixarcmin,
+                         **kwargs)
+
+
+def resolution(geom: Geometry):
+    """Geometric-mean pixel size in radians (reference
+    ``maps.py:2181``)."""
+    return float(np.sqrt(geom.dy * geom.dx))
+
+
+def autofiltered_maps(imap, geom: Geometry, ivar=None, mask=None,
+                      threshold=1e-8, apod_deg=1.5, grow_deg=1.5,
+                      lxcut=10, lycut=10, lmin=None, lmax=None):
+    """Quick-look filtered map + auto-generated mask (reference
+    ``maps.py:16``): threshold the ivar into a mask, grow + apodize it,
+    apply a plus-shaped k-space filter, zero the masked region."""
+    from ..ops import distance as D
+    imap = jnp.asarray(imap)
+    if mask is None:
+        bmask = (jnp.asarray(ivar) > threshold).astype(jnp.float32)
+        grown = D.grow_mask(bmask, geom, np.deg2rad(grow_deg))
+        mask = D.cosine_apodize(grown, geom, apod_deg)
+    if (lxcut is not None) or (lycut is not None):
+        kmask = F.mask_kspace(geom, lxcut=lxcut, lycut=lycut, lmin=lmin,
+                              lmax=lmax)
+        fmap = F.kfilter(mask * imap, kmask, geom)
+    else:
+        fmap = imap
+    fmap = jnp.where(mask <= (1 - threshold), 0.0, fmap)
+    return fmap, mask
+
+
+def fourier_stack(kmap, bin_edges, geom: Geometry):
+    """One-shot FourierStack.apply (reference ``maps.py:76``)."""
+    return FourierStack(geom, bin_edges).apply(kmap)
+
+
+def slice_from_box(geom: Geometry, box_rad, inclusive=False):
+    """numpy slice selecting the pixels inside [[dec0, ra0], [dec1,
+    ra1]] (radians, patch-centered coordinates) — the role of reference
+    ``maps.py:1426`` for the flat Geometry."""
+    box = np.asarray(box_rad)
+    y0 = int(np.floor((box[0, 0] - geom.y0) / geom.dy
+                      + (geom.ny - 1) / 2 + (0 if inclusive else 0.5)))
+    y1 = int(np.floor((box[1, 0] - geom.y0) / geom.dy
+                      + (geom.ny - 1) / 2 + (1 if inclusive else 0.5)))
+    x0 = int(np.floor(box[0, 1] / geom.dx + (geom.nx - 1) / 2
+                      + (0 if inclusive else 0.5)))
+    x1 = int(np.floor(box[1, 1] / geom.dx + (geom.nx - 1) / 2
+                      + (1 if inclusive else 0.5)))
+    return np.s_[..., max(y0, 0):min(y1, geom.ny),
+                 max(x0, 0):min(x1, geom.nx)]

@@ -35,7 +35,9 @@ __all__ = [
     "scov_from_theory", "ncov_ivar_diag", "get_geometry_regions",
     "make_geometry", "make_geometries_batched", "inpaint_stamp",
     "inpaint_stamps_batched", "extract_stamps", "insert_stamps", "inpaint",
-    "save_geometries", "load_geometries",
+    "save_geometries", "load_geometries", "map_ifft", "resolution",
+    "get_regions", "paste", "pcov_from_ivar", "tpcov_from_ivar",
+    "cinv_inpaint", "preload_geometries",
 ]
 
 
@@ -284,3 +286,116 @@ def load_geometries(fname):
     d = np.load(fname)
     return (jnp.asarray(d["covsqrts"]), jnp.asarray(d["meanmuls"]),
             d["m1"], d["m2"])
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface tail (pixcov.py:19, 104, 208, 239, 303, 361, 520, 586)
+# ---------------------------------------------------------------------------
+
+def map_ifft(x, geom: Geometry = None):
+    """Real part of the inverse FFT (reference ``pixcov.py:19``)."""
+    return jnp.fft.ifft2(jnp.asarray(x)).real
+
+
+def resolution(geom: Geometry):
+    """Pixel size in radians (reference ``pixcov.py:104``)."""
+    return float(min(geom.dy, geom.dx))
+
+
+def get_regions(ncomp: int, modrmap, hole_radius):
+    """Hole (m1) / context (m2) flat indices across components from a
+    distance map (reference ``pixcov.py:520``). Like
+    ``get_geometry_regions`` but for an arbitrary (possibly offset)
+    modrmap."""
+    modrmap = np.asarray(modrmap)
+    if modrmap.ndim != 2:
+        raise ValueError("modrmap must be 2D")
+    rep = np.repeat(modrmap[None], ncomp, 0).reshape(-1)
+    m1 = np.where(rep < hole_radius)[0]
+    m2 = np.where(rep >= hole_radius)[0]
+    return m1, m2
+
+
+def paste(stamp, m, paste_this):
+    """Write values into the flat indices ``m`` of a stamp (reference
+    ``pixcov.py:303``), returning the updated stamp."""
+    stamp = jnp.asarray(stamp)
+    flat = stamp.reshape(-1).at[jnp.asarray(m)].set(
+        jnp.asarray(paste_this, stamp.dtype))
+    return flat.reshape(stamp.shape)
+
+
+def pcov_from_ivar(n, ivar_stamp, theory_fn, beam_fn, geom_stamp: Geometry,
+                   iau=False):
+    """(3, 3, n^2, n^2) IQU pixel covariance from an inverse-variance
+    stamp + theory/beam functions (reference ``pixcov.py:239``):
+    signal pixcov from theory plus a diagonal noise cov with the pol
+    variance doubled."""
+    ivar = np.asarray(ivar_stamp)
+    with np.errstate(divide="ignore"):
+        var = 1.0 / ivar
+    var[~np.isfinite(var)] = 1.0 / ivar[ivar > 0].max()
+    modlmap = np.asarray(geom_stamp.modlmap(jnp.float64))
+    cmb2d = np.zeros((3, 3, n, n))
+    for i, s in enumerate(("TT", "EE", "BB")):
+        cmb2d[i, i] = theory_fn(s, modlmap)
+    cmb2d[0, 1] = cmb2d[1, 0] = theory_fn("TE", modlmap)
+    scov = stamp_pixcov_from_theory(geom_stamp, jnp.asarray(cmb2d),
+                                    n2d_IQU=0.0,
+                                    beam2d=jnp.asarray(beam_fn(modlmap)),
+                                    iau=iau)
+    ncov = np.zeros((3, 3, n * n, n * n))
+    d = np.diag(var.reshape(-1))
+    ncov[0, 0] = d
+    ncov[1, 1] = d * 2.0
+    ncov[2, 2] = d * 2.0
+    return jnp.asarray(scov) + jnp.asarray(ncov)
+
+
+def tpcov_from_ivar(n, ivar_stamp, theory_fn, beam_fn,
+                    geom_stamp: Geometry):
+    """Temperature-only (1, 1, n^2, n^2) pixel covariance from ivar +
+    theory/beam (reference ``pixcov.py:208``)."""
+    ivar = np.asarray(ivar_stamp)
+    with np.errstate(divide="ignore"):
+        var = 1.0 / ivar
+    var[~np.isfinite(var)] = 1.0 / ivar[ivar > 0].max()
+    modlmap = np.asarray(geom_stamp.modlmap(jnp.float64))
+    cmb2d = np.zeros((1, 1, n, n))
+    cmb2d[0, 0] = theory_fn("TT", modlmap)
+    tcov = stamp_pixcov_from_theory(geom_stamp, jnp.asarray(cmb2d),
+                                    n2d_IQU=0.0,
+                                    beam2d=jnp.asarray(beam_fn(modlmap)))
+    ncov = np.diag(var.reshape(-1))[None, None]
+    return jnp.asarray(tcov) + jnp.asarray(ncov)
+
+
+def cinv_inpaint(imap, geom: Geometry, mask=None, lpower_total=None,
+                 geometry=None, key=None, add_noise=True):
+    """Inpaint a small map by constrained Gaussian fill (reference
+    ``pixcov.py:361``): either pass a precomputed ``geometry`` dict
+    (covsqrt/meanmul/m1/m2) or a boolean hole ``mask`` + total 1D power
+    ``lpower_total`` from which the geometry is built."""
+    imap = jnp.asarray(imap)
+    if geometry is None:
+        if mask is None or lpower_total is None:
+            raise ValueError("need geometry, or mask + lpower_total")
+        mask = np.asarray(mask, bool).reshape(-1)
+        m1 = np.where(mask)[0]
+        m2 = np.where(~mask)[0]
+        p2d = np.interp(np.asarray(geom.modlmap(jnp.float64)),
+                        np.arange(len(lpower_total)), lpower_total)
+        pcov = ps2d_to_mat(jnp.asarray(p2d), geom)
+        covsqrt, meanmul = make_geometry(pcov, jnp.asarray(m1),
+                                         jnp.asarray(m2), ncomp=1)
+        geometry = dict(covsqrt=covsqrt, meanmul=meanmul, m1=m1, m2=m2)
+    return inpaint_stamp(imap, geometry["covsqrt"], geometry["meanmul"],
+                         jnp.asarray(geometry["m1"]),
+                         jnp.asarray(geometry["m2"]),
+                         key=key if add_noise else None)
+
+
+def preload_geometries(fnames):
+    """Load many saved inpainting geometries into one dict keyed by
+    index (reference ``pixcov.py:586``)."""
+    return {i: load_geometries(f) for i, f in enumerate(fnames)}

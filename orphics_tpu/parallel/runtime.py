@@ -168,3 +168,26 @@ def ensemble(fn: Callable, nsims: int, key=None, mesh: Optional[Mesh] = None,
                             check_vma=False)
     out = jax.jit(sharded)(keys)
     return jax.tree_util.tree_map(lambda v: v[:nsims], out)
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def mpi_abort_on_exception(comm=None):
+    """Abort all ranks on an uncaught exception with a rank-0 traceback
+    (reference ``mpi.py:31``). With the mesh runtime there are no
+    separate processes to abort, so this prints the traceback once and
+    re-raises — same developer surface, single-controller semantics."""
+    import sys
+    import traceback
+    try:
+        yield
+    except Exception as e:
+        rank = comm.Get_rank() if comm is not None else 0
+        if rank == 0:
+            print(f"Exception: {e}", file=sys.stderr)
+            traceback.print_exc()
+        if comm is not None and hasattr(comm, "Abort"):
+            comm.Abort(1)
+        raise

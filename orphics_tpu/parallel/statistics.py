@@ -23,7 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SuffStats", "Statistics", "Stats", "get_stats"]
+__all__ = ["SuffStats", "Statistics", "Stats", "get_stats",
+           "dump_stats", "load_stats"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -227,6 +228,9 @@ class Stats(Statistics):
     def add_to_stack(self, label, arr):
         self.add_stack(label, arr)
 
+    def dump(self, path):
+        dump_stats(self, path)
+
     def get_stacks(self):
         self.stacks = {k: np.asarray(v.stack_mean())
                        for k, v in self.state.items() if v.stack is not None}
@@ -254,3 +258,63 @@ def get_stats(binned_vectors):
     st = SuffStats.zeros(x.shape[-1], dtype=x.dtype).add(x)
     return {"mean": st.mean(), "cov": st.cov(), "corr": st.corr(),
             "err": st.err(), "N": int(st.n)}
+
+
+def dump_stats(stats: "Statistics", path: str):
+    """Write a Statistics accumulator to a directory in the reference's
+    ``Stats.dump`` layout (``stats.py:737``): per-label
+    ``mstats_dump_vectors_<label>.npy`` sample matrices are not retained
+    by the sufficient-statistics design, so this writes the reduced
+    products — ``mstats_dump_stats_<label>_{mean,err,cov}.txt`` — plus
+    ``mstats_dump_stack_<label>.npy`` stack means; round-trips through
+    :func:`load_stats`."""
+    import os
+    os.makedirs(path, exist_ok=True)
+    for label, st in stats.state.items():
+        if st.stack is not None:
+            np.save(os.path.join(path, f"mstats_dump_stack_{label}.npy"),
+                    np.asarray(st.stack_mean()))
+            continue
+        np.savetxt(os.path.join(path,
+                                f"mstats_dump_stats_{label}_mean.txt"),
+                   np.atleast_1d(np.asarray(st.mean())))
+        np.savetxt(os.path.join(path,
+                                f"mstats_dump_stats_{label}_err.txt"),
+                   np.atleast_1d(np.asarray(st.err())))
+        if st.ss is not None:
+            np.savetxt(os.path.join(path,
+                                    f"mstats_dump_stats_{label}_cov.txt"),
+                       np.atleast_2d(np.asarray(st.cov())))
+
+
+def load_stats(path: str):
+    """Load a directory written by :func:`dump_stats` (or the
+    reference's ``Stats.dump``) into a simple namespace with ``stats``,
+    ``stacks`` and ``vectors`` dicts (reference ``stats.py:744``)."""
+    import glob
+    import os
+    import re
+    import types
+    s = types.SimpleNamespace(vectors={}, stats={}, stacks={})
+    for sstr, sdict in (("vectors", s.vectors), ("stack", s.stacks)):
+        for vfile in glob.glob(os.path.join(
+                path, f"mstats_dump_{sstr}_*.npy")):
+            key = re.search(rf"mstats_dump_{sstr}_(.*?)\.npy",
+                            os.path.basename(vfile)).group(1)
+            sdict[key] = np.load(vfile)
+    keys = set()
+    for vfile in glob.glob(os.path.join(path,
+                                        "mstats_dump_stats_*_mean.txt")):
+        keys.add(re.search(r"mstats_dump_stats_(.*?)_mean\.txt",
+                           os.path.basename(vfile)).group(1))
+    for key in keys:
+        s.stats[key] = {}
+        for vfile in glob.glob(os.path.join(
+                path, f"mstats_dump_stats_{key}_*.txt")):
+            skey = re.search(rf"mstats_dump_stats_{key}_(.*?)\.txt",
+                             os.path.basename(vfile)).group(1)
+            arr = np.loadtxt(vfile)
+            if arr.size == 1:
+                arr = arr.ravel()[0]
+            s.stats[key][skey] = arr
+    return s

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 __all__ = ["fit_linear_model", "fit_linear_model_pte_from_sims", "fit_gauss",
            "get_pte", "sim_pte", "nsigma_from_pte", "pte_from_nsigma",
-           "InverseTransformSampling", "Solver", "solve", "OQE",
+           "InverseTransformSampling", "InverseTransformSampling2D",
+           "eig_analyze", "Solver", "solve", "OQE",
            "CinvUpdater", "sm_update", "cov2corr",
            "correlated_hybrid_matrix", "extrapolate_power_law",
            "get_sigma2", "npspace", "alpha_from_confidence", "timeit"]
@@ -363,3 +364,62 @@ def timeit(fn):
         return out
 
     return wrapped
+
+
+class InverseTransformSampling2D:
+    """Sample from an arbitrary tabulated 2D PDF p(y, x) (reference
+    ``stats.py:120``), fully vectorized: the marginal p(y) and every
+    conditional p(x|y) CDF are tabulated once as dense grids, and
+    ``generate`` is interp lookups (no per-sample Python loops — the
+    reference builds a Python list of per-row samplers and loops)."""
+
+    def __init__(self, ys, xs, updf, bounds_error=False):
+        ys = np.asarray(ys, np.float64)
+        xs = np.asarray(xs, np.float64)
+        pdf = np.maximum(np.asarray(updf, np.float64), 0.0)
+        pdf = pdf / np.trapezoid(np.trapezoid(pdf, xs), ys)
+        self.ys = jnp.asarray(ys)
+        self.xs = jnp.asarray(xs)
+        mpdf_y = np.trapezoid(pdf, xs)                    # (ny,)
+        cdf_y = np.concatenate([[0.0], np.cumsum(
+            0.5 * (mpdf_y[1:] + mpdf_y[:-1]) * np.diff(ys))])
+        self._cdf_y = jnp.asarray(cdf_y / cdf_y[-1])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cpdf = np.nan_to_num(pdf / mpdf_y[:, None])   # p(x | y)
+        ccdf = np.concatenate(
+            [np.zeros((len(ys), 1)),
+             np.cumsum(0.5 * (cpdf[:, 1:] + cpdf[:, :-1])
+                       * np.diff(xs)[None, :], axis=1)], axis=1)
+        ccdf = ccdf / np.maximum(ccdf[:, -1:], 1e-300)
+        self._ccdf = jnp.asarray(ccdf)                    # (ny, nx)
+
+    def generate(self, nsamples, key=None):
+        """Returns (ysamples, xsamples) arrays of length nsamples."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        ky, kx = jax.random.split(key)
+        uy = jax.random.uniform(ky, (nsamples,))
+        ysamp = jnp.interp(uy, self._cdf_y, self.ys)
+        iy = jnp.clip(jnp.searchsorted(self.ys, ysamp), 0,
+                      self.ys.shape[0] - 1)
+        ux = jax.random.uniform(kx, (nsamples,))
+        xsamp = jax.vmap(lambda u, i: jnp.interp(u, self._ccdf[i],
+                                                 self.xs))(ux, iy)
+        return ysamp, xsamp
+
+
+def eig_analyze(cmb2d, start=0, eigfunc=np.linalg.eigh, plot_file=None):
+    """Eigenvalue diagnostic of a (ncomp, ncomp, ny, nx) 2D power matrix
+    (reference ``stats.py:~190``): prints the minimum eigenvalue and
+    whether any are negative; optionally plots the sorted spectra."""
+    es = eigfunc(np.asarray(cmb2d)[start:, start:, ...].T)[0]
+    print(start, es.min(), np.any(es < 0.0))
+    if plot_file is not None:
+        from .io import Plotter
+        numw = range(int(np.prod(es.shape[:-1])))
+        pl = Plotter(xlabel="n", ylabel="e", yscale="log")
+        for ind in range(es.shape[-1]):
+            pl.add(numw, np.sort(np.real(es[..., ind].ravel())))
+            pl.add(numw, np.sort(np.imag(es[..., ind].ravel())), ls="--")
+        pl.done(plot_file)
+    return es

@@ -173,3 +173,156 @@ def nostdout():
         yield
     finally:
         sys.stdout = saved
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface tail (io.py small utilities)
+# ---------------------------------------------------------------------------
+
+class latex:
+    """Common axis-label strings (reference ``io.py`` ``latex``)."""
+    ell = r"$\ell$"
+    L = r"$L$"
+    dl = r"$D_{\ell}$"
+    cl = r"$C_{\ell}$"
+    cL = r"$C_{L}$"
+    ratcl = r"$\Delta C_{\ell}/C_{\ell}$"
+
+
+class DummyFile:
+    """Write sink (reference ``io.py`` ``DummyFile``)."""
+
+    def write(self, x):
+        pass
+
+    def flush(self):
+        pass
+
+
+@contextlib.contextmanager
+def no_context():
+    """A nullcontext (reference ``io.py`` ``no_context``)."""
+    yield None
+
+
+def proceedyn(prompt="Proceed? (Y/N): ", _input=input):
+    """Interactive Y/N gate; exits the process on N (reference
+    ``io.py`` ``proceedyn``)."""
+    while True:
+        choice = _input(prompt).strip().lower()
+        if choice == "y":
+            print("Continuing...")
+            return True
+        if choice == "n":
+            print("Exiting.")
+            raise SystemExit(0)
+        print("Invalid input. Please type Y or N.")
+
+
+def dateversion():
+    """YYYYMMDD stamp (reference ``io.py`` ``dateversion``)."""
+    from datetime import datetime
+    return datetime.now().strftime("%Y%m%d")
+
+
+def print_dict(data):
+    """Pretty-print a dict as sorted JSON (reference ``print_dict``)."""
+    import json
+    print(json.dumps(data, sort_keys=True, indent=4, default=str))
+
+
+def print_keys_tree(d, indent=0):
+    """Print nested dict keys as a tree (reference
+    ``print_keys_tree``)."""
+    for key, value in d.items():
+        print("  " * indent + str(key))
+        if isinstance(value, dict):
+            print_keys_tree(value, indent + 1)
+
+
+class LoggerWriter:
+    """File-like adapter feeding writes into a logging level function
+    (reference ``io.py`` ``LoggerWriter``)."""
+
+    def __init__(self, level):
+        self.level = level
+
+    def write(self, message):
+        if message != "\n":
+            self.level(message)
+
+    def flush(self):
+        pass
+
+
+def dict_from_section(config, section_name):
+    """Dict of parsed values from an INI section (reference
+    ``dict_from_section``)."""
+    out = {}
+    for key in config[section_name]:
+        if key == "__name__":
+            continue
+        try:
+            out[key] = list_from_config(config, section_name, key)[0]
+        except ValueError:
+            out[key] = config.get(section_name, key)
+    return out
+
+
+def prepare_dir(savedir, overwrite, comm=None, msg=None):
+    """mkdir that refuses to clobber an existing version dir unless
+    ``overwrite`` (reference ``prepare_dir``)."""
+    import os
+    if msg is None:
+        msg = ("This version already exists on disk. Please use a "
+               "different version identifier.")
+    if not overwrite:
+        assert not os.path.exists(savedir), msg
+    mkdir(savedir, comm)
+
+
+def join_nums(nums):
+    """'_'-join of stringified numbers (reference ``join_nums``)."""
+    return "_".join([str(f) for f in nums])
+
+
+def list_from_string(string):
+    """Comma-separated floats (reference ``list_from_string``)."""
+    return [float(x) for x in string.split(",")]
+
+
+def list_strings_from_config(config, section, name):
+    """Comma-split raw strings from an INI entry (reference
+    ``list_strings_from_config``)."""
+    return config.get(section, name).split(",")
+
+
+def datify(timestamps):
+    """Unix timestamps -> datetime objects (reference ``datify``)."""
+    from datetime import datetime
+    import numpy as _np
+    return [datetime.fromtimestamp(t)
+            for t in _np.atleast_1d(timestamps)]
+
+
+def but_her_emails(string=None, filename=None):
+    """Extract email addresses from a string or file (reference
+    ``but_her_emails``)."""
+    import re
+    if string is None:
+        with open(filename or "emails.txt") as f:
+            string = f.read().replace("\n", "")
+    return re.findall(r"[\w\.-]+@[\w\.-]+", string)
+
+
+def blend(fg_file, bg_file, alpha, save_file=None, verbose=True):
+    """Alpha-blend two image files (reference ``blend``; requires
+    PIL — raises ImportError if unavailable, like the reference)."""
+    from PIL import Image
+    blended = Image.blend(Image.open(fg_file), Image.open(bg_file),
+                          alpha=alpha)
+    if save_file is not None:
+        blended.save(save_file)
+        if verbose:
+            cprint("Saved blended image to " + save_file, color="g")
+    return blended

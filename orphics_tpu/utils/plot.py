@@ -10,6 +10,8 @@ import os
 import numpy as np
 
 __all__ = ["Plotter", "plot_img", "hist", "html_gallery", "corner_plot",
+           "high_res_plot_img", "mplot", "layered_contour",
+           "generate_gallery_html", "write_gallery_html",
            "alpha_from_confidence"]
 
 _SCHEMES = {
@@ -355,3 +357,80 @@ class WhiskerPlot:
         self.fig.savefig(fname, bbox_inches="tight")
         import matplotlib.pyplot as plt
         plt.close(self.fig)
+
+
+def high_res_plot_img(array, filename=None, down=None, verbose=True,
+                      overwrite=True, crange=None, cmap="viridis"):
+    """Large-array image dump (reference ``io.py``
+    ``high_res_plot_img``; matplotlib imsave in place of enplot)."""
+    import os
+    import numpy as _np
+    if not overwrite and filename is not None and os.path.isfile(filename):
+        return
+    arr = _np.asarray(array)
+    if down is not None and down > 1:
+        ny, nx = arr.shape[-2:]
+        arr = arr[..., : ny - ny % down, : nx - nx % down]
+        arr = arr.reshape(arr.shape[:-2]
+                          + (ny // down, down, nx // down, down)
+                          ).mean(axis=(-3, -1))
+    vmin, vmax = (crange if crange is not None
+                  else (_np.nanmin(arr), _np.nanmax(arr)))
+    if filename is None:
+        return arr
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    plt.imsave(filename, arr, vmin=vmin, vmax=vmax, cmap=cmap,
+               origin="lower")
+    if verbose:
+        print("Saved high-res plot to", filename)
+
+
+def mplot(img, savename=None, verbose=True, **kwargs):
+    """fftshifted log10 image of a 2D power plane (reference ``io.py``
+    ``mplot``)."""
+    import numpy as _np
+    shifted = _np.fft.fftshift(_np.log10(_np.asarray(img)))
+    plot_img(shifted, filename=savename, verbose=verbose, **kwargs)
+
+
+def layered_contour(imap, imap_contour, contour_levels, contour_color,
+                    contour_width=1, mask=None, filename=None, **kwargs):
+    """Image with contour overlay from a second map (reference
+    ``io.py`` ``layered_contour``; matplotlib in place of enplot)."""
+    import numpy as _np
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    arr = _np.asarray(imap)
+    if mask is not None:
+        arr = _np.where(_np.asarray(mask) > 0, arr, _np.nan)
+    fig, ax = plt.subplots()
+    im = ax.imshow(arr, origin="lower", **kwargs)
+    ax.contour(_np.asarray(imap_contour), levels=contour_levels,
+               colors=contour_color, linewidths=contour_width)
+    fig.colorbar(im, ax=ax)
+    if filename is not None:
+        fig.savefig(filename, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def generate_gallery_html(image_files, ncols=3, titles=None):
+    """The gallery HTML string (reference ``generate_gallery_html``) —
+    delegates to the html_gallery builder."""
+    import io as _io
+    import tempfile
+    import os
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "g.html")
+        html_gallery(image_files, outfile=out, ncols=ncols, titles=titles)
+        with open(out) as f:
+            return f.read()
+
+
+def write_gallery_html(image_files, outfile, ncols=3, titles=None):
+    """Write the gallery HTML to a file (reference
+    ``write_gallery_html``)."""
+    html_gallery(image_files, outfile=outfile, ncols=ncols, titles=titles)

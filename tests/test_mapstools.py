@@ -215,3 +215,164 @@ def test_fixed_lens_runs(geom, th):
     assert np.all(np.isfinite(np.asarray(lensed)))
     # lensing a map with kappa>0 magnifies the center: maps differ
     assert float(jnp.abs(lensed - unlensed).max()) > 0
+
+
+ARC = arcmin
+
+
+@pytest.fixture(scope="module")
+def geom64():
+    return rect_geometry(width_arcmin=64 * 2.0, px_res_arcmin=2.0)
+
+
+class TestMapsTail:
+    """The maps.py utility tail added for reference-surface completeness."""
+
+    def test_radial_window_shapes(self):
+        r = np.linspace(0, 1, 101)
+        for win in ("kaiser", "cosine", "quintic"):
+            w = np.asarray(mt.radial_window(r, 0.2, 0.8, window=win))
+            assert w[0] == 1.0 and abs(w[-1]) < 1e-12
+            assert np.all(np.diff(w) <= 1e-6)  # monotone non-increasing
+        prof = np.ones_like(r)
+        ap = np.asarray(mt.apodize_profile(r, prof, 0.2, 0.6))
+        assert ap[0] == 1.0 and abs(ap[-1]) < 1e-12
+
+    def test_radial_mask_center_one_edge_zero(self, geom64):
+        m = np.asarray(mt.radial_mask(geom64, 5 * ARC, 10 * ARC))
+        ny, nx = geom64.shape
+        assert m[ny // 2, nx // 2] == 1.0
+        assert m[0, 0] == 0.0
+
+    def test_butterworth_halfpower(self):
+        b = float(mt.butterworth(1000.0, 1000.0, 2))
+        assert abs(b - 0.5) < 1e-12
+
+    def test_gauss_kern_normalized(self):
+        g = np.asarray(mt.gauss_kern(2.0, 3.0))
+        assert abs(g.sum() - 1.0) < 1e-6
+        # symmetric and peaked at the center
+        assert g.max() == g[g.shape[0] // 2, g.shape[1] // 2]
+
+    def test_block_smooth_constant_invariant(self, geom64):
+        imap = jnp.ones(geom64.shape)
+        out = np.asarray(mt.block_smooth(imap, 4))
+        np.testing.assert_allclose(out, 1.0, atol=1e-12)
+        # block means: a checkerboard of 2x2 blocks smooths to the mean
+        m = np.zeros((8, 8))
+        m[::2, :] = 2.0
+        out = np.asarray(mt.block_smooth(jnp.asarray(m), 2))
+        np.testing.assert_allclose(out, 1.0, atol=1e-12)
+
+    def test_field_variance_white(self):
+        # white Cl = const c: sigma^2 = c * sum(2l+1)/4pi = c*(lmax+1)^2/4pi
+        lmax = 100
+        cls = np.full(lmax + 1, 2.0)
+        v = float(mt.field_variance(cls))
+        assert abs(v - 2.0 * (lmax + 1) ** 2 / (4 * np.pi)) < 1e-6
+
+    def test_random_source_map_counts(self, geom64):
+        import jax
+        m = np.asarray(mt.random_source_map(
+            jax.random.PRNGKey(0), geom64, 10))
+        assert m.sum() == 10.0  # delta amplitudes, no beam
+
+    def test_get_ecc_circle_vs_ellipse(self, geom64):
+        r = np.asarray(geom64.modrmap(jnp.float64))
+        circ = np.exp(-(r / (10 * ARC)) ** 2)
+        assert mt.get_ecc(circ) < 0.05
+        yy = np.asarray(geom64.lmap(jnp.float64)[0]) * 0 + \
+            np.arange(geom64.ny)[:, None] - geom64.ny / 2 + 0.5
+        xx = np.arange(geom64.nx)[None, :] - geom64.nx / 2 + 0.5
+        ell = np.exp(-(yy ** 2 / 300.0 + xx ** 2 / 30.0))
+        assert mt.get_ecc(ell) > 0.8
+
+    def test_filter_alms_tophat(self):
+        from orphics_tpu.ops import alm as almops
+        lmax = 30
+        ls, ms = almops.lm_indices(lmax)
+        alm = jnp.asarray(np.ones(ls.size, np.complex64))
+        out = np.asarray(mt.filter_alms(alm, 5, 20))
+        assert np.all(out[(ls >= 5) & (ls <= 20)] == 1.0)
+        assert np.all(out[(ls < 5) | (ls > 20)] == 0.0)
+
+    def test_area_from_mask(self, geom64):
+        mask = np.ones(geom64.shape)
+        area_deg2, frac = mt.area_from_mask(mask, geom64)
+        assert abs(frac - 1.0) < 1e-12
+        assert abs(area_deg2
+                   - geom64.area * (180 / np.pi) ** 2) < 1e-6
+
+    def test_resample_fft_roundtrip_mean(self, geom64):
+        rng = np.random.default_rng(0)
+        imap = jnp.asarray(rng.standard_normal(geom64.shape))
+        out, og = mt.resample_fft(imap, geom64, geom64.dy * 2)
+        assert og.shape == (geom64.ny // 2, geom64.nx // 2)
+        # downsample preserves the mean (DC mode)
+        assert abs(float(out.mean()) - float(imap.mean())) < 1e-6
+        up, og2 = mt.resample_fft(imap, geom64, geom64.dy / 2)
+        assert og2.shape == (geom64.ny * 2, geom64.nx * 2)
+        # band-limited upsample: original samples preserved at even pix
+        assert abs(float(up.mean()) - float(imap.mean())) < 1e-6
+
+    def test_cutup_and_bounds(self):
+        boxes = mt.cutup((64, 64), 2, 2, pad=0)
+        assert boxes.shape == (4, 2, 2)
+        assert boxes.min() >= 0 and boxes.max() <= 63
+        b = mt.bounds_from_list([0.0, 10.0, 5.0, 20.0])
+        np.testing.assert_allclose(np.rad2deg(b),
+                                   [[0.0, 10.0], [5.0, 20.0]])
+
+    def test_split_sky_boxes(self):
+        boxes = mt.split_sky(10.0, 2, 10.0)
+        assert len(boxes) > 10
+        for b in boxes[:3]:
+            assert b[1, 0] > b[0, 0]
+
+    def test_spec1d_to_2d_paints_modlmap(self, geom64):
+        ells = np.arange(3000)
+        ps = 1.0 / (ells + 10.0)
+        p2d = np.asarray(mt.spec1d_to_2d(geom64, ps,
+                                                dtype=jnp.float64))
+        ml = np.asarray(geom64.modlmap(jnp.float64))
+        want = np.interp(ml, ells, ps)
+        sel = ml < 2500
+        np.testing.assert_allclose(p2d[sel], want[sel], rtol=1e-3)
+
+    def test_get_lnlike_identity_cov(self):
+        stamp = np.array([[1.0, 2.0], [3.0, 4.0]])
+        val = float(mt.get_lnlike(np.eye(4), stamp))
+        assert abs(val - 30.0) < 1e-10
+
+    def test_get_grf_realization_power(self, geom64):
+        import jax
+        ny, nx = geom64.shape
+        p2d = np.full((ny, nx), 5.0)  # white spectrum, physical units
+        maps = np.asarray(jax.vmap(
+            lambda k: mt.get_grf_realization(k, geom64, p2d))(
+                jax.random.split(jax.random.PRNGKey(1), 32)))
+        # pixel variance of a white field = C * npix / area
+        want = 5.0 * geom64.npix / geom64.area
+        assert abs(maps.var() / want - 1) < 0.1
+
+    def test_rgeo_resolution(self):
+        g = mt.rgeo(10.0, 2.0)
+        assert abs(mt.resolution(g) - 2.0 * ARC) < 1e-12
+
+    def test_autofiltered_maps(self, geom64):
+        rng = np.random.default_rng(3)
+        imap = jnp.asarray(rng.standard_normal(geom64.shape).astype(
+            np.float32))
+        ivar = np.ones(geom64.shape, np.float32)
+        ivar[:, :8] = 0.0
+        fmap, mask = mt.autofiltered_maps(
+            imap, geom64, ivar=ivar, grow_deg=0.0, apod_deg=0.1)
+        fmap = np.asarray(fmap)
+        assert np.all(np.isfinite(fmap))
+        assert np.all(fmap[:, :4] == 0)  # masked region zeroed
+
+    def test_flat_sim_bundle(self):
+        geom, modlmap, th, mgen = mt.flat_sim(4.0, 4.0, lmax=3000)
+        import jax
+        m = np.asarray(mgen.get_map(jax.random.PRNGKey(0)))
+        assert m.shape[-2:] == geom.shape and np.isfinite(m).all()

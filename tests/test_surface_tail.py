@@ -1,0 +1,332 @@
+"""Reference-surface tail: the long tail of small public functions from
+every reference module (maps/cosmology/lensing/pixcov/stats/io/catalogs/
+interfaces/mpi), added for function-level completeness. Each test pins
+the documented behavior with closed-form or self-consistency checks."""
+import os
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from orphics_tpu import rect_geometry
+from orphics_tpu.geometry import Geometry, arcmin
+
+
+@pytest.fixture(scope="module")
+def cc():
+    from orphics_tpu.models.cosmology import Cosmology
+    return Cosmology()
+
+
+class TestRSD:
+    def test_kaiser_limits(self, cc):
+        """mu=0: Pgg = b^2 Pmm (no RSD); Pvv independent of mu."""
+        from orphics_tpu.models import rsd
+        ks = np.geomspace(0.01, 0.2, 16)
+        mus = np.array([0.0, 0.5, 1.0])
+        Pgg, Pgv, Pvv = rsd.Pgg_Pvv_Pgv(ks, mus, 0.5, cc=cc, bg=2.0)
+        pm = np.asarray(cc.P_lin(jnp.asarray(ks), 0.5))
+        np.testing.assert_allclose(np.asarray(Pgg[0]), 4.0 * pm,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(Pvv[0]), np.asarray(Pvv[2]),
+                                   rtol=1e-6)
+        # Kaiser boost at mu=1 exceeds mu=0
+        assert np.all(np.asarray(Pgg[2]) > np.asarray(Pgg[0]))
+        f = rsd.growth_rate(cc, 0.5)
+        assert 0.5 < f < 1.0  # LCDM growth rate at z=0.5
+
+    def test_fisher_positive_definite(self, cc):
+        from orphics_tpu.models import rsd
+        ks = np.geomspace(0.01, 0.3, 24)
+        mus = np.linspace(0, 1, 12)
+        fid = dict(omch2=0.1203058)
+        steps = dict(omch2=0.004, bg=0.05)
+        dg, dv, dvv = rsd.kmode_derivatives(ks, mus, ["omch2", "bg"],
+                                            fid, steps, 0.5, bg=2.0)
+        F, FG = rsd.kmode_fisher(ks, mus, 1e9, ["omch2", "bg"], dg, dv,
+                                 dvv, *rsd.Pgg_Pvv_Pgv(ks, mus, 0.5,
+                                                       cc=cc, bg=2.0),
+                                 1e3, 1e3)
+        assert np.all(np.linalg.eigvalsh(F) > 0)
+        assert np.all(np.linalg.eigvalsh(FG) > 0)
+        # adding the velocity field can only add information
+        assert np.linalg.det(F) >= np.linalg.det(FG) * 0.999
+
+
+class TestCosmologyTail:
+    def test_phi2kappa(self):
+        from orphics_tpu.models.cosmology import phi2kappa
+        assert float(phi2kappa(jnp.asarray([2.0]))[0]) == 3.0
+
+    def test_enmap_power_matrix(self):
+        from orphics_tpu.models import theory
+        from orphics_tpu.models.cosmology import (
+            enmap_power_from_orphics_theory, unpack_cmb_theory)
+        th = theory.default_theory()
+        ps = enmap_power_from_orphics_theory(th, lmax=500)
+        assert ps.shape == (3, 3, 500)
+        cltt, clee, clte, clbb = unpack_cmb_theory(
+            th, np.arange(500), lensed=False)
+        np.testing.assert_allclose(np.asarray(ps[0, 1]),
+                                   np.asarray(clte), rtol=1e-6)
+        # TCMB^2 conversion factor
+        ps2 = enmap_power_from_orphics_theory(th, lmax=10,
+                                              dimensionless=False)
+        ratio = float(ps2[0, 0, 5] / ps[0, 0, 5])
+        assert abs(ratio / 2.7255e6 ** 2 - 1) < 1e-6
+
+    def test_pycamb_results_dict_ingestion(self):
+        """loadTheorySpectraFromPycambResults accepts a plain dict in
+        the get_cmb_power_spectra layout."""
+        from orphics_tpu.models.cosmology import (
+            loadTheorySpectraFromPycambResults)
+        L = 600
+        ells = np.arange(L)
+        dl = np.zeros((L, 4))
+        for i in range(4):
+            dl[:, i] = (i + 1.0) * 1e-10
+        cmbmat = {"lensed_scalar": dl, "unlensed_scalar": dl * 2,
+                  "total": dl}
+        th = loadTheorySpectraFromPycambResults(cmbmat, None, 500)
+        l = np.asarray([100.0])
+        want = 1e-10 * 2 * np.pi / 100.0 / 101.0
+        np.testing.assert_allclose(float(th.lCl("TT", l)[0]), want,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(th.uCl("TT", l)[0]), 2 * want,
+                                   rtol=1e-5)
+
+    def test_get_lss_cls_native(self):
+        from orphics_tpu.models.cosmology import get_lss_cls
+        out = get_lss_cls(
+            {"g": dict(stype="counts", wtype="gaussian", zmean=0.6,
+                       zsigma=0.1, b=2.0),
+             "s": dict(stype="lensing", wtype="gaussian", zmean=1.0,
+                       zsigma=0.2)}, lmax=300)
+        assert set(out) == {"g,g", "g,s", "s,s"}
+        for v in out.values():
+            assert np.all(np.isfinite(v)) and v[50] > 0
+        # counts auto should dominate the cross at these biases
+        assert out["g,g"][50] > out["g,s"][50] > out["s,s"][50]
+
+    def test_pk_comparison_scales(self, cc):
+        from orphics_tpu.models.cosmology import pk_comparison
+        ks, r = pk_comparison("omch2", 0.5, 0.1203058, 0.1303058)
+        assert np.all(np.isfinite(r)) and not np.allclose(r, 1.0)
+
+
+class TestLensingTail:
+    def test_kappa_nfw_matches_rhofunc_projection(self, cc):
+        from orphics_tpu.models import nfwfit
+        th = np.geomspace(1e-4, 2e-2, 10)
+        k1 = np.asarray(nfwfit.kappa_nfw(2e14, 3.2, 1.0, th, cc, 0.7))
+        k2 = np.asarray(nfwfit.kappa_from_rhofunc(2e14, 3.2, 1.0, th,
+                                                  cc, 0.7))
+        np.testing.assert_allclose(k1, k2, rtol=2e-3)
+        # negative mass flips sign
+        km = np.asarray(nfwfit.kappa_nfw(-2e14, 3.2, 1.0, th, cc, 0.7))
+        np.testing.assert_allclose(km, -k1, rtol=1e-6)
+
+    def test_rayleigh_normalized_peak(self):
+        from orphics_tpu.models.nfwfit import rayleigh
+        th = np.linspace(0, 10, 4001)
+        p = np.asarray(rayleigh(th, 1.5))
+        assert abs(np.trapezoid(p, th) - 1.0) < 1e-3
+        assert abs(th[p.argmax()] - 1.5) < 0.01
+
+    def test_miscentering_suppresses_center(self, cc):
+        from orphics_tpu.models import nfwfit
+        th = np.geomspace(1e-4, 1e-2, 12)
+        koff, kc = nfwfit.kappa_nfw_profiley1d(th, R_off_Mpc=0.3, cc=cc)
+        assert float(koff[0]) < float(kc[0])
+        assert abs(float(koff[-1] / kc[-1]) - 1) < 0.2
+
+    def test_mass_estimate_recovers(self, cc):
+        from orphics_tpu.models import nfwfit
+        geom = rect_geometry(width_arcmin=32.0, px_res_arcmin=0.5)
+        modr = geom.modrmap(jnp.float64)
+        truth = nfwfit.nfw_kappa(3e14, modr, cc,
+                                 zL=0.7).reshape(geom.shape)
+        n2d = jnp.ones(geom.shape) * 1e-6
+        m, var = nfwfit.mass_estimate(truth, n2d, geom, 1.5e14, 3.2,
+                                      0.7, cc=cc, niter=5)
+        assert abs(m / 3e14 - 1) < 0.05
+        assert var > 0
+
+
+class TestPixcovTail:
+    def test_pcov_tpcov_and_paste(self):
+        from orphics_tpu.models import pixcov, theory
+        from orphics_tpu.ops import fourier as F
+        n = 8
+        gs = Geometry(n, n, 2.0 * arcmin, 2.0 * arcmin)
+        th = theory.default_theory()
+        tf = lambda s, l: np.asarray(th.lCl(s, jnp.asarray(l)))
+        bf = lambda l: np.asarray(F.gauss_beam(jnp.asarray(l), 1.4))
+        ivar = np.full((n, n), 25.0)
+        ivar[0, 0] = 0.0
+        tp = pixcov.tpcov_from_ivar(n, ivar, tf, bf, gs)
+        pc = pixcov.pcov_from_ivar(n, ivar, tf, bf, gs)
+        assert tp.shape == (1, 1, n * n, n * n)
+        assert pc.shape == (3, 3, n * n, n * n)
+        # symmetric, positive diagonal, QQ noise = 2x II noise
+        assert float(jnp.abs(tp[0, 0] - tp[0, 0].T).max()) < 1e-8
+        d0 = float(pc[0, 0, 5, 5] - tp[0, 0, 5, 5])
+        assert abs(d0) < 1e-8  # same TT block
+        m1, m2 = pixcov.get_regions(
+            1, np.asarray(gs.modrmap(jnp.float64)), 6 * arcmin)
+        st = pixcov.paste(jnp.zeros((n, n)), m1, jnp.ones(len(m1)))
+        assert float(st.sum()) == len(m1)
+
+    def test_cinv_inpaint_preserves_context(self):
+        from orphics_tpu.models import pixcov, theory
+        n = 16
+        gs = Geometry(n, n, 2.0 * arcmin, 2.0 * arcmin)
+        th = theory.default_theory()
+        mask = np.zeros((n, n), bool)
+        mask[6:10, 6:10] = True
+        lp = np.asarray(th.lCl("TT", np.arange(8000)))
+        imap = jnp.asarray(np.random.default_rng(0)
+                           .standard_normal((n, n)) * 1e-5)
+        out = np.asarray(pixcov.cinv_inpaint(imap, gs, mask=mask,
+                                             lpower_total=lp))
+        assert np.allclose(out[~mask], np.asarray(imap)[~mask])
+        assert np.isfinite(out[mask]).all()
+
+
+class TestStatsTail:
+    def test_dump_load_roundtrip(self, tmp_path):
+        from orphics_tpu.parallel.statistics import Stats, load_stats
+        st = Stats()
+        rng = np.random.default_rng(0)
+        for i in range(50):
+            st.add_to_stats("v", rng.standard_normal(4))
+        st.add_to_stack("img", np.full((3, 3), 2.0))
+        st.dump(str(tmp_path))
+        s = load_stats(str(tmp_path))
+        np.testing.assert_allclose(s.stats["v"]["mean"],
+                                   np.asarray(st.mean("v")), rtol=1e-6)
+        np.testing.assert_allclose(s.stacks["img"], 2.0)
+
+    def test_its2d_moments(self):
+        from orphics_tpu.utils.fitting import InverseTransformSampling2D
+        ys = np.linspace(-4, 4, 101)
+        xs = np.linspace(-4, 4, 101)
+        pdf = np.exp(-0.5 * (ys[:, None] ** 2 + (xs[None, :] - 1.0) ** 2))
+        its = InverseTransformSampling2D(ys, xs, pdf)
+        ysmp, xsmp = its.generate(20000, key=jax.random.PRNGKey(1))
+        assert abs(float(ysmp.mean())) < 0.05
+        assert abs(float(xsmp.mean()) - 1.0) < 0.05
+        assert abs(float(ysmp.std()) - 1.0) < 0.05
+
+    def test_eig_analyze(self, capsys):
+        from orphics_tpu.utils.fitting import eig_analyze
+        es = eig_analyze(np.eye(2)[:, :, None, None]
+                         * np.ones((1, 1, 4, 4)))
+        assert np.all(es >= 0.99)
+        assert "False" in capsys.readouterr().out
+
+
+class TestIOTail:
+    def test_small_utilities(self, tmp_path, capsys):
+        from orphics_tpu.utils import io as uio
+        assert uio.latex.ell == r"$\ell$"
+        assert uio.join_nums([1, 2.5, "x"]) == "1_2.5_x"
+        assert uio.list_from_string("1,2.5,3") == [1.0, 2.5, 3.0]
+        assert uio.but_her_emails("mail a@b.com and c.d@e.org") == \
+            ["a@b.com", "c.d@e.org"]
+        uio.print_dict({"b": 1, "a": [1, 2]})
+        out = capsys.readouterr().out
+        assert '"a"' in out and out.index('"a"') < out.index('"b"')
+        uio.print_keys_tree({"x": {"y": 1}})
+        assert "  y" in capsys.readouterr().out
+        assert len(uio.dateversion()) == 8
+        d = str(tmp_path / "v1")
+        uio.prepare_dir(d, overwrite=False)
+        with pytest.raises(AssertionError):
+            uio.prepare_dir(d, overwrite=False)
+        with uio.no_context():
+            pass
+        # proceedyn with scripted input
+        assert uio.proceedyn(_input=lambda p: "y") is True
+        with pytest.raises(SystemExit):
+            uio.proceedyn(_input=lambda p: "n")
+
+    def test_plot_tail(self, tmp_path):
+        from orphics_tpu.utils import plot as up
+        arr = np.random.default_rng(0).standard_normal((32, 32))
+        f = str(tmp_path / "h.png")
+        up.high_res_plot_img(arr, f, down=2, verbose=False)
+        assert os.path.getsize(f) > 0
+        f2 = str(tmp_path / "c.png")
+        up.layered_contour(arr, arr, [0.0], "k", filename=f2)
+        assert os.path.getsize(f2) > 0
+        html = up.generate_gallery_html([f, f2], titles=["a", "b"])
+        assert "h.png" in html and "c.png" in html
+
+
+class TestCatalogsTail:
+    def test_select_region_wraps(self):
+        from orphics_tpu.models.catalogs import select_region
+        ra = np.array([10.0, 200.0, 350.0])
+        dec = np.array([0.0, 1.0, 2.0])
+        r, d, other = select_region(ra, dec, [np.arange(3)], -30, 30,
+                                    -5, 5)
+        assert r.tolist() == [10.0, -10.0]
+        assert other[0].tolist() == [0, 2]
+
+    def test_enplot_annotate_format(self, tmp_path):
+        from orphics_tpu.models.catalogs import enplot_annotate
+        f = str(tmp_path / "a.txt")
+        enplot_annotate(f, [10.0, 20.0], [1.0, 2.0], 5, 2, "red")
+        lines = open(f).read().strip().splitlines()
+        assert len(lines) == 2
+        assert lines[0].split()[:3] == ["c", "1.0000", "10.0000"]
+
+    def test_agora_slices(self):
+        from orphics_tpu.interfaces import agora_redshift_to_halocat_files
+        files = agora_redshift_to_halocat_files(0.3, 0.35)
+        assert len(files) >= 2
+        assert all(f.startswith("agora_halolc") for f in files)
+        # lensed variant uses the other basename
+        lf = agora_redshift_to_halocat_files(0.3, 0.35, lensed=True)
+        assert all("deflect" in f for f in lf)
+
+
+class TestMapsCurvedTail:
+    def test_galactic_wrappers(self):
+        from orphics_tpu.models import curved
+        geom = rect_geometry(width_arcmin=64 * 8.0, px_res_arcmin=8.0)
+        m = np.asarray(curved.galactic_mask_equ(geom, np.deg2rad(20.0),
+                                                -np.deg2rad(20.0)))
+        assert m.shape == geom.shape and set(np.unique(m)) <= {0.0, 1.0}
+        n = np.asarray(curved.north_galactic_mask(geom))
+        s = np.asarray(curved.south_galactic_mask(geom))
+        # every pixel is in exactly one hemisphere
+        np.testing.assert_allclose(n + s, 1.0)
+
+    def test_ilc_tail(self):
+        from orphics_tpu.models import ilc
+        assert ilc.ilc_index(3) == "p"
+        assert ilc.ilc_index(4) == "pq"
+        r = np.asarray(ilc.ilc_def_response(None, np.zeros((4, 4, 3))))
+        np.testing.assert_allclose(r, 1.0)
+
+    def test_apply_harmonic_coadd_weights(self):
+        from orphics_tpu.models.ilc import apply_harmonic_coadd_weights
+        from orphics_tpu.ops import alm as almops
+        lmax = 20
+        ls, ms = almops.lm_indices(lmax)
+        a1 = jnp.asarray(np.ones(ls.size, np.complex64))
+        a2 = jnp.asarray(np.full(ls.size, 3.0, np.complex64))
+        w = np.zeros((lmax + 1, 2))
+        w[:, 0] = 0.25
+        w[:, 1] = 0.25
+        out = np.asarray(apply_harmonic_coadd_weights(
+            [a1, a2], w, np.ones(lmax + 1)))
+        np.testing.assert_allclose(out.real, 1.0, rtol=1e-6)
+
+    def test_mpi_abort_reraises(self):
+        from orphics_tpu.parallel.runtime import mpi_abort_on_exception
+        with pytest.raises(ValueError):
+            with mpi_abort_on_exception():
+                raise ValueError("boom")
