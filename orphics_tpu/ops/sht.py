@@ -302,6 +302,29 @@ def _seed_mantissa_exp(tab, theta, dtype):
     return mant.astype(dtype), e
 
 
+def _seed_mantissa_exp_traced(tab, theta, dtype):
+    """Traced-theta version of :func:`_seed_mantissa_exp` (jnp ops), for
+    ring-distributed transforms where each shard's colatitudes are a
+    device-local traced array. The log/exp evaluation in the working
+    dtype costs ~|log seed| * eps relative seed error (negligible under
+    x64; ~1e-4-class under fp32, at the existing fp32 recurrence
+    floor)."""
+    theta = jnp.asarray(theta, jnp.result_type(dtype, jnp.float32))
+    ct2 = jnp.log(jnp.maximum(jnp.abs(jnp.cos(theta / 2.0)), 1e-300))
+    st2 = jnp.log(jnp.maximum(jnp.abs(jnp.sin(theta / 2.0)), 1e-300))
+    logv = (jnp.asarray(tab["seed_logC"], theta.dtype)[:, :, None]
+            + jnp.asarray(tab["seed_pc"], theta.dtype)[:, :, None]
+            * ct2[None, None, :]
+            + jnp.asarray(tab["seed_ps"], theta.dtype)[:, :, None]
+            * st2[None, None, :])
+    log2v = logv / math.log(2.0)
+    e = jnp.maximum(0, jnp.ceil((-log2v - 8.0) / _RESCALE_BITS)
+                    ).astype(jnp.int32)
+    mant = (jnp.asarray(tab["seed_sign"], theta.dtype)[:, :, None]
+            * jnp.exp(logv + e * (_RESCALE_BITS * math.log(2.0))))
+    return mant.astype(dtype), e
+
+
 # ---------------------------------------------------------------------------
 # Core scan: generalized Legendre/Wigner transform over l
 # ---------------------------------------------------------------------------
@@ -316,7 +339,7 @@ def _pad_l_axis(arr, L1, Lpad, axis):
 
 
 def _lambda_scan(lmax, theta_np, ns, dtype, contract, init_out, xs=None,
-                 block: int = _LBLOCK):
+                 block: int = _LBLOCK, vary_axes: tuple = ()):
     """Run the l-recursion for the Wigner columns ``ns`` in l-blocks.
 
     The recurrence is sequential in l, but the *contraction* need not be
@@ -339,7 +362,11 @@ def _lambda_scan(lmax, theta_np, ns, dtype, contract, init_out, xs=None,
     L1 = lmax + 1
     nb = -(-L1 // block)
     Lpad = nb * block
-    x = jnp.asarray(np.cos(theta_np), dtype)  # (T,)
+    traced = isinstance(theta_np, jnp.ndarray)
+    if traced:
+        x = jnp.cos(jnp.asarray(theta_np, dtype))  # (T,)
+    else:
+        x = jnp.asarray(np.cos(theta_np), dtype)   # (T,)
     # per-block scanned tables: (nb, block, nn, M+1)
     A = jnp.asarray(np.moveaxis(_pad_l_axis(tab["A"], L1, Lpad, 1), 1, 0)
                     .reshape(nb, block, nn, L1), dtype)
@@ -347,9 +374,12 @@ def _lambda_scan(lmax, theta_np, ns, dtype, contract, init_out, xs=None,
                     .reshape(nb, block, nn, L1), dtype)
     C = jnp.asarray(np.moveaxis(_pad_l_axis(tab["C"], L1, Lpad, 1), 1, 0)
                     .reshape(nb, block, nn, L1), dtype)
-    mant_np, e_np = _seed_mantissa_exp(tab, theta_np, np.float64)
-    seed_m = jnp.asarray(mant_np, dtype)      # (nn, M+1, T)
-    seed_e = jnp.asarray(e_np)                # (nn, M+1, T) int32
+    if traced:
+        seed_m, seed_e = _seed_mantissa_exp_traced(tab, theta_np, dtype)
+    else:
+        mant_np, e_np = _seed_mantissa_exp(tab, theta_np, np.float64)
+        seed_m = jnp.asarray(mant_np, dtype)  # (nn, M+1, T)
+        seed_e = jnp.asarray(e_np)            # (nn, M+1, T) int32
     l0 = jnp.asarray(tab["l0"])               # (nn, M+1)
 
     T = theta_np.shape[0]
@@ -402,8 +432,19 @@ def _lambda_scan(lmax, theta_np, ns, dtype, contract, init_out, xs=None,
                     axis=0),
                 (nb, block) + v.shape[1:]),
             xs)
-    (_, _, _, out), _ = lax.scan(step, (lam_p, lam_c, e, init_out),
-                                 (A, B, C, ls, xs))
+    carry0 = (lam_p, lam_c, e, init_out)
+    if vary_axes:
+        # under shard_map, replicated initial carries must be promoted
+        # to device-varying to match the theta-derived scan outputs
+        carry0 = jax.tree_util.tree_map(
+            lambda v: jax.lax.pvary(v, tuple(vary_axes)), carry0)
+        xs = jax.tree_util.tree_map(
+            lambda v: jax.lax.pvary(v, tuple(vary_axes)), xs)
+        A = jax.lax.pvary(A, tuple(vary_axes))
+        B = jax.lax.pvary(B, tuple(vary_axes))
+        C = jax.lax.pvary(C, tuple(vary_axes))
+        ls = jax.lax.pvary(ls, tuple(vary_axes))
+    (_, _, _, out), _ = lax.scan(step, carry0, (A, B, C, ls, xs))
     return out
 
 

@@ -1,0 +1,130 @@
+"""Ring-distributed spherical-harmonic transforms over a device mesh.
+
+The iso-latitude SHT decomposes naturally over *rings* — exactly the
+strategy libsharp uses over MPI ranks, expressed here the TPU way with
+``shard_map`` + ``psum`` over a named mesh axis:
+
+* **Analysis** (``map2alm_dist``): the quadrature is a sum over rings,
+  so each device runs the full Wigner recursion for *its ring subset
+  only* (the recursion cost scales with local T, cutting both FLOPs and
+  memory per device) and contributes a partial (l, m) matrix; one
+  ``psum`` over the ring axis completes the alm. The per-shard
+  colatitudes enter as traced arrays (``_seed_mantissa_exp_traced``).
+* **Synthesis** (``alm2map_dist``): embarrassingly parallel — alm is
+  replicated, each device synthesizes its own ring rows, and the output
+  stays sharded over rings (no collective at all).
+
+Both compile under jit on any ``jax.sharding.Mesh`` axis and are
+validated against the serial transforms on the virtual CPU mesh
+(tests/test_parallel.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax.experimental.shard_map import shard_map
+
+from ..ops import sht
+from ..ops import alm as almops
+
+__all__ = ["map2alm_dist", "alm2map_dist", "pad_rings"]
+
+
+def pad_rings(rings: sht.RingGeom, ndev: int):
+    """Pad a ring geometry to a ring count divisible by ``ndev``:
+    returns (theta, weights, npad) arrays with zero-weight rings at the
+    south end (zero quadrature weight => exact no-ops in analysis)."""
+    T = rings.ntheta
+    Tpad = -(-T // ndev) * ndev
+    theta = np.concatenate([rings.theta_array(),
+                            np.full(Tpad - T, np.pi / 2)])
+    w = np.concatenate([rings.weights_array(), np.zeros(Tpad - T)])
+    return theta, w, Tpad - T
+
+
+def map2alm_dist(maps, rings: sht.RingGeom, lmax: int, mesh: Mesh,
+                 axis: str = "sims"):
+    """Ring-distributed analysis: healpy-packed alm from (ntheta, nphi)
+    maps sharded over ``mesh`` axis ``axis``.
+
+    Each shard runs the Wigner recursion over its local rings only and
+    the partial (l, m) matrices are psum-reduced over the ring axis.
+    """
+    ndev = mesh.shape[axis]
+    theta, w, npad = pad_rings(rings, ndev)
+    maps = jnp.asarray(maps)
+    rdt = maps.dtype
+    cdt = jnp.result_type(rdt, jnp.complex64)
+    if npad:
+        maps = jnp.concatenate(
+            [maps, jnp.zeros(maps.shape[:-2] + (npad, maps.shape[-1]),
+                             rdt)], axis=-2)
+    wq = jnp.asarray(w, rdt) * (2.0 * np.pi / rings.nphi)
+    thetaj = jnp.asarray(theta, jnp.float64 if rdt == jnp.float64
+                         else jnp.float32)
+    Lpad = -(-(lmax + 1) // sht._LBLOCK) * sht._LBLOCK
+
+    # ring FFT phase (phi0) is ring-independent here; fold into analysis
+    def local(maps_l, theta_l, w_l):
+        F = sht._ring_analysis(maps_l, rings, lmax)    # (..., Tl, M+1)
+        G = F * w_l[..., :, None]
+        batch = maps_l.shape[:-2]
+        out0 = jnp.zeros(batch + (Lpad, lmax + 1), cdt)
+
+        def contract(l_base, lam_blk, out, _):
+            lam = lam_blk[:, 0]                        # (block, M+1, Tl)
+            rows = jnp.einsum("lmt,...tm->...lm", lam, G,
+                              precision=sht._EPREC).astype(cdt)
+            return jax.lax.dynamic_update_slice_in_dim(out, rows, l_base,
+                                                       axis=-2)
+
+        mat = sht._lambda_scan(lmax, theta_l, (0,), rdt, contract,
+                               out0, vary_axes=(axis,))
+        return jax.lax.psum(mat, axis)
+
+    spec_map = P(*([None] * (maps.ndim - 2)), axis, None)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec_map, P(axis), P(axis)),
+                   out_specs=P(*([None] * (maps.ndim - 2)), None, None))
+    mat = fn(maps, thetaj, wq)
+    return sht._mat2alm(mat[..., : lmax + 1, :], lmax)
+
+
+def alm2map_dist(alm, rings: sht.RingGeom, lmax: int, mesh: Mesh,
+                 axis: str = "sims"):
+    """Ring-distributed synthesis: replicated alm -> map sharded over
+    rings on ``mesh`` axis ``axis`` (no collectives — each device
+    synthesizes its own rows). Returns the full gathered map."""
+    ndev = mesh.shape[axis]
+    theta, _w, npad = pad_rings(rings, ndev)
+    alm = jnp.asarray(alm)
+    cdt = alm.dtype
+    rdt = jnp.real(jnp.zeros((), cdt)).dtype
+    thetaj = jnp.asarray(theta, jnp.float64 if rdt == jnp.float64
+                         else jnp.float32)
+    mat = jnp.moveaxis(sht._alm2mat(alm, lmax), -2, 0)  # (L+1, ..., M+1)
+    batch = alm.shape[:-1]
+
+    def local(theta_l, mat_l):
+        Tl = theta_l.shape[0]
+        acc0 = jnp.zeros(batch + (Tl, lmax + 1), cdt)
+
+        def contract(l_base, lam_blk, out, a_blk):
+            lam = lam_blk[:, 0]
+            return out + jnp.einsum("lmt,l...m->...tm", lam, a_blk,
+                                    precision=sht._EPREC)
+
+        acc = sht._lambda_scan(lmax, theta_l, (0,), rdt, contract, acc0,
+                               xs=mat_l, vary_axes=(axis,))
+        return sht._ring_synthesis(acc, rings, real=True).astype(rdt)
+
+    mat_spec = P(*([None] * mat.ndim))
+    fn = shard_map(local, mesh=mesh, in_specs=(P(axis), mat_spec),
+                   out_specs=P(*([None] * len(batch)), axis, None))
+    out = fn(thetaj, mat)
+    T = rings.ntheta
+    return out[..., :T, :]

@@ -132,3 +132,59 @@ def test_ensemble_stats_padding_excluded():
     want = vals[np.arange(ndev * per) < nsims].mean(axis=0)
     np.testing.assert_allclose(np.asarray(st["x"].mean()), want,
                                rtol=1e-6, atol=1e-7)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return get_mesh()
+
+
+class TestDistributedSHT:
+    """Ring-distributed SHT (parallel/sht.py): shard_map + psum over the
+    ring axis must match the serial transforms exactly."""
+
+    def test_map2alm_dist_matches_serial(self, mesh8):
+        from orphics_tpu.ops import sht
+        from orphics_tpu.parallel import sht as psht
+        lmax = 40
+        rings = sht.gauss_legendre_rings(lmax)  # 41 rings -> padded to 48
+        rng = np.random.default_rng(0)
+        m = jnp.asarray(rng.standard_normal(rings.shape))
+        a_ser = sht.map2alm(m, rings, lmax)
+        a_dist = psht.map2alm_dist(m, rings, lmax, mesh8)
+        np.testing.assert_allclose(np.asarray(jnp.abs(a_dist - a_ser)),
+                                   0.0, atol=1e-10)
+
+    def test_alm2map_dist_matches_serial(self, mesh8):
+        from orphics_tpu.ops import sht
+        from orphics_tpu.parallel import sht as psht
+        lmax = 40
+        rings = sht.gauss_legendre_rings(lmax)
+        rng = np.random.default_rng(1)
+        from orphics_tpu.ops import alm as almops
+        ls, ms = almops.lm_indices(lmax)
+        alm = (rng.standard_normal(ls.size)
+               + 1j * np.where(ms == 0, 0.0,
+                               rng.standard_normal(ls.size)))
+        alm = jnp.asarray(alm)
+        mp_ser = sht.alm2map(alm, rings, lmax)
+        mp_dist = psht.alm2map_dist(alm, rings, lmax, mesh8)
+        np.testing.assert_allclose(np.asarray(mp_dist),
+                                   np.asarray(mp_ser), atol=1e-10)
+
+    def test_dist_roundtrip(self, mesh8):
+        """dist-analysis o dist-synthesis recovers the alm."""
+        from orphics_tpu.ops import sht
+        from orphics_tpu.ops import alm as almops
+        from orphics_tpu.parallel import sht as psht
+        lmax = 24
+        rings = sht.gauss_legendre_rings(lmax)
+        rng = np.random.default_rng(2)
+        ls, ms = almops.lm_indices(lmax)
+        alm = jnp.asarray(rng.standard_normal(ls.size)
+                          + 1j * np.where(ms == 0, 0.0,
+                                          rng.standard_normal(ls.size)))
+        m = psht.alm2map_dist(alm, rings, lmax, mesh8)
+        a2 = psht.map2alm_dist(m, rings, lmax, mesh8)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(alm),
+                                   atol=1e-8)
