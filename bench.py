@@ -101,10 +101,11 @@ def bench_headline():
                           .astype(np.float32))
         nh = n // 2
 
-        def row_bins(Zr, Zi, p, oh):
+        def row_bins(zrow_r, zrow_i, p, oh):
             """Boundary-row (ky = 0 / n/2) bins: their mirror is a lane
-            permutation within the same row."""
-            zr, zi = Zr[:, p, :], Zi[:, p, :]
+            permutation within the same row. Rows come from the
+            [0, 128) Z-row strip emitted by the fused kernel."""
+            zr, zi = zrow_r[:, p, :], zrow_i[:, p, :]
             zmr = jnp.take(zr, mrow, axis=1)
             zmi = jnp.take(zi, mrow, axis=1)
             qs = 0.5 * (zr * zr + zi * zi + zmr * zmr + zmi * zmi)
@@ -118,21 +119,20 @@ def bench_headline():
             """Identical math to the XLA path: synthesize two real maps per
             pair as Re/Im of one inverse FFT, analyze them packed as one
             forward FFT, Hermitian-split, bin. Both FFT axes ride the
-            Pallas MXU/radix kernels; the Fourier plane stays in the
-            kernels' permuted order end to end; the white noise is drawn
-            by the on-chip PRNG *inside* the synthesis kernel (covsqrt
-            multiply fused too, so neither the noise nor the scaled
-            plane ever exists in HBM); and the mirror + split + power
-            collapse to one half-plane Pallas pass (qc_pp_half) feeding a
+            Pallas MXU/radix kernels; the white noise is drawn by the
+            on-chip PRNG *inside* the synthesis kernel (covsqrt multiply
+            fused too, so neither the noise nor the scaled plane ever
+            exists in HBM); and the row DFT + mirror + split + power all
+            collapse into ONE fused half-plane pass (fft2pp_qc) — the
+            full Fourier plane is never written to HBM — feeding a
             half-volume MXU bin-reduce."""
             m1, m2 = pf.ifft2pp_noise(covsqrt_pp, seed, npairs)  # the maps
-            Zr, Zi = pf.fft2pp(m1, m2)                 # analysis FFT
-            qs, cc = pf.qc_pp_half(Zr, Zi)             # half-plane powers
+            qs, cc, zrow_r, zrow_i = pf.fft2pp_qc(m1, m2)
             Nh = nh * n
             bqc, bcc = bin2_matmul(qs.reshape(npairs, Nh),
                                    cc.reshape(npairs, Nh), idc, nsg)
-            bq0, bc0 = row_bins(Zr, Zi, 0, oh0)
-            bqn, bcn = row_bins(Zr, Zi, pnyq, ohn)
+            bq0, bc0 = row_bins(zrow_r, zrow_i, 0, oh0)
+            bqn, bcn = row_bins(zrow_r, zrow_i, pnyq, ohn)
             bq = (2.0 * bqc - bq0 + bqn)[:, 1:-1]
             bc = (2.0 * bcc - bc0 + bcn)[:, 1:-1]
             b1 = (bq + bc) * half_norm * icnt          # binned |F1|^2

@@ -92,19 +92,22 @@ class FastCl:
         return (jnp.einsum("bk,ks->bs", qs, oh, precision=hp),
                 jnp.einsum("bk,ks->bs", c, oh, precision=hp))
 
-    def _pair_bandpowers(self, Zr, Zi):
-        """Binned |F1|^2, |F2|^2 of packed-pair analysis FFTs, via the
-        half-plane mirror-even reconstruction (see qc_pp_half)."""
-        npairs = Zr.shape[0]
+    def _pair_bandpowers(self, m1, m2):
+        """Binned |F1|^2, |F2|^2 of packed real-map pairs via the FUSED
+        row-DFT + half-plane power pass (``fft2pp_qc``): the Fourier
+        plane never materializes in HBM; boundary-row bins come from
+        the [0, 128) Z-row strip the fused pass emits."""
+        npairs = m1.shape[0]
         n = self.n
-        qs, cc = pf.qc_pp_half(Zr, Zi, interpret=self.interpret)
+        qs, cc, zrow_r, zrow_i = pf.fft2pp_qc(m1, m2,
+                                              interpret=self.interpret)
         nh = n // 2
         bqc, bcc = bin2_matmul(qs.reshape(npairs, nh * n),
                                cc.reshape(npairs, nh * n),
                                self._idc, self._nsg,
                                interpret=self.interpret)
-        bq0, bc0 = self._row_bins(Zr, Zi, 0, self._oh0)
-        bqn, bcn = self._row_bins(Zr, Zi, self._pnyq, self._ohn)
+        bq0, bc0 = self._row_bins(zrow_r, zrow_i, 0, self._oh0)
+        bqn, bcn = self._row_bins(zrow_r, zrow_i, self._pnyq, self._ohn)
         bq = (2.0 * bqc - bq0 + bqn)[:, 1:-1]
         bc = (2.0 * bcc - bc0 + bcn)[:, 1:-1]
         hn = jnp.float32(0.5) * self._norm
@@ -137,8 +140,7 @@ class FastCl:
             ei = jax.random.normal(ki, shape, jnp.float32)
             m1, m2 = pf.ifft2pp_scaled(er, ei, self._covsqrt_pp,
                                        interpret=self.interpret)
-        Zr, Zi = pf.fft2pp(m1, m2, interpret=self.interpret)
-        b1, b2 = self._pair_bandpowers(Zr, Zi)
+        b1, b2 = self._pair_bandpowers(m1, m2)
         return jnp.concatenate([b1, b2])
 
     def cross_bandpowers(self, maps1, maps2):
@@ -153,15 +155,14 @@ class FastCl:
         if m1.shape != m2.shape:
             raise ValueError(f"map sets must match: {m1.shape} vs "
                              f"{m2.shape}")
-        Zr, Zi = pf.fft2pp(m1, m2, interpret=self.interpret)
         n = self.n
-        s = pf.s_pp_half(Zr, Zi, interpret=self.interpret)
+        s, zrow_r, zrow_i = pf.fft2pp_s(m1, m2, interpret=self.interpret)
         from ..ops.pallas_kernels import bin_matmul
         bsh = bin_matmul(s.reshape(s.shape[0], (n // 2) * n), self._idc,
                          self._nsg, interpret=self.interpret)
 
         def srow(p, oh):
-            zr, zi = Zr[:, p, :], Zi[:, p, :]
+            zr, zi = zrow_r[:, p, :], zrow_i[:, p, :]
             zmr = jnp.take(zr, self._mrow, axis=1)
             zmi = jnp.take(zi, self._mrow, axis=1)
             return jnp.einsum("bk,ks->bs", zr * zmi + zi * zmr, oh,
@@ -183,7 +184,6 @@ class FastCl:
             maps = jnp.concatenate(
                 [maps, jnp.zeros((1,) + maps.shape[1:], maps.dtype)])
         m1, m2 = maps[0::2], maps[1::2]
-        Zr, Zi = pf.fft2pp(m1, m2, interpret=self.interpret)
-        b1, b2 = self._pair_bandpowers(Zr, Zi)
+        b1, b2 = self._pair_bandpowers(m1, m2)
         out = jnp.stack([b1, b2], axis=1).reshape(-1, b1.shape[-1])
         return out[:B]

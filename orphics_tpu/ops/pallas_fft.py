@@ -1085,3 +1085,319 @@ def pifft2(k):
     Zr, Zi = ifft2pp(kre, kim)
     out = Zr + 1j * Zi
     return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Fused row-DFT + half-plane power: the full Fourier plane never reaches
+# HBM. Each program computes the lane DFT of one 64-row half-plane tile
+# AND of its row-mirror tile (rows 127-a of block (B-j)%B), forms the
+# mirror in registers (row reversal + per-chunk lane reversal via the
+# exact 2-pass J matmul), and writes only the two half-size mirror-even
+# power fields qs, c. Saves writing + re-reading the (Zr, Zi) planes
+# (~100 MB per 2048^2 pair) at the cost of computing each row DFT twice
+# for the mirror halves (MXU time, which is not the bottleneck).
+# The b == 0 wrap strips are patched from two cheap partial DFTs:
+# rows [0, 128) (rowfft of a 128-row slice of Y) and lane chunk 0
+# (a k2 = 0-only row kernel).
+# ---------------------------------------------------------------------------
+
+def _rev_rows(z, nrow):
+    """Reverse axis 0 of a (nrow, A) block with static concats (lax.rev
+    is not lowered on TPU Pallas); nrow a power of 2."""
+    s = nrow // 2
+    while s >= 1:
+        pieces = []
+        for i in range(0, nrow, 2 * s):
+            pieces.append(z[i + s:i + 2 * s])
+            pieces.append(z[i:i + s])
+        z = jnp.concatenate(pieces, axis=0)
+        s //= 2
+    return z
+
+
+def _row_qc_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, jm_ref,
+                   ar_ref, ai_ref, br_ref, bi_ref, qs_ref, c_ref,
+                   *, A, B, fast):
+    FAre, FAim = FAre_ref[:], FAim_ref[:]
+    TWre, TWim = TWre_ref[:], TWim_ref[:]
+    sFre = _bsplit(FAre) if fast else None
+    sFim = _bsplit(FAim) if fast else None
+
+    def dft_rows(xre, xim):
+        xr = [xre[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+        xi = [xim[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+        gr, gi = _fft_static(xr, xi, -1.0)
+        outr = []
+        outi = []
+        for k2 in range(B):
+            twr = TWre[k2][None, :]
+            twi = TWim[k2][None, :]
+            hrk = gr[k2] * twr - gi[k2] * twi
+            hik = gr[k2] * twi + gi[k2] * twr
+            shr = _bsplit(hrk) if fast else None
+            shi = _bsplit(hik) if fast else None
+            outr.append(_mxu_dot(hrk, FAre, fast, sa=shr, sb=sFre)
+                        - _mxu_dot(hik, FAim, fast, sa=shi, sb=sFim))
+            outi.append(_mxu_dot(hik, FAre, fast, sa=shi, sb=sFre)
+                        + _mxu_dot(hrk, FAim, fast, sa=shr, sb=sFim))
+        return outr, outi        # per-k2 lists of (64, A)
+
+    za_r, za_i = dft_rows(ar_ref[0], ai_ref[0])
+    zb_r, zb_i = dft_rows(br_ref[0], bi_ref[0])
+    jm = jm_ref[:]
+    for c_ix in range(B):
+        src = (B - c_ix) % B
+        mr = _perm_dot(_rev_rows(zb_r[src], 64), jm, fast)
+        mi = _perm_dot(_rev_rows(zb_i[src], 64), jm, fast)
+        zr = za_r[c_ix]
+        zi = za_i[c_ix]
+        qs_ref[0, :, c_ix * A:(c_ix + 1) * A] = \
+            0.5 * (zr * zr + zi * zi + mr * mr + mi * mi)
+        c_ref[0, :, c_ix * A:(c_ix + 1) * A] = zr * mr - zi * mi
+
+
+def _rowfft_blk0_kernel(FAre_ref, FAim_ref, xre_ref, xim_ref,
+                        ore_ref, oim_ref, *, A, B, fast):
+    """k2 = 0 lane chunk only of the forward row DFT (the TW factor for
+    k2 = 0 is 1): stage-1 adds + ONE 128-DFT matmul."""
+    FAre, FAim = FAre_ref[:], FAim_ref[:]
+    sFre = _bsplit(FAre) if fast else None
+    sFim = _bsplit(FAim) if fast else None
+    xr = [xre_ref[0, :, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+    xi = [xim_ref[0, :, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+    # only g[0] = sum_b x_b is needed for k2 = 0
+    g0r = xr[0]
+    g0i = xi[0]
+    for b_ in range(1, B):
+        g0r = g0r + xr[b_]
+        g0i = g0i + xi[b_]
+    s0r = _bsplit(g0r) if fast else None
+    s0i = _bsplit(g0i) if fast else None
+    ore_ref[0] = (_mxu_dot(g0r, FAre, fast, sa=s0r, sb=sFre)
+                  - _mxu_dot(g0i, FAim, fast, sa=s0i, sb=sFim))
+    oim_ref[0] = (_mxu_dot(g0i, FAre, fast, sa=s0i, sb=sFre)
+                  + _mxu_dot(g0r, FAim, fast, sa=s0r, sb=sFim))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rowfft_blk0(yre, yim, interpret: bool = False):
+    """Lane chunk 0 (permuted cols p in [0, 128)) of the forward row
+    DFT of all rows: (b, n, 128) re/im."""
+    b, nrows, n = yre.shape
+    A, B, *consts = _plan(n, False)
+    _, _, _, _, FAre, FAim, TWre, TWim = _plan(n, False)
+    rtile = 64
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_rowfft_blk0_kernel, A=A, B=B,
+                          fast=_FAST and not interpret),
+        grid=(b, nrows // rtile),
+        in_specs=[const_spec((A, A)), const_spec((A, A)),
+                  pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, rtile, A), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((b, nrows, A), jnp.float32)] * 2,
+        interpret=interpret,
+    )(jnp.asarray(FAre), jnp.asarray(FAim), yre, yim)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fft2pp_qc(m1, m2, interpret: bool = False):
+    """Half-plane mirror-even power fields of fft2(m1 + i m2) WITHOUT
+    materializing the Fourier plane: colfft -> fused row-DFT + qc
+    kernel (+ cheap partial-DFT strip patches). Drop-in for
+    ``qc_pp_half(*fft2pp(m1, m2))``; also returns the Z rows [0, 128)
+    (both planes) for boundary-row (ky = 0 / n/2) bins."""
+    bsz, n, _ = m1.shape
+    ncc = n // 128
+    nh = n // 2
+    yr, yi = colfft(m1, m2, interpret=interpret)
+    A, B, _, _, FAre, FAim, TWre, TWim = _plan(n, False)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    mrow_np, J = _mirror_tables(n)
+    qs, c = pl.pallas_call(
+        functools.partial(_row_qc_kernel, A=A, B=B,
+                          fast=_FAST and not interpret),
+        grid=(bsz, ncc),
+        in_specs=[const_spec((A, A)), const_spec((A, A)),
+                  const_spec((B, A)), const_spec((B, A)),
+                  const_spec((128, 128)),
+                  pl.BlockSpec((1, 64, n), lambda i, j: (i, 2 * j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 64, n), lambda i, j: (i, 2 * j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(
+                      (1, 64, n),
+                      lambda i, j: (i, 2 * ((ncc - j) % ncc) + 1, 0),
+                      memory_space=pltpu.VMEM),
+                  pl.BlockSpec(
+                      (1, 64, n),
+                      lambda i, j: (i, 2 * ((ncc - j) % ncc) + 1, 0),
+                      memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, 64, n), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((bsz, nh, n), jnp.float32)] * 2,
+        interpret=interpret,
+    )(jnp.asarray(FAre), jnp.asarray(FAim), jnp.asarray(TWre),
+      jnp.asarray(TWim), jnp.asarray(J), yr, yi, yr, yi)
+
+    # partial DFTs for the wrap strips: Z rows [0, 128) and lane chunk 0
+    zrow_r, zrow_i = rowfft(yr[:, :128, :], yi[:, :128, :],
+                            interpret=interpret)
+    zcol_r, zcol_i = rowfft_blk0(yr, yi, interpret=interpret)
+
+    mrow = jnp.asarray(mrow_np)
+    p_of_h, _ = half_rows(n)
+    rsrc = jnp.asarray(((128 - np.arange(64)) % 128).astype(np.int32))
+    csrc = jnp.asarray(mrow_np[p_of_h[64:]])
+    mtop = mrow[:128]
+
+    def zm_rows(zrow):
+        return jnp.take(jnp.take(zrow, rsrc, axis=1), mrow, axis=2)
+
+    zr_r, zi_r = zrow_r[:, :64, :], zrow_i[:, :64, :]
+    mr_r, mi_r = zm_rows(zrow_r), zm_rows(zrow_i)
+    qs = jax.lax.dynamic_update_slice(
+        qs, 0.5 * (zr_r ** 2 + zi_r ** 2 + mr_r ** 2 + mi_r ** 2),
+        (0, 0, 0))
+    c = jax.lax.dynamic_update_slice(
+        c, zr_r * mr_r - zi_r * mi_r, (0, 0, 0))
+
+    def zm_cols(zcol):
+        return jnp.take(jnp.take(zcol, mtop, axis=2), csrc, axis=1)
+
+    def z_strip(zcol):
+        s = zcol.reshape(bsz, ncc, 128, 128)[:, :, :64]
+        return s.reshape(bsz, nh, 128)[:, 64:]
+
+    zr_cd, zi_cd = z_strip(zcol_r), z_strip(zcol_i)
+    mr_c, mi_c = zm_cols(zcol_r), zm_cols(zcol_i)
+    qs = jax.lax.dynamic_update_slice(
+        qs, 0.5 * (zr_cd ** 2 + zi_cd ** 2 + mr_c ** 2 + mi_c ** 2),
+        (0, 64, 0))
+    c = jax.lax.dynamic_update_slice(
+        c, zr_cd * mr_c - zi_cd * mi_c, (0, 64, 0))
+    return qs, c, zrow_r, zrow_i
+
+
+def _row_s_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, jm_ref,
+                  ar_ref, ai_ref, br_ref, bi_ref, s_ref, *, A, B, fast):
+    """Fused row DFT + mirror-even cross field s = Im(Z Z(-k)) =
+    zr zmi + zi zmr (same structure as _row_qc_kernel)."""
+    FAre, FAim = FAre_ref[:], FAim_ref[:]
+    TWre, TWim = TWre_ref[:], TWim_ref[:]
+    sFre = _bsplit(FAre) if fast else None
+    sFim = _bsplit(FAim) if fast else None
+
+    def dft_rows(xre, xim):
+        xr = [xre[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+        xi = [xim[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+        gr, gi = _fft_static(xr, xi, -1.0)
+        outr = []
+        outi = []
+        for k2 in range(B):
+            twr = TWre[k2][None, :]
+            twi = TWim[k2][None, :]
+            hrk = gr[k2] * twr - gi[k2] * twi
+            hik = gr[k2] * twi + gi[k2] * twr
+            shr = _bsplit(hrk) if fast else None
+            shi = _bsplit(hik) if fast else None
+            outr.append(_mxu_dot(hrk, FAre, fast, sa=shr, sb=sFre)
+                        - _mxu_dot(hik, FAim, fast, sa=shi, sb=sFim))
+            outi.append(_mxu_dot(hik, FAre, fast, sa=shi, sb=sFre)
+                        + _mxu_dot(hrk, FAim, fast, sa=shr, sb=sFim))
+        return outr, outi
+
+    za_r, za_i = dft_rows(ar_ref[0], ai_ref[0])
+    zb_r, zb_i = dft_rows(br_ref[0], bi_ref[0])
+    jm = jm_ref[:]
+    for c_ix in range(B):
+        src = (B - c_ix) % B
+        mr = _perm_dot(_rev_rows(zb_r[src], 64), jm, fast)
+        mi = _perm_dot(_rev_rows(zb_i[src], 64), jm, fast)
+        s_ref[0, :, c_ix * A:(c_ix + 1) * A] = \
+            za_r[c_ix] * mi + za_i[c_ix] * mr
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fft2pp_s(m1, m2, interpret: bool = False):
+    """Half-plane cross field s = Im(Z Z(-k)) of fft2(m1 + i m2)
+    WITHOUT materializing the Fourier plane (the cross-spectrum
+    counterpart of :func:`fft2pp_qc`); also returns the Z rows
+    [0, 128)."""
+    bsz, n, _ = m1.shape
+    ncc = n // 128
+    nh = n // 2
+    yr, yi = colfft(m1, m2, interpret=interpret)
+    A, B, _, _, FAre, FAim, TWre, TWim = _plan(n, False)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    mrow_np, J = _mirror_tables(n)
+    s = pl.pallas_call(
+        functools.partial(_row_s_kernel, A=A, B=B,
+                          fast=_FAST and not interpret),
+        grid=(bsz, ncc),
+        in_specs=[const_spec((A, A)), const_spec((A, A)),
+                  const_spec((B, A)), const_spec((B, A)),
+                  const_spec((128, 128)),
+                  pl.BlockSpec((1, 64, n), lambda i, j: (i, 2 * j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 64, n), lambda i, j: (i, 2 * j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(
+                      (1, 64, n),
+                      lambda i, j: (i, 2 * ((ncc - j) % ncc) + 1, 0),
+                      memory_space=pltpu.VMEM),
+                  pl.BlockSpec(
+                      (1, 64, n),
+                      lambda i, j: (i, 2 * ((ncc - j) % ncc) + 1, 0),
+                      memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 64, n), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, nh, n), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(FAre), jnp.asarray(FAim), jnp.asarray(TWre),
+      jnp.asarray(TWim), jnp.asarray(J), yr, yi, yr, yi)
+
+    zrow_r, zrow_i = rowfft(yr[:, :128, :], yi[:, :128, :],
+                            interpret=interpret)
+    zcol_r, zcol_i = rowfft_blk0(yr, yi, interpret=interpret)
+
+    mrow = jnp.asarray(mrow_np)
+    p_of_h, _ = half_rows(n)
+    rsrc = jnp.asarray(((128 - np.arange(64)) % 128).astype(np.int32))
+    csrc = jnp.asarray(mrow_np[p_of_h[64:]])
+    mtop = mrow[:128]
+
+    def zm_rows(zrow):
+        return jnp.take(jnp.take(zrow, rsrc, axis=1), mrow, axis=2)
+
+    s = jax.lax.dynamic_update_slice(
+        s, zrow_r[:, :64, :] * zm_rows(zrow_i)
+        + zrow_i[:, :64, :] * zm_rows(zrow_r), (0, 0, 0))
+
+    def zm_cols(zcol):
+        return jnp.take(jnp.take(zcol, mtop, axis=2), csrc, axis=1)
+
+    def z_strip(zcol):
+        t = zcol.reshape(bsz, ncc, 128, 128)[:, :, :64]
+        return t.reshape(bsz, nh, 128)[:, 64:]
+
+    s = jax.lax.dynamic_update_slice(
+        s, z_strip(zcol_r) * zm_cols(zcol_i)
+        + z_strip(zcol_i) * zm_cols(zcol_r), (0, 64, 0))
+    return s, zrow_r, zrow_i

@@ -537,6 +537,29 @@ def test_pallas_ilc_coadd_parity_interpret_mode():
     assert np.abs(np.asarray(o1)[0] - coadd_ref).max() / scale < 1e-4
 
 
+def test_pallas_fused_qc_s_interpret_mode():
+    """Fused row-DFT + half-plane power passes (fft2pp_qc / fft2pp_s)
+    must match the two-step fft2pp + qc_pp_half / s_pp_half pipeline
+    bit-for-bit in interpret mode, for pow2 and generic B."""
+    from orphics_tpu.ops import pallas_fft as pf
+    rng = np.random.default_rng(55)
+    for n in (256, 384):
+        m1 = jnp.asarray(rng.standard_normal((2, n, n)).astype(np.float32))
+        m2 = jnp.asarray(rng.standard_normal((2, n, n)).astype(np.float32))
+        Zr, Zi = pf.fft2pp(m1, m2, interpret=True)
+        qs_ref, c_ref = pf.qc_pp_half(Zr, Zi, interpret=True)
+        s_ref = pf.s_pp_half(Zr, Zi, interpret=True)
+        qs, c, zrow_r, zrow_i = pf.fft2pp_qc(m1, m2, interpret=True)
+        s, zr2, zi2 = pf.fft2pp_s(m1, m2, interpret=True)
+        np.testing.assert_array_equal(np.asarray(qs), np.asarray(qs_ref))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(s_ref))
+        np.testing.assert_array_equal(np.asarray(zrow_r),
+                                      np.asarray(Zr[:, :128]))
+        np.testing.assert_array_equal(np.asarray(zrow_i),
+                                      np.asarray(Zi[:, :128]))
+
+
 def test_row_perm_consistency():
     from orphics_tpu.ops import pallas_fft as pf
     n = 2048
