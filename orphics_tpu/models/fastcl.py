@@ -97,10 +97,16 @@ class FastCl:
         row-DFT + half-plane power pass (``fft2pp_qc``): the Fourier
         plane never materializes in HBM; boundary-row bins come from
         the [0, 128) Z-row strip the fused pass emits."""
-        npairs = m1.shape[0]
+        yr, yi = pf.colfft(m1, m2, interpret=self.interpret)
+        return self._pair_bandpowers_y(yr, yi)
+
+    def _pair_bandpowers_y(self, yr, yi):
+        """Same from the column intermediate Y (synthesis pipelines pass
+        their pre-column Y' directly — colfft(colifft(Y')) = Y')."""
+        npairs = yr.shape[0]
         n = self.n
-        qs, cc, zrow_r, zrow_i = pf.fft2pp_qc(m1, m2,
-                                              interpret=self.interpret)
+        qs, cc, zrow_r, zrow_i = pf.rowqc_pp(yr, yi,
+                                             interpret=self.interpret)
         nh = n // 2
         bqc, bcc = bin2_matmul(qs.reshape(npairs, nh * n),
                                cc.reshape(npairs, nh * n),
@@ -130,17 +136,20 @@ class FastCl:
         is_int_seed = isinstance(key, (int, np.integer)) or (
             hasattr(key, "dtype") and jnp.issubdtype(key.dtype, jnp.integer)
             and jnp.ndim(key) == 0)  # old-style PRNGKeys are (2,) uint32
+        # the maps are internal here, so the synthesis column pass and
+        # the analysis column pass (exact inverses) are BOTH skipped:
+        # the pre-column intermediate Y' feeds the fused row-qc directly
         if is_int_seed:
-            m1, m2 = pf.ifft2pp_noise(self._covsqrt_pp, key, npairs,
-                                      interpret=self.interpret)
+            yr, yi = pf.rowifft_noise_y(self._covsqrt_pp, key, npairs,
+                                        interpret=self.interpret)
         else:
             kr, ki = jax.random.split(key)
             shape = (npairs, self.n, self.n)
             er = jax.random.normal(kr, shape, jnp.float32)
             ei = jax.random.normal(ki, shape, jnp.float32)
-            m1, m2 = pf.ifft2pp_scaled(er, ei, self._covsqrt_pp,
-                                       interpret=self.interpret)
-        b1, b2 = self._pair_bandpowers(m1, m2)
+            yr, yi = pf.rowifft_scaled_y(er, ei, self._covsqrt_pp,
+                                         interpret=self.interpret)
+        b1, b2 = self._pair_bandpowers_y(yr, yi)
         return jnp.concatenate([b1, b2])
 
     def cross_bandpowers(self, maps1, maps2):

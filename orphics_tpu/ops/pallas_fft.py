@@ -501,14 +501,46 @@ def ifft2pp_noise(scale, seed, batch: int, ctile: int = 128,
     covsqrt grid; ``seed``: int32 scalar (stream = seed x block).
     On CPU/interpret the on-chip PRNG is unavailable; falls back to
     jax.random + :func:`ifft2pp_scaled` (different stream, same law)."""
+    yre, yim = rowifft_noise_y(scale, seed, batch, rtile=rtile,
+                               interpret=interpret)
+    return colifft(yre, yim, ctile=ctile, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "ctile", "rtile", "interpret"))
+def ifft2pp_noise_y(scale, seed, batch: int, ctile: int = 128,
+                    rtile: int = 64, interpret: bool = False):
+    """Like :func:`ifft2pp_noise` but ALSO returns the pre-column
+    synthesis intermediate Y' = rowifft(scale * eta): since
+    colfft(colifft(Y')) = Y' exactly, an analysis stage (e.g.
+    :func:`rowqc_pp`) can consume Y' directly — the maps still
+    materialize (one colifft) but the analysis column pass and the map
+    re-read are skipped. Returns (m1, m2, yre, yim)."""
+    yre, yim = rowifft_noise_y(scale, seed, batch, rtile=rtile,
+                               interpret=interpret)
+    m1, m2 = colifft(yre, yim, ctile=ctile, interpret=interpret)
+    return m1, m2, yre, yim
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "rtile", "interpret"))
+def rowifft_noise_y(scale, seed, batch: int, rtile: int = 64,
+                    interpret: bool = False):
+    """Pre-column synthesis intermediate Y' = rowifft(scale * eta) with
+    the white noise drawn on-chip (the shared producer behind
+    :func:`ifft2pp_noise`/:func:`ifft2pp_noise_y`); pipelines that only
+    need spectra feed Y' straight into :func:`rowqc_pp`/:func:`rows_pp`
+    and skip the column transforms entirely. On CPU/interpret the
+    on-chip PRNG is unavailable; falls back to jax.random +
+    :func:`rowifft_scaled_y` (different stream, same law)."""
     n = scale.shape[-1]
     if interpret:
         key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
         kr, ki = jax.random.split(key)
         er = jax.random.normal(kr, (batch, n, n), jnp.float32)
         ei = jax.random.normal(ki, (batch, n, n), jnp.float32)
-        return ifft2pp_scaled(er, ei, scale, ctile=ctile, rtile=rtile,
-                              interpret=True)
+        return _row_call(er, ei, True, rtile, True,
+                         scale=scale.astype(jnp.float32))
     A, B, FBre, FBim, FAre, FAim, TWre, TWim = _plan(n, True)
     nt = n // rtile
 
@@ -518,7 +550,7 @@ def ifft2pp_noise(scale, seed, batch: int, ctile: int = 128,
 
     dblk = pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
                         memory_space=pltpu.VMEM)
-    yre, yim = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_rowifft_noise_kernel, A=A, B=B, rtile=rtile,
                           fast=_FAST),
         grid=(batch, nt),
@@ -532,7 +564,6 @@ def ifft2pp_noise(scale, seed, batch: int, ctile: int = 128,
     )(jnp.asarray(FAre), jnp.asarray(FAim), jnp.asarray(TWre),
       jnp.asarray(TWim), scale.astype(jnp.float32),
       jnp.asarray(seed, jnp.int32).reshape(1))
-    return colifft(yre, yim, ctile=ctile)
 
 
 def _row_call(xre, xim, inverse, rtile, interpret, scale=None):
@@ -1049,6 +1080,16 @@ def ifft2pp_scaled(kre, kim, scale, ctile: int = 128, rtile: int = 64,
     return colifft(yre, yim, ctile=ctile, interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("rtile", "interpret"))
+def rowifft_scaled_y(kre, kim, scale, rtile: int = 64,
+                     interpret: bool = False):
+    """Just the pre-column synthesis intermediate Y' of
+    :func:`ifft2pp_scaled` (for pipelines that consume Y' directly via
+    :func:`rowqc_pp` / :func:`rows_pp` and never need the maps)."""
+    return _row_call(kre, kim, True, rtile, interpret,
+                     scale=scale.astype(jnp.float32))
+
+
 @jax.jit
 def pfft2(z):
     """Natural-order full-Pallas 2D FFT of a complex (or real) array —
@@ -1215,10 +1256,19 @@ def fft2pp_qc(m1, m2, interpret: bool = False):
     kernel (+ cheap partial-DFT strip patches). Drop-in for
     ``qc_pp_half(*fft2pp(m1, m2))``; also returns the Z rows [0, 128)
     (both planes) for boundary-row (ky = 0 / n/2) bins."""
-    bsz, n, _ = m1.shape
+    yr, yi = colfft(m1, m2, interpret=interpret)
+    return rowqc_pp(yr, yi, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rowqc_pp(yr, yi, interpret: bool = False):
+    """The post-column stage of :func:`fft2pp_qc`, taking the column-DFT
+    intermediate Y directly. Lets synthesis-analysis pipelines exploit
+    colfft(colifft(Y)) = Y: the analysis can consume the synthesis's
+    pre-column intermediate without re-running either column pass."""
+    bsz, n, _ = yr.shape
     ncc = n // 128
     nh = n // 2
-    yr, yi = colfft(m1, m2, interpret=interpret)
     A, B, _, _, FAre, FAim, TWre, TWim = _plan(n, False)
 
     def const_spec(shape):
@@ -1336,10 +1386,16 @@ def fft2pp_s(m1, m2, interpret: bool = False):
     WITHOUT materializing the Fourier plane (the cross-spectrum
     counterpart of :func:`fft2pp_qc`); also returns the Z rows
     [0, 128)."""
-    bsz, n, _ = m1.shape
+    yr, yi = colfft(m1, m2, interpret=interpret)
+    return rows_pp(yr, yi, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rows_pp(yr, yi, interpret: bool = False):
+    """Post-column stage of :func:`fft2pp_s` (see :func:`rowqc_pp`)."""
+    bsz, n, _ = yr.shape
     ncc = n // 128
     nh = n // 2
-    yr, yi = colfft(m1, m2, interpret=interpret)
     A, B, _, _, FAre, FAim, TWre, TWim = _plan(n, False)
 
     def const_spec(shape):
