@@ -340,3 +340,93 @@ def _xyf2ring_of_nest(nside):
 
 
 __all__ += ["ring2nest", "nest2ring", "ud_grade"]
+
+
+# ---------------------------------------------------------------------------
+# Harmonic operations on healpix RING maps via the native ring SHT
+# (the hp.smoothing / map2alm surface used by the reference for masks,
+# e.g. orphics/maps.py:1186ff). The healpix grid is bridged to the
+# iso-latitude Gauss-Legendre grid by nearest-neighbour sampling (the
+# same order-0 fidelity the reference uses for healpix mask work), so
+# these are mask/template-grade transforms, not exact healpix SHTs.
+# ---------------------------------------------------------------------------
+
+def _rings_for_nside(nside, lmax=None):
+    from ..ops import sht
+    if lmax is None:
+        lmax = 2 * nside
+    return sht.gauss_legendre_rings(int(lmax)), int(lmax)
+
+
+def healpix_to_rings(hmap, lmax=None):
+    """Sample a RING healpix map onto the Gauss-Legendre ring grid
+    (nearest neighbour). Returns (ring_map, rings, lmax)."""
+    import numpy as _np
+    hmap = _np.asarray(hmap)
+    nside = npix2nside(hmap.size)
+    rings, lmax = _rings_for_nside(nside, lmax)
+    theta = rings.theta_array()
+    phi = _np.arange(rings.nphi) * (2 * _np.pi / rings.nphi) + rings.phi0
+    tt = _np.repeat(theta, rings.nphi)
+    pp = _np.tile(phi, rings.ntheta)
+    pix = ang2pix(nside, tt, pp)
+    return hmap[pix].reshape(rings.ntheta, rings.nphi), rings, lmax
+
+
+def rings_to_healpix(ring_map, rings, nside):
+    """Sample a ring-grid map back at healpix RING pixel centers
+    (bilinear in theta, nearest in phi)."""
+    import numpy as _np
+    ring_map = _np.asarray(ring_map)
+    theta = rings.theta_array()
+    npix = nside2npix(nside)
+    tt, pp = pix2ang(nside, _np.arange(npix))
+    it = _np.clip(_np.searchsorted(theta, tt) - 1, 0, rings.ntheta - 2)
+    w = _np.clip((tt - theta[it]) / (theta[it + 1] - theta[it]), 0, 1)
+    ip = _np.rint((pp - rings.phi0) / (2 * _np.pi / rings.nphi)
+                  ).astype(_np.int64) % rings.nphi
+    return (ring_map[it, ip] * (1 - w) + ring_map[it + 1, ip] * w)
+
+
+def map2alm(hmap, lmax=None):
+    """healpy-packed alm of a RING healpix map (via the ring bridge +
+    native SHT; mask/template-grade accuracy)."""
+    import jax.numpy as jnp
+    from ..ops import sht
+    ring_map, rings, lmax = healpix_to_rings(hmap, lmax)
+    return sht.map2alm(jnp.asarray(ring_map), rings, lmax)
+
+
+def alm2map(alm, nside, lmax=None):
+    """RING healpix map from healpy-packed alm (native SHT + bridge)."""
+    import numpy as _np
+    import jax.numpy as jnp
+    from ..ops import sht
+    from ..ops import alm as almops
+    if lmax is None:
+        lmax = almops.getlmax(_np.asarray(alm).shape[-1])
+    rings = sht.gauss_legendre_rings(int(lmax))
+    ring_map = _np.asarray(sht.alm2map(jnp.asarray(alm), rings,
+                                       int(lmax)))
+    return rings_to_healpix(ring_map, rings, nside)
+
+
+def smoothing(hmap, fwhm_rad, lmax=None):
+    """Gaussian-beam smoothing of a RING healpix map (the
+    ``hp.smoothing`` role): map2alm -> b_l -> alm2map through the ring
+    bridge."""
+    import numpy as _np
+    import jax.numpy as jnp
+    from ..ops import alm as almops
+    nside = npix2nside(_np.asarray(hmap).size)
+    alm = map2alm(hmap, lmax)
+    lmax_eff = almops.getlmax(_np.asarray(alm).shape[-1])
+    ells = _np.arange(lmax_eff + 1)
+    sigma = fwhm_rad / _np.sqrt(8.0 * _np.log(2.0))
+    bl = _np.exp(-0.5 * ells * (ells + 1.0) * sigma ** 2)
+    sm = almops.almxfl(alm, jnp.asarray(bl))
+    return alm2map(sm, nside, lmax_eff)
+
+
+__all__ += ["healpix_to_rings", "rings_to_healpix", "map2alm", "alm2map",
+            "smoothing"]

@@ -222,3 +222,41 @@ class TestHealpixOrdering:
         m = np.ones(hp.nside2npix(16))
         d = hp.ud_grade(m, 8, power=-2)
         np.testing.assert_allclose(d, 4.0)  # sum-preserving counts
+
+
+class TestHealpixHarmonic:
+    """hp.smoothing/map2alm/alm2map surface via the ring bridge
+    (mask/template-grade accuracy, like the reference's order-0 healpix
+    mask work)."""
+
+    def test_smoothing_constant_preserved(self):
+        from orphics_tpu.utils import healpix as hp
+        nside = 16
+        const = np.full(hp.nside2npix(nside), 3.0)
+        sm = hp.smoothing(const, np.deg2rad(5.0))
+        np.testing.assert_allclose(sm, 3.0, atol=1e-3)
+
+    def test_smoothing_dipole_beam_factor(self):
+        from orphics_tpu.utils import healpix as hp
+        nside = 32
+        npix = hp.nside2npix(nside)
+        tt, _pp = hp.pix2ang(nside, np.arange(npix))
+        dip = np.cos(tt)
+        fwhm = np.deg2rad(10.0)
+        sm = hp.smoothing(dip, fwhm)
+        sig = fwhm / np.sqrt(8 * np.log(2))
+        b1 = np.exp(-0.5 * 1 * 2 * sig ** 2)
+        sel = np.abs(dip) > 0.5
+        ratio = np.median(sm[sel] / dip[sel])
+        assert abs(ratio - b1) < 0.01
+
+    def test_alm_roundtrip_smooth_field(self):
+        from orphics_tpu.utils import healpix as hp
+        nside = 32
+        npix = hp.nside2npix(nside)
+        tt, pp = hp.pix2ang(nside, np.arange(npix))
+        field = np.cos(tt) + 0.3 * np.sin(tt) * np.cos(pp)
+        alm = hp.map2alm(field, lmax=8)
+        m2 = hp.alm2map(alm, nside)
+        assert np.abs(m2 - field).max() < 0.1
+        assert np.abs(np.median(m2 - field)) < 1e-3
