@@ -241,12 +241,12 @@ def bench_masked_cross():
 
     @jax.jit
     def step(seed):
-        # fresh correlated sims -> mask -> packed-FFT cross spectra ->
-        # debias by w2 -> Gaussian Knox errors
+        # fresh correlated sims -> mask (fused onto the analysis FFT
+        # load) -> packed-FFT cross spectra -> debias by w2 -> Knox
         from orphics_tpu.ops import pallas_fft as pf
         npairs = batch // 2
         m1, m2 = pf.ifft2pp_noise(fc._covsqrt_pp, seed, npairs)
-        bs = fc.cross_bandpowers(m1 * taper, m2 * taper) / w2
+        bs = fc.cross_bandpowers(m1, m2, window=taper) / w2
         errs = bs * knox_fac
         return bs, errs
 

@@ -152,11 +152,14 @@ class FastCl:
         b1, b2 = self._pair_bandpowers_y(yr, yi)
         return jnp.concatenate([b1, b2])
 
-    def cross_bandpowers(self, maps1, maps2):
+    def cross_bandpowers(self, maps1, maps2, window=None):
         """(B, nbins) binned cross spectra Re(x_hat conj(y_hat)) of two
         real map sets (B, n, n) — one packed FFT per pair: for
         Z = fft2(x + i y), the cross power is Im(Z(k) Z(-k))/2, another
-        mirror-even field binned on the half plane."""
+        mirror-even field binned on the half plane. An optional
+        ``window`` (n, n) apodization is fused onto the first FFT
+        kernel's load (the windowed maps never materialize); debias the
+        result by the window's w2 factor yourself."""
         m1 = jnp.asarray(maps1, jnp.float32)
         m2 = jnp.asarray(maps2, jnp.float32)
         if m1.ndim == 2:
@@ -165,7 +168,12 @@ class FastCl:
             raise ValueError(f"map sets must match: {m1.shape} vs "
                              f"{m2.shape}")
         n = self.n
-        s, zrow_r, zrow_i = pf.fft2pp_s(m1, m2, interpret=self.interpret)
+        if window is not None:
+            yr, yi = pf.colfft_scaled(m1, m2, jnp.asarray(window),
+                                      interpret=self.interpret)
+        else:
+            yr, yi = pf.colfft(m1, m2, interpret=self.interpret)
+        s, zrow_r, zrow_i = pf.rows_pp(yr, yi, interpret=self.interpret)
         from ..ops.pallas_kernels import bin_matmul
         bsh = bin_matmul(s.reshape(s.shape[0], (n // 2) * n), self._idc,
                          self._nsg, interpret=self.interpret)

@@ -136,6 +136,32 @@ def _fwd_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
     xr = [xre_ref[0, b_ * A:(b_ + 1) * A, :] for b_ in range(B)]
     xi = [xim_ref[0, b_ * A:(b_ + 1) * A, :] for b_ in range(B)]
     gr, gi = _fft_static(xr, xi, -1.0)
+    _fwd_stage2(FAre, FAim, TWre, TWim, sFre, sFim, gr, gi,
+                ore_ref, oim_ref, A=A, B=B, fast=fast)
+
+
+def _fwd_scaled_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref,
+                       TWim_ref, sc_ref, xre_ref, xim_ref, ore_ref,
+                       oim_ref, *, A, B, fast):
+    """Forward column DFT with an elementwise pre-multiplier fused onto
+    the load (the usual use: an apodization taper — the masked maps
+    never materialize in HBM)."""
+    FBre, FBim = FBre_ref[:], FBim_ref[:]
+    FAre, FAim = FAre_ref[:], FAim_ref[:]
+    TWre, TWim = TWre_ref[:], TWim_ref[:]
+    sFre = _bsplit(FAre) if fast else None
+    sFim = _bsplit(FAim) if fast else None
+    xr = [xre_ref[0, b_ * A:(b_ + 1) * A, :]
+          * sc_ref[b_ * A:(b_ + 1) * A, :] for b_ in range(B)]
+    xi = [xim_ref[0, b_ * A:(b_ + 1) * A, :]
+          * sc_ref[b_ * A:(b_ + 1) * A, :] for b_ in range(B)]
+    gr, gi = _fft_static(xr, xi, -1.0)
+    _fwd_stage2(FAre, FAim, TWre, TWim, sFre, sFim, gr, gi,
+                ore_ref, oim_ref, A=A, B=B, fast=fast)
+
+
+def _fwd_stage2(FAre, FAim, TWre, TWim, sFre, sFim, gr, gi,
+                ore_ref, oim_ref, *, A, B, fast):
     # stage 2 streamed per k2: twiddle + 128-point MXU DFT
     for k2 in range(B):
         twr = TWre[k2][:, None]
@@ -235,6 +261,44 @@ def colfft(xre, xim, ctile: int = 128, interpret: bool = False):
     n = xre.shape[-2]
     A, B, *consts = _plan(n, False)
     return _call(_fwd_kernel, xre, xim, A, B, tuple(consts), ctile, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("ctile", "interpret"))
+def colfft_scaled(xre, xim, scale, ctile: int = 128,
+                  interpret: bool = False):
+    """``colfft(scale * xre, scale * xim)`` with the elementwise product
+    fused onto the kernel's load — the scaled (e.g. apodized) maps never
+    round-trip HBM. ``scale``: (n, n) fp32 in natural map layout."""
+    b, n, ncols = xre.shape
+    A, B, *consts = _plan(n, False)
+    nt = ncols // ctile
+    assert nt * ctile == ncols, (ncols, ctile)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    cj = [jnp.asarray(c) for c in consts]
+    return pl.pallas_call(
+        functools.partial(_fwd_scaled_kernel, A=A, B=B,
+                          fast=_FAST and not interpret),
+        grid=(nt, b),  # batch innermost: scale tile resident across it
+        in_specs=[
+            const_spec((B, B)), const_spec((B, B)),
+            const_spec((A, A)), const_spec((A, A)),
+            const_spec((B, A)), const_spec((B, A)),
+            pl.BlockSpec((n, ctile), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, ctile), lambda j, i: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, ctile), lambda j, i: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, n, ctile), lambda j, i: (i, 0, j),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct(xre.shape, jnp.float32)] * 2,
+        interpret=interpret,
+    )(*cj, scale.astype(jnp.float32), xre, xim)
 
 
 @functools.partial(jax.jit, static_argnames=("ctile", "interpret"))

@@ -603,3 +603,23 @@ def test_pallas_fft2pp_interpret_mode():
     nat = np.asarray(Yr)[:, inv][:, :, inv] + 1j * np.asarray(Yi)[:, inv][:, :, inv]
     ref = np.fft.fft2(np.asarray(xr) + 1j * np.asarray(xi))
     assert np.abs(nat - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_fastcl_cross_window_fused():
+    """cross_bandpowers(window=w) (taper fused onto the FFT kernel load)
+    must match pre-multiplied maps."""
+    from orphics_tpu import rect_geometry
+    from orphics_tpu.models.fastcl import FastCl
+    from orphics_tpu.ops.windows import get_taper
+    rng = np.random.default_rng(8)
+    n = 256
+    geom = rect_geometry(width_arcmin=n * 2.0, px_res_arcmin=2.0)
+    edges = np.arange(100, 2500, 150.0)
+    fc = FastCl(geom, bin_edges=edges, interpret=True)
+    taper, _w2 = get_taper(geom, taper_percent=12.0)
+    taper = jnp.asarray(np.asarray(taper), jnp.float32)
+    m1 = jnp.asarray(rng.standard_normal((2, n, n)).astype(np.float32))
+    m2 = jnp.asarray(rng.standard_normal((2, n, n)).astype(np.float32))
+    a = np.asarray(fc.cross_bandpowers(m1, m2, window=taper))
+    b = np.asarray(fc.cross_bandpowers(m1 * taper, m2 * taper))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-8)
