@@ -394,21 +394,20 @@ def bench_ilc():
         wb = w_pp[1::2]
         npairs_tot = batch * nf // 2
         nq = nf // 2
+        # complex weights of the split-free combine: alpha o Z +
+        # beta o conj(Z(-k)) = w1 F1 + w2 F2
+        alr, ali = 0.5 * wa, -0.5 * wb
+        ber, bei = 0.5 * wa, 0.5 * wb
 
         @jax.jit
         def step(seed):
-            m1, m2 = pf.ifft2pp_noise(covsqrt_pp, seed, npairs_tot)
-            Zr, Zi = pf.fft2pp(m1, m2)
-            Zmr, Zmi = pf.mirror_pp(Zr, Zi)
-            F1r = 0.5 * (Zr + Zmr)
-            F1i = 0.5 * (Zi - Zmi)
-            F2r = 0.5 * (Zi + Zmi)
-            F2i = 0.5 * (Zmr - Zr)
-            sh = (batch, nq, n, n)
-            cr = (jnp.einsum("jq...,q...->j...", F1r.reshape(sh), wa)
-                  + jnp.einsum("jq...,q...->j...", F2r.reshape(sh), wb))
-            ci = (jnp.einsum("jq...,q...->j...", F1i.reshape(sh), wa)
-                  + jnp.einsum("jq...,q...->j...", F2i.reshape(sh), wb))
+            """Per-band maps and Fourier planes never exist in HBM: the
+            synthesis's pre-column intermediate Y' feeds the fused
+            row-DFT + Hermitian weighted combine (rowcombine_pp, which
+            accumulates over bands in-kernel), and only the ncoadds
+            coadd planes are inverse-transformed (packed in pairs)."""
+            yr, yi = pf.rowifft_noise_y(covsqrt_pp, seed, npairs_tot)
+            cr, ci = pf.rowcombine_pp(yr, yi, alr, ali, ber, bei, nq)
             # pack Hermitian coadd pairs: ifft2(C1 + i C2) = map1 + i map2
             Pr = cr[0::2] - ci[1::2]
             Pi = ci[0::2] + cr[1::2]

@@ -1521,3 +1521,176 @@ def rows_pp(yr, yi, interpret: bool = False):
         s, z_strip(zcol_r) * zm_cols(zcol_i)
         + z_strip(zcol_i) * zm_cols(zcol_r), (0, 64, 0))
     return s, zrow_r, zrow_i
+
+
+# ---------------------------------------------------------------------------
+# Fused row-DFT + Hermitian weighted combine (linear-combination
+# pipelines, e.g. ILC coadds): for packed pairs Z_p = fft2(m_2q + i
+# m_2q+1) of coadd j, the weighted band sum is
+#   C_j = sum_q alpha_q o Z_{j,q} + beta_q o conj(Z_{j,q}(-k))
+# with alpha = (w_2q - i w_2q+1)/2, beta = (w_2q + i w_2q+1)/2 (static
+# complex weight planes). Each program row-DFTs one 64-row tile AND its
+# row-mirror tile, forms conj(Z(-k)) in registers, applies the weights
+# and ACCUMULATES over q in the output block (q innermost in the grid),
+# so the per-band Fourier planes never exist in HBM and the coadd is
+# written once. Same b = 0 wrap strips as the qc fusion, patched from
+# per-pair partial DFTs.
+# ---------------------------------------------------------------------------
+
+def _row_combine_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, jm_ref,
+                        ar_ref, ai_ref, br_ref, bi_ref,
+                        alr_ref, ali_ref, ber_ref, bei_ref,
+                        ocr_ref, oci_ref, *, A, B, fast, nq):
+    q = pl.program_id(2)
+
+    @pl.when(q == 0)
+    def _():
+        ocr_ref[:] = jnp.zeros_like(ocr_ref)
+        oci_ref[:] = jnp.zeros_like(oci_ref)
+
+    FAre, FAim = FAre_ref[:], FAim_ref[:]
+    TWre, TWim = TWre_ref[:], TWim_ref[:]
+    sFre = _bsplit(FAre) if fast else None
+    sFim = _bsplit(FAim) if fast else None
+
+    def dft_rows(xre, xim):
+        xr = [xre[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+        xi = [xim[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+        gr, gi = _fft_static(xr, xi, -1.0)
+        outr = []
+        outi = []
+        for k2 in range(B):
+            twr = TWre[k2][None, :]
+            twi = TWim[k2][None, :]
+            hrk = gr[k2] * twr - gi[k2] * twi
+            hik = gr[k2] * twi + gi[k2] * twr
+            shr = _bsplit(hrk) if fast else None
+            shi = _bsplit(hik) if fast else None
+            outr.append(_mxu_dot(hrk, FAre, fast, sa=shr, sb=sFre)
+                        - _mxu_dot(hik, FAim, fast, sa=shi, sb=sFim))
+            outi.append(_mxu_dot(hik, FAre, fast, sa=shi, sb=sFre)
+                        + _mxu_dot(hrk, FAim, fast, sa=shr, sb=sFim))
+        return outr, outi
+
+    za_r, za_i = dft_rows(ar_ref[0], ai_ref[0])
+    zb_r, zb_i = dft_rows(br_ref[0], bi_ref[0])
+    jm = jm_ref[:]
+    for c_ix in range(B):
+        src = (B - c_ix) % B
+        mr = _perm_dot(_rev_rows(zb_r[src], 64), jm, fast)
+        mi = _perm_dot(_rev_rows(zb_i[src], 64), jm, fast)
+        zr = za_r[c_ix]
+        zi = za_i[c_ix]
+        alr = alr_ref[0, :, c_ix * A:(c_ix + 1) * A]
+        ali = ali_ref[0, :, c_ix * A:(c_ix + 1) * A]
+        ber = ber_ref[0, :, c_ix * A:(c_ix + 1) * A]
+        bei = bei_ref[0, :, c_ix * A:(c_ix + 1) * A]
+        # alpha o Z + beta o conj(Zm)
+        cre = alr * zr - ali * zi + ber * mr + bei * mi
+        cim = alr * zi + ali * zr + bei * mr - ber * mi
+        ocr_ref[0, :, c_ix * A:(c_ix + 1) * A] += cre
+        oci_ref[0, :, c_ix * A:(c_ix + 1) * A] += cim
+
+
+@functools.partial(jax.jit, static_argnames=("nq", "interpret"))
+def rowcombine_pp(yr, yi, alr, ali, ber, bei, nq: int,
+                  interpret: bool = False):
+    """Fused row DFT + Hermitian weighted combine of packed pairs.
+
+    yr, yi : (ncoadds * nq, n, n) column intermediates (pair p =
+        coadd * nq + q). alr/ali/ber/bei: (nq, n, n) static complex
+        weight planes in the doubly-permuted layout.
+    Returns (Cr, Ci): (ncoadds, n, n) doubly-permuted coadd planes
+    (feed :func:`ifft2pp`, optionally packing coadd pairs)."""
+    npt, n, _ = yr.shape
+    ncoadds = npt // nq
+    ncc = n // 128
+    ntiles = n // 64
+    A, B, _, _, FAre, FAim, TWre, TWim = _plan(n, False)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda c, t, q: tuple([0] * len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    def idx_pass(c, t, q):
+        return (c * nq + q, t, 0)
+
+    def idx_mirror(c, t, q):
+        # tile t = 2j + u (u = 0 lower / 1 upper half of 128-row block j)
+        return (c * nq + q,
+                2 * ((ncc - t // 2) % ncc) + 1 - (t % 2), 0)
+
+    def idx_w(c, t, q):
+        return (q, t, 0)
+
+    def idx_out(c, t, q):
+        return (c, t, 0)
+
+    mrow_np, J = _mirror_tables(n)
+    tile = lambda idx: pl.BlockSpec((1, 64, n), idx,
+                                    memory_space=pltpu.VMEM)
+    Cr, Ci = pl.pallas_call(
+        functools.partial(_row_combine_kernel, A=A, B=B,
+                          fast=_FAST and not interpret, nq=nq),
+        grid=(ncoadds, ntiles, nq),
+        in_specs=[const_spec((A, A)), const_spec((A, A)),
+                  const_spec((B, A)), const_spec((B, A)),
+                  const_spec((128, 128)),
+                  tile(idx_pass), tile(idx_pass),
+                  tile(idx_mirror), tile(idx_mirror),
+                  tile(idx_w), tile(idx_w), tile(idx_w), tile(idx_w)],
+        out_specs=[tile(idx_out)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ncoadds, n, n), jnp.float32)] * 2,
+        interpret=interpret,
+    )(jnp.asarray(FAre), jnp.asarray(FAim), jnp.asarray(TWre),
+      jnp.asarray(TWim), jnp.asarray(J), yr, yi, yr, yi,
+      alr, ali, ber, bei)
+
+    # wrap-strip patches from per-pair partial DFTs
+    zrow_r, zrow_i = rowfft(yr[:, :128, :], yi[:, :128, :],
+                            interpret=interpret)
+    zcol_r, zcol_i = rowfft_blk0(yr, yi, interpret=interpret)
+    mrow = jnp.asarray(mrow_np)
+    mtop = mrow[:128]
+    rsrc = jnp.asarray(((128 - np.arange(128)) % 128).astype(np.int32))
+    csrc = mrow  # full-row mirror gather for the lane strip
+
+    sh = (ncoadds, nq)
+
+    def per_q(x):
+        return x.reshape(sh + x.shape[1:])
+
+    # rows [0, 128): mirror rows stay inside the strip
+    zr_s, zi_s = per_q(zrow_r), per_q(zrow_i)
+    zmr_s = jnp.take(jnp.take(zrow_r, rsrc, axis=1), mrow, axis=2)
+    zmi_s = jnp.take(jnp.take(zrow_i, rsrc, axis=1), mrow, axis=2)
+    zmr_s, zmi_s = per_q(zmr_s), per_q(zmi_s)
+    al_r = alr[None, :, :128, :]
+    al_i = ali[None, :, :128, :]
+    be_r = ber[None, :, :128, :]
+    be_i = bei[None, :, :128, :]
+    cre = (al_r * zr_s - al_i * zi_s + be_r * zmr_s
+           + be_i * zmi_s).sum(axis=1)
+    cim = (al_r * zi_s + al_i * zr_s + be_i * zmr_s
+           - be_r * zmi_s).sum(axis=1)
+    Cr = jax.lax.dynamic_update_slice(Cr, cre, (0, 0, 0))
+    Ci = jax.lax.dynamic_update_slice(Ci, cim, (0, 0, 0))
+
+    # lane chunk 0 (all rows): lane mirror stays inside the strip
+    zc_r, zc_i = per_q(zcol_r), per_q(zcol_i)
+    zmc_r = jnp.take(jnp.take(zcol_r, mtop, axis=2), csrc, axis=1)
+    zmc_i = jnp.take(jnp.take(zcol_i, mtop, axis=2), csrc, axis=1)
+    zmc_r, zmc_i = per_q(zmc_r), per_q(zmc_i)
+    al_r = alr[None, :, :, :128]
+    al_i = ali[None, :, :, :128]
+    be_r = ber[None, :, :, :128]
+    be_i = bei[None, :, :, :128]
+    cre0 = (al_r * zc_r - al_i * zc_i + be_r * zmc_r
+            + be_i * zmc_i).sum(axis=1)
+    cim0 = (al_r * zc_i + al_i * zc_r + be_i * zmc_r
+            - be_r * zmc_i).sum(axis=1)
+    # both patches are exact on their strips (the gathers use the full
+    # mirror permutations), including the overlapping corner
+    Cr = Cr.at[:, :, :128].set(cre0)
+    Ci = Ci.at[:, :, :128].set(cim0)
+    return Cr, Ci

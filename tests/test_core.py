@@ -623,3 +623,32 @@ def test_fastcl_cross_window_fused():
     a = np.asarray(fc.cross_bandpowers(m1, m2, window=taper))
     b = np.asarray(fc.cross_bandpowers(m1 * taper, m2 * taper))
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-8)
+
+
+def test_pallas_rowcombine_parity_interpret_mode():
+    """Fused row-DFT + Hermitian weighted combine (rowcombine_pp, the
+    ILC coadd kernel) vs the explicit fft2pp + mirror + split + weighted
+    sum, including the wrap-strip patches."""
+    from orphics_tpu.ops import pallas_fft as pf
+    rng = np.random.default_rng(21)
+    n, nq, nco = 256, 3, 2
+    npt = nco * nq
+    m1 = jnp.asarray(rng.standard_normal((npt, n, n)).astype(np.float32))
+    m2 = jnp.asarray(rng.standard_normal((npt, n, n)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((2 * nq, n, n)).astype(np.float32))
+    yr, yi = pf.colfft(m1, m2, interpret=True)
+    Zr, Zi = pf.rowfft(yr, yi, interpret=True)
+    Zmr, Zmi = pf.mirror_pp(Zr, Zi, interpret=True)
+    F1r, F1i = 0.5 * (Zr + Zmr), 0.5 * (Zi - Zmi)
+    F2r, F2i = 0.5 * (Zi + Zmi), 0.5 * (Zmr - Zr)
+    sh = (nco, nq, n, n)
+    wa, wb = w[0::2], w[1::2]
+    Cr_ref = (jnp.einsum("jq...,q...->j...", F1r.reshape(sh), wa)
+              + jnp.einsum("jq...,q...->j...", F2r.reshape(sh), wb))
+    Ci_ref = (jnp.einsum("jq...,q...->j...", F1i.reshape(sh), wa)
+              + jnp.einsum("jq...,q...->j...", F2i.reshape(sh), wb))
+    Cr, Ci = pf.rowcombine_pp(yr, yi, 0.5 * wa, -0.5 * wb, 0.5 * wa,
+                              0.5 * wb, nq, interpret=True)
+    scale = float(jnp.abs(Cr_ref).max())
+    assert float(jnp.abs(Cr - Cr_ref).max()) / scale < 1e-5
+    assert float(jnp.abs(Ci - Ci_ref).max()) / scale < 1e-5
