@@ -264,3 +264,44 @@ def apply_harmonic_coadd_weights(alms, weights, target_beam):
     for k, a in enumerate(alms):
         out = out + almops.almxfl(a, w[: lmax + 1, k])
     return almops.almxfl(out, jnp.asarray(target_beam)[: lmax + 1])
+
+
+def cilc_coadd_fused(maps, cinv, response_a, response_b, geom=None,
+                     interpret=False):
+    """Constrained-ILC coadd MAPS of per-band real maps on the fused
+    Pallas path: per-band Fourier planes never materialize in HBM.
+
+    maps : (ncoadds, nfreq, n, n) real maps (nfreq even); cinv:
+    (nfreq, nfreq, n, n) 2D inverse covariance; deprojects
+    ``response_b``. Returns (ncoadds, n, n) coadd maps — equal to
+    ``ifft2(cilc(fft2(maps), cinv, a, b)).real`` (tested) but computed
+    as: packed pair column DFTs -> fused row-DFT + Hermitian weighted
+    combine accumulated over bands in-kernel -> paired Hermitian
+    inverses of the coadd planes only. Requires n = 128*B grids and a
+    mirror-symmetric ``cinv`` (cinv(-k) = cinv(k) — true for any
+    isotropic/1D-painted covariance, as the Hermitian pair packing of
+    the inverses relies on the coadd planes being Hermitian).
+    """
+    from ..ops import pallas_fft as pf
+    maps = jnp.asarray(maps, jnp.float32)
+    nco, nf, n, _ = maps.shape
+    if nf % 2:
+        raise ValueError("nfreq must be even (band-pair packing)")
+    nq = nf // 2
+    perm, _ = pf.row_perm(n)
+    w2d = np.asarray(cilc_weights(jnp.asarray(cinv), response_a,
+                                  response_b), np.float32)
+    w_pp = jnp.asarray(w2d[:, perm][:, :, perm])
+    wa, wb = w_pp[0::2], w_pp[1::2]
+    m1 = maps[:, 0::2].reshape(nco * nq, n, n)
+    m2 = maps[:, 1::2].reshape(nco * nq, n, n)
+    yr, yi = pf.colfft(m1, m2, interpret=interpret)
+    cr, ci = pf.rowcombine_pp(yr, yi, 0.5 * wa, -0.5 * wb, 0.5 * wa,
+                              0.5 * wb, nq, interpret=interpret)
+    if nco % 2 == 0:
+        Pr = cr[0::2] - ci[1::2]
+        Pi = ci[0::2] + cr[1::2]
+        o1, o2 = pf.ifft2pp(Pr, Pi, interpret=interpret)
+        return jnp.stack([o1, o2], axis=1).reshape(nco, n, n)
+    o1, _ = pf.ifft2pp(cr, ci, interpret=interpret)
+    return o1

@@ -652,3 +652,33 @@ def test_pallas_rowcombine_parity_interpret_mode():
     scale = float(jnp.abs(Cr_ref).max())
     assert float(jnp.abs(Cr - Cr_ref).max()) / scale < 1e-5
     assert float(jnp.abs(Ci - Ci_ref).max()) / scale < 1e-5
+
+
+def test_cilc_coadd_fused_library_api():
+    """ilc.cilc_coadd_fused (band maps -> coadd maps on the fused
+    kernels) matches ifft2(cilc(fft2(maps))).real for an isotropic
+    (mirror-symmetric) 2D inverse covariance."""
+    from orphics_tpu.models import ilc
+    rng = np.random.default_rng(1)
+    n, nf, nco = 256, 4, 2
+    g = rect_geometry(width_arcmin=n * 2.0, px_res_arcmin=2.0)
+    ml = np.asarray(g.modlmap(jnp.float64))
+    ells = np.arange(2, 6000)
+    cov1d = rng.standard_normal((nf, nf, len(ells)))
+    cov1d = np.einsum("ik...,jk...->ij...", cov1d, cov1d) \
+        + 5 * np.eye(nf)[:, :, None]
+    cinv1d = np.moveaxis(np.linalg.inv(
+        np.moveaxis(cov1d, (0, 1), (-2, -1))), (-2, -1), (0, 1))
+    cinv = np.stack([[np.interp(ml, ells, cinv1d[i, j], left=0, right=0)
+                      for j in range(nf)]
+                     for i in range(nf)]).astype(np.float32)
+    a = np.ones(nf, np.float32)
+    b = np.asarray([1.0, -2.0, 0.5, 3.0], np.float32)
+    maps_in = rng.standard_normal((nco, nf, n, n)).astype(np.float32)
+    from orphics_tpu.models.ilc import cilc
+    ref = np.stack([np.fft.ifft2(np.asarray(cilc(
+        jnp.asarray(np.fft.fft2(maps_in[j])), jnp.asarray(cinv),
+        jnp.asarray(a), jnp.asarray(b)))).real for j in range(nco)])
+    got = np.asarray(ilc.cilc_coadd_fused(maps_in, cinv, a, b,
+                                          interpret=True))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
