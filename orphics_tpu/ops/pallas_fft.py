@@ -1206,6 +1206,29 @@ def pifft2(k):
 # (a k2 = 0-only row kernel).
 # ---------------------------------------------------------------------------
 
+def _dft_rows_fwd(xre, xim, FAre, FAim, TWre, TWim, sFre, sFim,
+                  *, A, B, fast):
+    """Forward lane DFT of one row block, kept as per-k2 register
+    chunks (shared body of the fused row kernels)."""
+    xr = [xre[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+    xi = [xim[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
+    gr, gi = _fft_static(xr, xi, -1.0)
+    outr = []
+    outi = []
+    for k2 in range(B):
+        twr = TWre[k2][None, :]
+        twi = TWim[k2][None, :]
+        hrk = gr[k2] * twr - gi[k2] * twi
+        hik = gr[k2] * twi + gi[k2] * twr
+        shr = _bsplit(hrk) if fast else None
+        shi = _bsplit(hik) if fast else None
+        outr.append(_mxu_dot(hrk, FAre, fast, sa=shr, sb=sFre)
+                    - _mxu_dot(hik, FAim, fast, sa=shi, sb=sFim))
+        outi.append(_mxu_dot(hik, FAre, fast, sa=shi, sb=sFre)
+                    + _mxu_dot(hrk, FAim, fast, sa=shr, sb=sFim))
+    return outr, outi
+
+
 def _rev_rows(z, nrow):
     """Reverse axis 0 of a (nrow, A) block with static concats (lax.rev
     is not lowered on TPU Pallas); nrow a power of 2."""
@@ -1229,23 +1252,8 @@ def _row_qc_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, jm_ref,
     sFim = _bsplit(FAim) if fast else None
 
     def dft_rows(xre, xim):
-        xr = [xre[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
-        xi = [xim[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
-        gr, gi = _fft_static(xr, xi, -1.0)
-        outr = []
-        outi = []
-        for k2 in range(B):
-            twr = TWre[k2][None, :]
-            twi = TWim[k2][None, :]
-            hrk = gr[k2] * twr - gi[k2] * twi
-            hik = gr[k2] * twi + gi[k2] * twr
-            shr = _bsplit(hrk) if fast else None
-            shi = _bsplit(hik) if fast else None
-            outr.append(_mxu_dot(hrk, FAre, fast, sa=shr, sb=sFre)
-                        - _mxu_dot(hik, FAim, fast, sa=shi, sb=sFim))
-            outi.append(_mxu_dot(hik, FAre, fast, sa=shi, sb=sFre)
-                        + _mxu_dot(hrk, FAim, fast, sa=shr, sb=sFim))
-        return outr, outi        # per-k2 lists of (64, A)
+        return _dft_rows_fwd(xre, xim, FAre, FAim, TWre, TWim, sFre,
+                             sFim, A=A, B=B, fast=fast)
 
     za_r, za_i = dft_rows(ar_ref[0], ai_ref[0])
     zb_r, zb_i = dft_rows(br_ref[0], bi_ref[0])
@@ -1415,23 +1423,8 @@ def _row_s_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, jm_ref,
     sFim = _bsplit(FAim) if fast else None
 
     def dft_rows(xre, xim):
-        xr = [xre[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
-        xi = [xim[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
-        gr, gi = _fft_static(xr, xi, -1.0)
-        outr = []
-        outi = []
-        for k2 in range(B):
-            twr = TWre[k2][None, :]
-            twi = TWim[k2][None, :]
-            hrk = gr[k2] * twr - gi[k2] * twi
-            hik = gr[k2] * twi + gi[k2] * twr
-            shr = _bsplit(hrk) if fast else None
-            shi = _bsplit(hik) if fast else None
-            outr.append(_mxu_dot(hrk, FAre, fast, sa=shr, sb=sFre)
-                        - _mxu_dot(hik, FAim, fast, sa=shi, sb=sFim))
-            outi.append(_mxu_dot(hik, FAre, fast, sa=shi, sb=sFre)
-                        + _mxu_dot(hrk, FAim, fast, sa=shr, sb=sFim))
-        return outr, outi
+        return _dft_rows_fwd(xre, xim, FAre, FAim, TWre, TWim, sFre,
+                             sFim, A=A, B=B, fast=fast)
 
     za_r, za_i = dft_rows(ar_ref[0], ai_ref[0])
     zb_r, zb_i = dft_rows(br_ref[0], bi_ref[0])
@@ -1554,23 +1547,8 @@ def _row_combine_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref, jm_ref,
     sFim = _bsplit(FAim) if fast else None
 
     def dft_rows(xre, xim):
-        xr = [xre[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
-        xi = [xim[:, b_ * A:(b_ + 1) * A] for b_ in range(B)]
-        gr, gi = _fft_static(xr, xi, -1.0)
-        outr = []
-        outi = []
-        for k2 in range(B):
-            twr = TWre[k2][None, :]
-            twi = TWim[k2][None, :]
-            hrk = gr[k2] * twr - gi[k2] * twi
-            hik = gr[k2] * twi + gi[k2] * twr
-            shr = _bsplit(hrk) if fast else None
-            shi = _bsplit(hik) if fast else None
-            outr.append(_mxu_dot(hrk, FAre, fast, sa=shr, sb=sFre)
-                        - _mxu_dot(hik, FAim, fast, sa=shi, sb=sFim))
-            outi.append(_mxu_dot(hik, FAre, fast, sa=shi, sb=sFre)
-                        + _mxu_dot(hrk, FAim, fast, sa=shr, sb=sFim))
-        return outr, outi
+        return _dft_rows_fwd(xre, xim, FAre, FAim, TWre, TWim, sFre,
+                             sFim, A=A, B=B, fast=fast)
 
     za_r, za_i = dft_rows(ar_ref[0], ai_ref[0])
     zb_r, zb_i = dft_rows(br_ref[0], bi_ref[0])
