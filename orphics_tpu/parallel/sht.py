@@ -31,7 +31,8 @@ from jax.experimental.shard_map import shard_map
 from ..ops import sht
 from ..ops import alm as almops
 
-__all__ = ["map2alm_dist", "alm2map_dist", "pad_rings"]
+__all__ = ["map2alm_dist", "alm2map_dist",
+           "map2alm_spin_dist", "pad_rings"]
 
 
 def pad_rings(rings: sht.RingGeom, ndev: int):
@@ -128,3 +129,58 @@ def alm2map_dist(alm, rings: sht.RingGeom, lmax: int, mesh: Mesh,
     out = fn(thetaj, mat)
     T = rings.ntheta
     return out[..., :T, :]
+
+
+def map2alm_spin_dist(qmap, umap, rings: sht.RingGeom, lmax: int,
+                      mesh: Mesh, axis: str = "sims", spin: int = 2):
+    """Ring-distributed spin-s analysis: (Q, U) maps sharded over rings
+    -> (E, B) alms via per-shard Wigner recursions + one psum."""
+    ndev = mesh.shape[axis]
+    theta, w, npad = pad_rings(rings, ndev)
+    qmap = jnp.asarray(qmap)
+    umap = jnp.asarray(umap)
+    rdt = qmap.dtype
+    cdt = jnp.result_type(rdt, jnp.complex64)
+    if npad:
+        z = jnp.zeros(qmap.shape[:-2] + (npad, qmap.shape[-1]), rdt)
+        qmap = jnp.concatenate([qmap, z], axis=-2)
+        umap = jnp.concatenate([umap, z], axis=-2)
+    wq = jnp.asarray(w, rdt) * (2.0 * np.pi / rings.nphi)
+    thetaj = jnp.asarray(theta, jnp.float64 if rdt == jnp.float64
+                         else jnp.float32)
+    Lpad = -(-(lmax + 1) // sht._LBLOCK) * sht._LBLOCK
+    m = jnp.arange(lmax + 1)
+    phase = jnp.exp(-1j * m * rings.phi0).astype(cdt)
+
+    def local(q_l, u_l, theta_l, w_l):
+        p_plus = q_l.astype(cdt) + 1j * u_l.astype(cdt)
+        p_minus = q_l.astype(cdt) - 1j * u_l.astype(cdt)
+        Fp = jnp.fft.fft(p_plus, axis=-1)[..., : lmax + 1] * phase
+        Fm = jnp.fft.fft(p_minus, axis=-1)[..., : lmax + 1] * phase
+        Gp = Fp * w_l[..., :, None]
+        Gm = Fm * w_l[..., :, None]
+        batch = q_l.shape[:-2]
+        out0 = jnp.zeros((2,) + batch + (Lpad, lmax + 1), cdt)
+
+        def contract(l_base, lam_blk, out, _):
+            ap = jnp.einsum("lmt,...tm->...lm", lam_blk[:, 0], Gp,
+                            precision=sht._EPREC)
+            am = jnp.einsum("lmt,...tm->...lm", lam_blk[:, 1], Gm,
+                            precision=sht._EPREC)
+            rows = jnp.stack([-0.5 * (ap + am),
+                              0.5j * (ap - am)]).astype(cdt)
+            return jax.lax.dynamic_update_slice_in_dim(out, rows, l_base,
+                                                       axis=-2)
+
+        mat = sht._lambda_scan(lmax, theta_l, (-spin, spin), rdt,
+                               contract, out0, vary_axes=(axis,))
+        return jax.lax.psum(mat, axis)
+
+    nb = qmap.ndim - 2
+    spec_map = P(*([None] * nb), axis, None)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec_map, spec_map, P(axis), P(axis)),
+                   out_specs=P(*([None] * (nb + 1)), None, None))
+    mat = fn(qmap, umap, thetaj, wq)
+    mat = mat[..., : lmax + 1, :]
+    return sht._mat2alm(mat[0], lmax), sht._mat2alm(mat[1], lmax)

@@ -188,3 +188,18 @@ class TestDistributedSHT:
         a2 = psht.map2alm_dist(m, rings, lmax, mesh8)
         np.testing.assert_allclose(np.asarray(a2), np.asarray(alm),
                                    atol=1e-8)
+
+    def test_map2alm_spin_dist_matches_serial(self, mesh8):
+        from orphics_tpu.ops import sht
+        from orphics_tpu.parallel import sht as psht
+        lmax = 32
+        rings = sht.gauss_legendre_rings(lmax)
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.standard_normal(rings.shape))
+        u = jnp.asarray(rng.standard_normal(rings.shape))
+        e_s, b_s = sht.map2alm_spin(q, u, rings, lmax)
+        e_d, b_d = psht.map2alm_spin_dist(q, u, rings, lmax, mesh8)
+        np.testing.assert_allclose(np.asarray(jnp.abs(e_d - e_s)), 0.0,
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(jnp.abs(b_d - b_s)), 0.0,
+                                   atol=1e-10)
