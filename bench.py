@@ -154,7 +154,7 @@ def bench_headline():
             "value": round(rate, 2),
             "unit": "pipelines/s",
             "vs_baseline": round(rate / 1000.0, 4),
-        }))
+        }), flush=True)
         return
 
     def power_pair(key):
@@ -207,7 +207,7 @@ def bench_headline():
         "value": round(rate, 2),
         "unit": "pipelines/s",
         "vs_baseline": round(rate / 1000.0, 4),
-    }))
+    }), flush=True)
 
 
 def bench_masked_cross():
@@ -263,7 +263,7 @@ def bench_masked_cross():
     print(json.dumps({
         "metric": f"masked_cross_spectra_per_sec_{n}x{n}_fp32",
         "value": round(rate, 2), "unit": "cross-spectra/s",
-        "vs_baseline": round(rate, 2)}))
+        "vs_baseline": round(rate, 2)}), flush=True)
 
 
 def bench_qe_recon():
@@ -327,7 +327,7 @@ def bench_qe_recon():
     print(json.dumps({
         "metric": f"qe_tt_recon_per_sec_{n}x{n}_fp32",
         "value": round(rate, 2), "unit": "recons/s",
-        "vs_baseline": round(rate, 2)}))
+        "vs_baseline": round(rate, 2)}), flush=True)
 
 
 def bench_ilc():
@@ -438,7 +438,7 @@ def bench_ilc():
         print(json.dumps({
             "metric": f"ilc_6band_deproj_coadds_per_sec_{n}x{n}_fp32",
             "value": round(rate, 2), "unit": "coadds/s",
-            "vs_baseline": round(rate, 2)}))
+            "vs_baseline": round(rate, 2)}), flush=True)
         return
 
     out = step(jax.random.PRNGKey(0))
@@ -454,7 +454,7 @@ def bench_ilc():
     print(json.dumps({
         "metric": f"ilc_6band_deproj_coadds_per_sec_{n}x{n}_fp32",
         "value": round(rate, 2), "unit": "coadds/s",
-        "vs_baseline": round(rate, 2)}))
+        "vs_baseline": round(rate, 2)}), flush=True)
 
 
 def bench_stack():
@@ -532,7 +532,7 @@ def bench_stack():
     print(json.dumps({
         "metric": f"stack_inpaint_nfwfit_stamps_per_sec_{npix}x{npix}",
         "value": round(rate, 2), "unit": "stamps/s",
-        "vs_baseline": round(rate, 2)}))
+        "vs_baseline": round(rate, 2)}), flush=True)
 
 
 def main():
