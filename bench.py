@@ -316,7 +316,7 @@ def bench_qe_recon():
 
     out = step(jax.random.PRNGKey(0))
     _sync_scalar(out)
-    nrep = int(os.environ.get("BENCH3_REPS", 10))
+    nrep = int(os.environ.get("BENCH3_REPS", 20))
     with _maybe_trace("config3"):
         t0 = time.perf_counter()
         for i in range(nrep):
@@ -427,7 +427,7 @@ def bench_ilc():
     if impl == "pallas" and n % 128 == 0 and n >= 256 and nf % 2 == 0:
         out = step(0)
         _sync_scalar(out[0])
-        nrep = int(os.environ.get("BENCH4_REPS", 10))
+        nrep = int(os.environ.get("BENCH4_REPS", 20))
         with _maybe_trace("config4"):
             t0 = time.perf_counter()
             for i in range(nrep):
@@ -443,7 +443,7 @@ def bench_ilc():
 
     out = step(jax.random.PRNGKey(0))
     _sync_scalar(out)
-    nrep = int(os.environ.get("BENCH4_REPS", 10))
+    nrep = int(os.environ.get("BENCH4_REPS", 20))
     with _maybe_trace("config4"):
         t0 = time.perf_counter()
         for i in range(nrep):
