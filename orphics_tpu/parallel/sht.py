@@ -20,16 +20,13 @@ validated against the serial transforms on the virtual CPU mesh
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..ops import sht
-from ..ops import alm as almops
 
 __all__ = ["map2alm_dist", "alm2map_dist",
            "map2alm_spin_dist", "pad_rings"]
