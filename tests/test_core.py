@@ -631,7 +631,7 @@ def test_pallas_rowcombine_parity_interpret_mode():
     sum, including the wrap-strip patches."""
     from orphics_tpu.ops import pallas_fft as pf
     rng = np.random.default_rng(21)
-    n, nq, nco = 256, 3, 2
+    n, nq, nco = 384, 3, 2      # generic B = 3 exercises mixed-radix too
     npt = nco * nq
     m1 = jnp.asarray(rng.standard_normal((npt, n, n)).astype(np.float32))
     m2 = jnp.asarray(rng.standard_normal((npt, n, n)).astype(np.float32))
