@@ -221,7 +221,7 @@ def bench_masked_cross():
     from orphics_tpu.ops.windows import get_taper
 
     n = int(os.environ.get("BENCH2_N", 2048))
-    batch = int(os.environ.get("BENCH2_BATCH", 32))
+    batch = int(os.environ.get("BENCH2_BATCH", 128))
     px = 0.5
     geom = rect_geometry(width_arcmin=n * px, px_res_arcmin=px)
     th = theory.default_theory()
