@@ -341,7 +341,7 @@ def bench_ilc():
     from orphics_tpu.geometry import arcmin
 
     n = int(os.environ.get("BENCH4_N", 512))
-    batch = int(os.environ.get("BENCH4_BATCH", 16))
+    batch = int(os.environ.get("BENCH4_BATCH", 32))
     geom = rect_geometry(width_arcmin=n * 2.0, px_res_arcmin=2.0)
     freqs = np.array([39.0, 93.0, 145.0, 225.0, 280.0, 350.0])
     beams = np.array([5.1, 2.2, 1.4, 1.0, 0.9, 0.8])
