@@ -18,7 +18,8 @@ __all__ = ["silc", "cilc", "silc_weights", "cilc_weights",
            "silc_noise", "cilc_noise", "ilc_cov", "ilc_cinv",
            "ilc_empirical_cov", "calculate_harmonic_coadd_weights",
            "harmonic_coaddition", "kspace_coadd", "ilc_map_term",
-           "ilc_comb_a_b"]
+           "ilc_comb_a_b", "linear_coadd_fused", "cilc_coadd_fused",
+           "silc_coadd_fused", "kspace_coadd_fused"]
 
 
 def _def_response(response, cinv):
@@ -266,21 +267,17 @@ def apply_harmonic_coadd_weights(alms, weights, target_beam):
     return almops.almxfl(out, jnp.asarray(target_beam)[: lmax + 1])
 
 
-def cilc_coadd_fused(maps, cinv, response_a, response_b, geom=None,
-                     interpret=False):
-    """Constrained-ILC coadd MAPS of per-band real maps on the fused
-    Pallas path: per-band Fourier planes never materialize in HBM.
+def linear_coadd_fused(maps, w2d, interpret=False):
+    """Coadd maps of per-band real maps under STATIC per-band 2D weight
+    planes, on the fused Pallas path (per-band Fourier planes never
+    materialize in HBM): out_j = ifft2(sum_b w_b o fft2(maps[j, b])).
 
-    maps : (ncoadds, nfreq, n, n) real maps (nfreq even); cinv:
-    (nfreq, nfreq, n, n) 2D inverse covariance; deprojects
-    ``response_b``. Returns (ncoadds, n, n) coadd maps — equal to
-    ``ifft2(cilc(fft2(maps), cinv, a, b)).real`` (tested) but computed
-    as: packed pair column DFTs -> fused row-DFT + Hermitian weighted
-    combine accumulated over bands in-kernel -> paired Hermitian
-    inverses of the coadd planes only. Requires n = 128*B grids and a
-    mirror-symmetric ``cinv`` (cinv(-k) = cinv(k) — true for any
-    isotropic/1D-painted covariance, as the Hermitian pair packing of
-    the inverses relies on the coadd planes being Hermitian).
+    maps : (ncoadds, nfreq, n, n) real (nfreq even); w2d : (nfreq, n, n)
+    real weights in NATURAL layout, required mirror-symmetric
+    (w(-k) = w(k), true for any isotropic/1D-painted weights — the
+    Hermitian pair packing of the inverses relies on it). The generic
+    primitive behind :func:`cilc_coadd_fused` / :func:`silc_coadd_fused`
+    / :func:`kspace_coadd_fused`. Requires n = 128*B grids.
     """
     from ..ops import pallas_fft as pf
     maps = jnp.asarray(maps, jnp.float32)
@@ -289,8 +286,7 @@ def cilc_coadd_fused(maps, cinv, response_a, response_b, geom=None,
         raise ValueError("nfreq must be even (band-pair packing)")
     nq = nf // 2
     perm, _ = pf.row_perm(n)
-    w2d = np.asarray(cilc_weights(jnp.asarray(cinv), response_a,
-                                  response_b), np.float32)
+    w2d = np.asarray(w2d, np.float32)
     w_pp = jnp.asarray(w2d[:, perm][:, :, perm])
     wa, wb = w_pp[0::2], w_pp[1::2]
     m1 = maps[:, 0::2].reshape(nco * nq, n, n)
@@ -305,3 +301,38 @@ def cilc_coadd_fused(maps, cinv, response_a, response_b, geom=None,
         return jnp.stack([o1, o2], axis=1).reshape(nco, n, n)
     o1, _ = pf.ifft2pp(cr, ci, interpret=interpret)
     return o1
+
+
+def cilc_coadd_fused(maps, cinv, response_a, response_b, geom=None,
+                     interpret=False):
+    """Constrained-ILC coadd MAPS on the fused Pallas path — equal to
+    ``ifft2(cilc(fft2(maps), cinv, a, b)).real`` (tested) for a
+    mirror-symmetric (isotropic) ``cinv``; see
+    :func:`linear_coadd_fused` for the mechanics and requirements."""
+    w2d = np.asarray(cilc_weights(jnp.asarray(cinv), response_a,
+                                  response_b), np.float32)
+    return linear_coadd_fused(maps, w2d, interpret=interpret)
+
+
+def silc_coadd_fused(maps, cinv, response=None, interpret=False):
+    """Standard-ILC coadd MAPS on the fused Pallas path (the
+    ``silc`` counterpart of :func:`cilc_coadd_fused`)."""
+    w2d = np.asarray(silc_weights(jnp.asarray(cinv), response),
+                     np.float32)
+    return linear_coadd_fused(maps, w2d, interpret=interpret)
+
+
+def kspace_coadd_fused(maps, kbeams2d, kncovs2d, fkbeam=1.0,
+                       interpret=False):
+    """Noise-weighted k-space coadd of non-deconvolved maps on the
+    fused path (reference ``kspace_coadd`` semantics, ``maps.py:1098``:
+    sum(k b f / N) / sum(b^2 / N) — a static per-band linear filter)."""
+    kbeams2d = np.asarray(kbeams2d, np.float64)
+    kncovs2d = np.asarray(kncovs2d, np.float64)
+    denom = (kbeams2d ** 2 / kncovs2d).sum(axis=0)
+    w2d = (kbeams2d * np.asarray(fkbeam) / kncovs2d
+           / np.where(denom == 0, 1.0, denom))
+    return linear_coadd_fused(maps, w2d.astype(np.float32),
+                              interpret=interpret)
+
+

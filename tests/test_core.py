@@ -682,3 +682,42 @@ def test_cilc_coadd_fused_library_api():
     got = np.asarray(ilc.cilc_coadd_fused(maps_in, cinv, a, b,
                                           interpret=True))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_linear_coadd_fused_variants():
+    """silc_coadd_fused and kspace_coadd_fused (the generic
+    linear_coadd_fused primitive) match the explicit k-space formulas."""
+    from orphics_tpu.models import ilc
+    rng = np.random.default_rng(1)
+    n, nf, nco = 256, 4, 2
+    g = rect_geometry(width_arcmin=n * 2.0, px_res_arcmin=2.0)
+    ml = np.asarray(g.modlmap(jnp.float64))
+    ells = np.arange(2, 6000)
+    cov1d = rng.standard_normal((nf, nf, len(ells)))
+    cov1d = np.einsum("ik...,jk...->ij...", cov1d, cov1d) \
+        + 5 * np.eye(nf)[:, :, None]
+    cinv1d = np.moveaxis(np.linalg.inv(
+        np.moveaxis(cov1d, (0, 1), (-2, -1))), (-2, -1), (0, 1))
+    cinv = np.stack([[np.interp(ml, ells, cinv1d[i, j], left=0, right=0)
+                      for j in range(nf)]
+                     for i in range(nf)]).astype(np.float32)
+    maps_in = rng.standard_normal((nco, nf, n, n)).astype(np.float32)
+    # silc
+    refs = np.stack([np.fft.ifft2(np.asarray(ilc.silc(
+        jnp.asarray(np.fft.fft2(maps_in[j])), jnp.asarray(cinv)))).real
+        for j in range(nco)])
+    gots = np.asarray(ilc.silc_coadd_fused(maps_in, cinv, interpret=True))
+    assert np.abs(gots - refs).max() / np.abs(refs).max() < 1e-5
+    # kspace coadd
+    kb2d = np.stack([np.full((n, n), 0.5 + i) for i in range(nf)])
+    nc2d = np.stack([np.full((n, n), 1.0 + i) for i in range(nf)])
+    refk = []
+    for j in range(nco):
+        km = np.fft.fft2(maps_in[j])
+        num = (km * kb2d / nc2d).sum(0)
+        den = (kb2d ** 2 / nc2d).sum(0)
+        refk.append(np.fft.ifft2(num / den).real)
+    refk = np.stack(refk)
+    gotk = np.asarray(ilc.kspace_coadd_fused(maps_in, kb2d, nc2d,
+                                             interpret=True))
+    assert np.abs(gotk - refk).max() / np.abs(refk).max() < 1e-5
