@@ -133,3 +133,64 @@ class TestSpectralRecovery:
         # per-bin MC scatter ~ sqrt(2/(Nsims*Nmodes)) < 1%; demand 3%
         assert np.all(np.abs(ratio - 1.0) < 0.03), ratio
         assert abs(ratio.mean() - 1.0) < 0.005, ratio.mean()
+
+
+@pytest.mark.tpu
+class TestOnChipFusedPasses:
+    """The fused half-plane power / combine kernels, compiled on the real
+    chip (interpret-mode parity lives in test_core; this pins the Mosaic
+    lowering of the in-register mirror + split3 dots)."""
+
+    def test_fused_qc_matches_two_step(self, onchip):
+        from orphics_tpu.ops import pallas_fft as pf
+        n = 256
+        m1 = jax.random.normal(jax.random.PRNGKey(5), (2, n, n),
+                               jnp.float32)
+        m2 = jax.random.normal(jax.random.PRNGKey(6), (2, n, n),
+                               jnp.float32)
+
+        @jax.jit
+        def err():
+            Zr, Zi = pf.fft2pp(m1, m2)
+            qs_ref, c_ref = pf.qc_pp_half(Zr, Zi)
+            qs, c, zr, zi = pf.fft2pp_qc(m1, m2)
+            scale = jnp.max(jnp.abs(qs_ref))
+            return (jnp.max(jnp.abs(qs - qs_ref)) / scale
+                    + jnp.max(jnp.abs(c - c_ref)) / scale
+                    + jnp.max(jnp.abs(zr - Zr[:, :128])) / scale)
+
+        assert float(err()) < 1e-4
+
+    def test_rowcombine_matches_explicit(self, onchip):
+        from orphics_tpu.ops import pallas_fft as pf
+        n, nq, nco = 256, 3, 2
+        npt = nco * nq
+        m1 = jax.random.normal(jax.random.PRNGKey(7), (npt, n, n),
+                               jnp.float32)
+        m2 = jax.random.normal(jax.random.PRNGKey(8), (npt, n, n),
+                               jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(9), (2 * nq, n, n),
+                              jnp.float32)
+
+        @jax.jit
+        def err():
+            yr, yi = pf.colfft(m1, m2)
+            Zr, Zi = pf.rowfft(yr, yi)
+            Zmr, Zmi = pf.mirror_pp(Zr, Zi)
+            F1r, F1i = 0.5 * (Zr + Zmr), 0.5 * (Zi - Zmi)
+            F2r, F2i = 0.5 * (Zi + Zmi), 0.5 * (Zmr - Zr)
+            sh = (nco, nq, n, n)
+            wa, wb = w[0::2], w[1::2]
+            Cr_ref = (jnp.einsum("jq...,q...->j...", F1r.reshape(sh), wa)
+                      + jnp.einsum("jq...,q...->j...", F2r.reshape(sh),
+                                   wb))
+            Ci_ref = (jnp.einsum("jq...,q...->j...", F1i.reshape(sh), wa)
+                      + jnp.einsum("jq...,q...->j...", F2i.reshape(sh),
+                                   wb))
+            Cr, Ci = pf.rowcombine_pp(yr, yi, 0.5 * wa, -0.5 * wb,
+                                      0.5 * wa, 0.5 * wb, nq)
+            scale = jnp.max(jnp.abs(Cr_ref))
+            return (jnp.max(jnp.abs(Cr - Cr_ref))
+                    + jnp.max(jnp.abs(Ci - Ci_ref))) / scale
+
+        assert float(err()) < 1e-4
