@@ -56,7 +56,7 @@ def bench_headline():
     from orphics_tpu.models import grf, theory
 
     n = int(os.environ.get("BENCH_N", 2048))
-    batch = int(os.environ.get("BENCH_BATCH", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 192))
     px = 0.5  # arcmin
     geom = rect_geometry(width_arcmin=n * px, px_res_arcmin=px)
     assert geom.shape == (n, n)
