@@ -39,6 +39,8 @@ __all__ = [
     "sanitize_beam", "gapfill_edge_conv_flat", "binary_mask", "area",
     "fsky", "area_sqdeg", "rescale", "rotate", "MapRotator",
     "diagonal_cov", "ncov", "thumbnail_healpix", "galactic_mask",
+    "convolve", "convolve_gaussian", "convolve_profile", "pixcov_sim",
+    "get_planck_cutout",
     "generate_correlated_alm", "ftrans", "real_space_filter", "rfilter",
 ]
 
@@ -1053,3 +1055,81 @@ def slice_from_box(geom: Geometry, box_rad, inclusive=False):
                       + (1 if inclusive else 0.5)))
     return np.s_[..., max(y0, 0):min(y1, geom.ny),
                  max(x0, 0):min(x1, geom.nx)]
+
+
+# ------------------------------------------------------------------
+# real-space convolution (reference maps.py:2785-2833)
+# ------------------------------------------------------------------
+
+def convolve(imap, kernel):
+    """Linear ('same'-mode) real-space convolution of map(s) with a 2D
+    kernel (reference ``orphics/maps.py:2795``).  TPU-native: zero-padded
+    FFT convolution (one fused fft/ifft pair) instead of the reference's
+    scipy.signal direct loop; supports leading component axes."""
+    imap = jnp.asarray(imap)
+    kernel = jnp.asarray(kernel, imap.dtype)
+    ny, nx = imap.shape[-2:]
+    ky, kx = kernel.shape
+    py, px = ny + ky - 1, nx + kx - 1
+    fi = jnp.fft.rfft2(imap, s=(py, px))
+    fk = jnp.fft.rfft2(kernel, s=(py, px))
+    full = jnp.fft.irfft2(fi * fk, s=(py, px))
+    # crop to scipy.signal.convolve(mode='same') alignment
+    y0, x0 = (ky - 1) // 2, (kx - 1) // 2
+    return full[..., y0:y0 + ny, x0:x0 + nx]
+
+
+def convolve_gaussian(imap, geom: Geometry, fwhm_arcmin, nsigma=5.0):
+    """Convolve with a real-space Gaussian beam kernel (reference
+    ``orphics/maps.py:2813``)."""
+    fwhm = fwhm_arcmin * arcmin
+    sigma_y = fwhm / (np.sqrt(8.0 * np.log(2.0)) * geom.dy)
+    sigma_x = fwhm / (np.sqrt(8.0 * np.log(2.0)) * geom.dx)
+    return convolve(imap, gauss_kern(sigma_y, sigma_x, nsigma=nsigma))
+
+
+def convolve_profile(imap, geom: Geometry, rs, bprof, fwhm_guess_arcmin,
+                     nsigma=20.0):
+    """Convolve with a kernel interpolated from a 1D radial profile
+    (reference ``orphics/maps.py:2785``); ``rs`` in radians."""
+    g = gkern_interp(geom, rs, bprof, fwhm_guess_arcmin, nsigma=nsigma)
+    return convolve(imap, g)
+
+
+def pixcov_sim(geom: Geometry, ps, nsims, key=None, mean_sub=True, pad=0):
+    """Brute-force Monte-Carlo pixel-pixel covariance of GRF sims
+    (reference ``orphics/maps.py:1840``): vmapped synthesis on padded
+    geometry, center extraction, host covariance."""
+    from . import grf as _grf
+    import jax as _jax
+    if key is None:
+        key = _jax.random.PRNGKey(0)
+    if pad > 0:
+        g = Geometry(geom.ny + 2 * pad, geom.nx + 2 * pad, geom.dy,
+                     geom.dx, geom.y0)
+    else:
+        g = geom
+    mgen = _grf.MapGen(g, np.asarray(ps))
+    keys = _jax.random.split(key, nsims)
+    sims = _jax.vmap(mgen.get_map)(keys)          # (nsims[, ncomp], ny, nx)
+    if mean_sub:
+        sims = sims - sims.mean(axis=(-2, -1), keepdims=True)
+    if pad > 0:
+        sims = sims[..., pad:-pad, pad:-pad]
+    X = np.asarray(sims).reshape(nsims, -1)
+    return np.cov(X.T)
+
+
+def get_planck_cutout(hp_map, ra_deg, dec_deg, arcmin_width, px=2.0,
+                      arcmin_y=None):
+    """Gnomonic cutout of a healpix map around (ra, dec) (reference
+    ``orphics/maps.py:2417``; the reference rotates galactic->celestial —
+    pass coordinates in the map's frame here)."""
+    if arcmin_y is None:
+        arcmin_y = arcmin_width
+    thumb, g = thumbnail_healpix(hp_map, ra_deg, dec_deg,
+                                 width_arcmin=max(arcmin_width, arcmin_y),
+                                 px_res_arcmin=px)
+    ny = int(arcmin_y / px)
+    nx = int(arcmin_width / px)
+    return crop_center(jnp.asarray(thumb), ny, nx)

@@ -15,6 +15,7 @@ from ..geometry import Geometry, arcmin
 from ..ops import fourier as F
 
 __all__ = ["atm_factor", "rednoise", "ivar", "rms_from_ivar", "white_noise",
+           "white_noise_with_atm_func",
            "modulated_noise_map", "get_masked_ivar", "noise_func",
            "get_atmosphere"]
 
@@ -131,3 +132,13 @@ def get_masked_ivar(ivar_map, geom: Geometry, grow_arcmin=10.0, threshold=1e-10)
     mask = (jnp.asarray(ivar_map) > threshold).astype(jnp.float32)
     g = grow_mask(mask, geom, grow_arcmin * arcmin)
     return jnp.where(g > 0, ivar_map, 0.0)
+
+
+def white_noise_with_atm_func(ells, uk_arcmin, lknee, alpha,
+                              dimensionless=False, TCMB=2.7255e6):
+    """White noise power with a 1/f atmosphere factor (reference
+    ``orphics/cosmology.py:1164``)."""
+    ells = jnp.asarray(ells)
+    noise_white = (uk_arcmin * np.pi / (180.0 * 60.0)) ** 2
+    dfact = (1.0 / TCMB ** 2) if dimensionless else 1.0
+    return (atm_factor(ells, lknee, alpha) + 1.0) * noise_white * dfact

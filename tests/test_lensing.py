@@ -222,3 +222,94 @@ def test_nlgenerator_runs(geom, th):
     assert 1e-9 < np.median(nl) < 1e-5, nl
     cents, nl_mv = nlg.get_nl_mv(("TT", "EB"))
     assert np.all(nl_mv <= nl * 1.0001), (nl_mv, nl)
+
+
+# ------------------------------------------------------------------
+# Pallas displacement kernel + fused end-to-end pipeline (round 3)
+# ------------------------------------------------------------------
+
+def test_lens_map_pallas_parity(geom, th):
+    """The Pallas displacement kernel (interpret mode) matches the
+    independently-validated XLA spline path on a realistic lensing
+    deflection, orders 3 and 5."""
+    from orphics_tpu.ops import pallas_lens
+    fls = lensing.FlatLensingSims(geom, th, beam_arcmin=1.5,
+                                  noise_uk_arcmin=7.0)
+    kc, kk = jax.random.split(jax.random.PRNGKey(7))
+    unl = fls.get_unlensed(kc).astype(jnp.float32)
+    kappa = fls.get_kappa(kk)
+    alpha = lensing.alpha_from_kappa(kappa, geom).astype(jnp.float32)
+    assert float(jnp.abs(alpha).max() / geom.dy) < 8.0  # inside the cap
+    for order in (3, 5):
+        ref = np.asarray(lensing.lens_map_spline(unl, alpha, geom,
+                                                 order=order))
+        out = np.asarray(pallas_lens.lens_map_pallas(
+            unl, alpha, geom, order=order, interpret=True))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out / scale, ref / scale, atol=2e-5,
+                                   err_msg=f"order {order}")
+
+
+def test_lens_map_pallas_batched(geom, th):
+    """Batched (B, C, ny, nx) kernel call with per-batch deflections ==
+    per-map spline results; components share the batch deflection."""
+    from orphics_tpu.ops import pallas_lens
+    fls = lensing.FlatLensingSims(geom, th, beam_arcmin=1.5,
+                                  noise_uk_arcmin=7.0)
+    B, C = 2, 2
+    keys = jax.random.split(jax.random.PRNGKey(11), B * (C + 1)).reshape(
+        B, C + 1, 2)
+    imaps = jnp.stack([jnp.stack([fls.get_unlensed(keys[b, c])
+                                  for c in range(C)]) for b in range(B)])
+    alphas = jnp.stack([
+        lensing.alpha_from_kappa(fls.get_kappa(keys[b, C]), geom)
+        for b in range(B)]).astype(jnp.float32)
+    out = np.asarray(pallas_lens.lens_map_pallas(
+        imaps.astype(jnp.float32), alphas, geom, order=3, interpret=True))
+    for b in range(B):
+        for c in range(C):
+            ref = np.asarray(lensing.lens_map_spline(
+                imaps[b, c], alphas[b], geom, order=3))
+            scale = np.abs(ref).max()
+            np.testing.assert_allclose(out[b, c] / scale, ref / scale,
+                                       atol=2e-5, err_msg=f"b={b} c={c}")
+
+
+def test_lenspipe_matches_unfused(geom, th):
+    """LensedQEPipeline.step == the same pipeline assembled from the
+    unfused validated pieces (rand_hermitian_half + lens_map_spline +
+    kappa_tt_rfft), same PRNG keys, to fp32 accuracy."""
+    from orphics_tpu.models import lenspipe, grf as _grf
+    from orphics_tpu.ops import fourier as OF
+    pipe = lenspipe.LensedQEPipeline(geom, th, beam_arcmin=2.0,
+                                     noise_uk_arcmin=5.0, xlmax=3000,
+                                     klmax=2000, lens_order=3,
+                                     interpret=True)
+    batch = 3
+    key = jax.random.PRNGKey(21)
+    got = np.asarray(pipe.step(key, batch))
+
+    # unfused re-implementation with identical draws
+    keys = jax.random.split(key, 3 * batch).reshape(batch, 3, 2)
+    ells = np.arange(th.lpad + 1)
+    csq_tt = _grf.covsqrt_half(geom, ells, np.asarray(th.uCl("TT", ells)))
+    rows = []
+    for b in range(batch):
+        eta_c = _grf.rand_hermitian_half(keys[b, 0], geom)
+        eta_k = _grf.rand_hermitian_half(keys[b, 1], geom)
+        eta_n = _grf.rand_hermitian_half(keys[b, 2], geom)
+        unlensed = OF.irfft2(csq_tt * eta_c, geom)
+        kin_h = pipe.csq_kk * eta_k
+        alpha = OF.irfft2(pipe.alpha_filt * kin_h[None], geom)
+        lensed = lensing.lens_map_spline(unlensed, alpha, geom, order=3)
+        kobs_h = (pipe.kbeam_h * OF.rfft2(lensed, geom)
+                  + pipe.ncov_h * eta_n)
+        fk = pipe.qe.kappa_tt_rfft(kobs_h * pipe.inv_beam_h)
+        cross = (fk.conj() * kin_h).real * pipe.norm
+        auto_in = (kin_h.conj() * kin_h).real * pipe.norm
+        auto_rec = (fk.conj() * fk).real * pipe.norm - pipe.n0_h
+        rows.append(np.stack([np.asarray(pipe.binner.bin(x)[1])
+                              for x in (cross, auto_in, auto_rec)]))
+    ref = np.stack(rows)
+    scale = np.abs(ref).max(axis=(0, 2), keepdims=True)
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-4)
