@@ -623,3 +623,105 @@ def load_fits(fits_file, column_names, hdu_num=1):
     from ..utils.fitsio import read_bintable
     tab = read_bintable(fits_file, hdu=hdu_num)
     return [np.asarray(tab[name]) for name in column_names]
+
+
+def dndz(z, z0=1.0 / 3.0):
+    """Simple 1-parameter dn/dz parameterization (reference
+    ``orphics/catalogs.py:439``)."""
+    z = jnp.asarray(z)
+    return (z ** 2) * jnp.exp(-z / z0) / (2.0 * z0 ** 3)
+
+
+def filter_fits(infile, conditions=None, drop_cols=None, strict=True,
+                mask=None, mask_geom=None, mask_threshold=0.5,
+                ra_name="RADeg", dec_name="decDeg", verbose=True,
+                outfile=None):
+    """Filter rows of a FITS binary-table catalog by column conditions
+    and an optional sky mask (reference ``orphics/catalogs.py:65``).
+
+    Native version: the table is read with the built-in FITS reader;
+    ``conditions`` is either a dict {column: minimum} (every column must
+    exceed its minimum) or a boolean expression string evaluated against
+    the columns (e.g. ``"(SNR > 5) & (LAMBDA > 20)"``).  ``mask`` is a
+    flat-sky mask array with its ``mask_geom`` Geometry (rows sampling
+    below ``mask_threshold`` are dropped) or a healpix RING array.
+    Returns the filtered column dict; with ``outfile`` it is also written
+    back as a FITS BINTABLE.
+    """
+    from ..utils import fitsio as _fitsio
+    cols = _fitsio.read_bintable(infile)
+    nrows = len(next(iter(cols.values())))
+    keep = np.ones(nrows, dtype=bool)
+    if conditions is not None:
+        if isinstance(conditions, dict):
+            for name, thresh in conditions.items():
+                if name not in cols:
+                    if strict:
+                        raise KeyError(name)
+                    continue
+                keep &= np.asarray(cols[name]) > thresh
+        else:
+            ns = {k: np.asarray(v) for k, v in cols.items()}
+            keep &= np.asarray(eval(conditions, {"np": np}, ns), bool)
+    if mask is not None:
+        if ra_name not in cols or dec_name not in cols:
+            if strict:
+                raise KeyError((ra_name, dec_name))
+        else:
+            ras = np.asarray(cols[ra_name], float)
+            decs = np.asarray(cols[dec_name], float)
+            mask = np.asarray(mask)
+            if mask_geom is not None:
+                sel = select_based_on_mask(ras, decs, mask, mask_geom,
+                                           threshold=mask_threshold)
+            else:  # healpix RING mask
+                from ..utils import healpix as hp
+                nside = hp.npix2nside(mask.size)
+                pix = hp.ang2pix(nside, np.radians(90.0 - decs),
+                                 np.radians(np.mod(ras, 360.0)))
+                sel = mask[pix] >= mask_threshold
+            keep &= sel
+    out = {k: np.asarray(v)[keep] for k, v in cols.items()}
+    if drop_cols:
+        for c in drop_cols:
+            if c in out:
+                del out[c]
+            elif strict:
+                raise KeyError(c)
+    if verbose:
+        print(f"filter_fits: kept {int(keep.sum())}/{nrows} rows")
+    if outfile is not None:
+        _fitsio.write_bintable(outfile, out)
+    return out
+
+
+def fits_catalog_to_json(fits_file, ra_col, dec_col, name_col=None,
+                         extra_cols=None, hdu_num=1, Nmax=None,
+                         output_file=None):
+    """Convert a FITS catalog to the JSON source-catalog format
+    (reference ``orphics/catalogs.py:185``)."""
+    import json as _json
+    from ..utils import fitsio as _fitsio
+    cols = _fitsio.read_bintable(fits_file, hdu=hdu_num)
+    ras = np.asarray(cols[ra_col], float)
+    decs = np.asarray(cols[dec_col], float)
+    n = len(ras) if Nmax is None else min(Nmax, len(ras))
+    sources = []
+    for i in range(n):
+        if name_col is not None:
+            name = cols[name_col][i]
+            name = name.decode() if isinstance(name, bytes) else str(name)
+        else:
+            name = f"Source_{i}"
+        entry = {"name": name.strip(), "ra": float(ras[i]),
+                 "dec": float(decs[i])}
+        if extra_cols:
+            entry["extra"] = {c: (cols[c][i].item()
+                                  if hasattr(cols[c][i], "item")
+                                  else str(cols[c][i]))
+                              for c in extra_cols}
+        sources.append(entry)
+    if output_file is not None:
+        with open(output_file, "w") as f:
+            _json.dump(sources, f, indent=1)
+    return sources

@@ -72,9 +72,10 @@ def planck(nu_hz, T):
 
 
 def g_tsz(nu_ghz, T_cmb=TCMB):
-    """tSZ spectral function x coth(x/2) - 4 (dimensionless)."""
+    """tSZ spectral function x coth(x/2) - 4 (dimensionless); the
+    coth form is overflow-free for any x."""
     x = (hplanck * np.asarray(nu_ghz) * 1e9) / (kboltz * T_cmb)
-    return x * (np.exp(x) + 1.0) / (np.exp(x) - 1.0) - 4.0
+    return x / np.tanh(x / 2.0) - 4.0
 
 
 ffunc = g_tsz  # reference's alias (foregrounds.py:603)
@@ -91,24 +92,37 @@ def cltsz(atsz, nu1, nu2, clyy):
 
 def dl_filler(ells, ls, cls, fill_type="extrapolate", fill_positive=False,
               silence=False):
-    """Interpolate/extend D_l templates (reference :80)."""
-    from scipy.interpolate import interp1d
-    ells = np.asarray(ells)
+    """Interpolate a D_l template onto ``ells`` with an explicit
+    out-of-range fill policy (the role of reference :80):
+
+    - ``"extrapolate"``: linear extrapolation from the end segments,
+    - ``"constant_dl"``: 0 below the table, last value above it,
+    - ``"zeros"``: 0 outside the table.
+    """
+    ells = np.asarray(ells, dtype=float)
+    ls = np.asarray(ls, dtype=float)
+    cls = np.asarray(cls, dtype=float)
     if not silence and ells.max() > ls.max():
         warnings.warn("Requested ells above available range; filling per "
                       f"fill_type={fill_type}")
-    if fill_type == "constant_dl":
-        fill_value = (0, cls[-1])
-    elif fill_type == "extrapolate":
-        fill_value = "extrapolate"
+    out = np.interp(ells, ls, cls)       # linear inside, clamped outside
+    lo = ells < ls[0]
+    hi = ells > ls[-1]
+    if fill_type == "extrapolate":
+        out[lo] = cls[0] + (cls[1] - cls[0]) / (ls[1] - ls[0]) * (
+            ells[lo] - ls[0])
+        out[hi] = cls[-1] + (cls[-1] - cls[-2]) / (ls[-1] - ls[-2]) * (
+            ells[hi] - ls[-1])
+    elif fill_type == "constant_dl":
+        out[lo] = 0.0
+        out[hi] = cls[-1]
     elif fill_type == "zeros":
-        fill_value = 0
+        out[lo | hi] = 0.0
     else:
         raise ValueError(fill_type)
-    dls = interp1d(ls, cls, bounds_error=False, fill_value=fill_value)(ells)
     if fill_positive:
-        dls[dls < 0] = 0
-    return dls
+        out[out < 0] = 0
+    return out
 
 
 def _dl_to_cl(ells, dls):
@@ -624,3 +638,126 @@ def evaluate_model_dict(ell, params, freqs, beams, dT_guess, lknees, alphas,
         out[(i, j)] = mod + get_noise(ell, i, j, sig_i, sig_j, lknees,
                                       alphas, params.get("Aatm_corr", 0.0))
     return out
+
+
+def model_vec(all_params, params, ell, freqs, dT_guess, beams, lknees,
+              alphas, cl_cmb_tmpl, cl_tsz_tmpl):
+    """Stacked model vector over all frequency pairs: beam-convolved
+    CMB x A_cmb + foregrounds, plus the noise bias on autos (reference
+    ``orphics/foregrounds.py:760``)."""
+    import itertools
+    p = dict(zip(all_params, params))
+    blocks = []
+    for i, j in itertools.combinations_with_replacement(
+            range(len(freqs)), 2):
+        nu1 = freqs[i]
+        b1, b2 = beams[i](ell), beams[j](ell)
+        mod = (p["A_cmb"] * cl_cmb_tmpl
+               + fg_cl(ell, p, i, j, cl_tsz_tmpl, freqs)) * b1 * b2
+        sig = dT_guess[i] * p[f"rN_{int(nu1)}"]
+        mod = mod + get_noise(ell, i, j, sig, sig, lknees, alphas,
+                              p["Aatm_corr"])
+        blocks.append(mod)
+    return np.concatenate(blocks)
+
+
+def fit_cross_leastsq(data, freqs_ghz, P, ell_cuts, theory_func, params0,
+                      fixed=None, bounds=None, ell=None, index_base=0,
+                      method="trf", max_nfev=2000, xtol=1e-10, verbose=0):
+    """Nonlinear weighted least-squares fit of binned frequency
+    cross-spectra through a binning matrix (reference
+    ``orphics/foregrounds.py:1301``).
+
+    ``data[(i, j)]`` -> ``(bp, err)`` or ``{"bp":..., "err":...}`` of
+    length Nb; ``P`` is the (Nb, L) binning matrix mapping C_ell to
+    bandpowers; ``ell_cuts[(i, j)]`` is a boolean keep mask (Nb,) or a
+    list of (lmin, lmax) ranges to INCLUDE; ``theory_func(ell, nu_i,
+    nu_j, params_dict)`` returns the model C_ell (length L).  Per-pair
+    point-source amplitudes ``Aps_{i}_{j}`` are added automatically.
+    Returns (best-fit dict, scipy OptimizeResult).
+    """
+    from scipy.optimize import least_squares
+    P = np.asarray(P, dtype=float)
+    Nb, L = P.shape
+    ell = np.arange(L, dtype=float) if ell is None else np.asarray(
+        ell, dtype=float)
+    if ell.shape[0] != L:
+        raise ValueError("ell length must match P.shape[1]")
+    freqs_ghz = np.asarray(freqs_ghz, dtype=float)
+    Nf = freqs_ghz.size
+    params0 = dict(params0)
+    bounds = {} if bounds is None else dict(bounds)
+
+    def norm_pair(pair):
+        i0, j0 = int(pair[0]) - index_base, int(pair[1]) - index_base
+        if not (0 <= i0 < Nf and 0 <= j0 < Nf):
+            raise ValueError(f"pair {pair} out of range")
+        return i0, j0
+
+    pairs = list(data.keys())
+    bandpowers, errors, keeps = {}, {}, {}
+    ell_idx = np.arange(L)
+    has_weight = P != 0.0
+    for pair in pairs:
+        item = data[pair]
+        if isinstance(item, dict):
+            bp, er = np.asarray(item["bp"], float), np.asarray(
+                item["err"], float)
+        else:
+            bp, er = np.asarray(item[0], float), np.asarray(item[1], float)
+        if bp.shape != (Nb,) or er.shape != (Nb,):
+            raise ValueError(f"bandpowers for {pair} must be (Nb,)")
+        bandpowers[pair], errors[pair] = bp, er
+        cuts = ell_cuts.get(pair)
+        if cuts is None:
+            keeps[pair] = np.ones(Nb, bool)
+        elif (isinstance(cuts, (list, tuple)) and len(cuts)
+              and np.ndim(cuts[0]) == 1):
+            inc = np.zeros(L, bool)
+            for lmin, lmax in cuts:
+                lmin, lmax = sorted((int(lmin), int(lmax)))
+                inc |= (ell_idx >= max(lmin, 0)) & (ell_idx
+                                                    <= min(lmax, L - 1))
+            keeps[pair] = np.any(has_weight[:, inc], axis=1)
+        else:
+            km = np.asarray(cuts, bool)
+            if km.shape != (Nb,):
+                raise ValueError(f"bad ell_cuts for {pair}")
+            keeps[pair] = km
+
+    for pair in pairs:
+        i0, j0 = norm_pair(pair)
+        params0.setdefault(f"Aps_{i0}_{j0}", 1e-5)
+        bounds.setdefault(f"Aps_{i0}_{j0}", (0, np.inf))
+    if fixed is None:
+        fixed = {}
+    elif not isinstance(fixed, dict):
+        fixed = {name: params0[name] for name in fixed}
+    free = [n for n in params0 if n not in fixed]
+    if not free:
+        raise ValueError("no free parameters")
+    x0 = np.array([params0[n] for n in free], float)
+    lo = np.array([bounds.get(n, (-np.inf, np.inf))[0] for n in free])
+    hi = np.array([bounds.get(n, (-np.inf, np.inf))[1] for n in free])
+
+    def pack(x):
+        d = dict(zip(free, x))
+        d.update(fixed)
+        return d
+
+    def resid(x):
+        p = pack(x)
+        out = []
+        for pair in pairs:
+            i0, j0 = norm_pair(pair)
+            cl = np.asarray(theory_func(ell, freqs_ghz[i0], freqs_ghz[j0],
+                                        p), float)
+            cl = cl + p[f"Aps_{i0}_{j0}"]
+            mod_bp = P @ cl
+            k = keeps[pair]
+            out.append((bandpowers[pair][k] - mod_bp[k]) / errors[pair][k])
+        return np.concatenate(out)
+
+    res = least_squares(resid, x0, bounds=(lo, hi), method=method,
+                        max_nfev=max_nfev, xtol=xtol, verbose=verbose)
+    return pack(res.x), res

@@ -459,3 +459,23 @@ def sanitize_power(nl):
     if bad.any():
         nl[bad] = np.interp(np.flatnonzero(bad), np.flatnonzero(~bad), nl[~bad])
     return nl
+
+
+def validate_geometry(geom: Geometry, verbose: bool = False):
+    """Sanity-check a geometry's area and pixel size, warning on
+    pathological values (reference ``orphics/lensing.py:264``)."""
+    import warnings
+    area_sqdeg = float(geom.area) * (180.0 / np.pi) ** 2
+    if verbose:
+        print("Geometry area : ", area_sqdeg, " sq.deg.")
+    if area_sqdeg > 41252.0:
+        warnings.warn(f"Geometry has area larger than full-sky: {geom}")
+    if area_sqdeg < (1.0 / 60.0 / 60.0):
+        warnings.warn(f"Geometry has area less than 1 arcmin^2: {geom}")
+    res_deg = np.rad2deg(max(geom.dy, geom.dx))
+    if verbose:
+        print("Geometry pixel width : ", res_deg * 60.0, " arcmin.")
+    if res_deg > 30.0:
+        warnings.warn(f"Geometry has pixel larger than 30 degrees: {geom}")
+    if res_deg < (1.0 / 60.0 / 60.0):
+        warnings.warn(f"Geometry has pixel smaller than 1 arcsecond: {geom}")

@@ -327,3 +327,72 @@ def kappa_nfw_profiley(geom: Geometry, mass=2e14, conc=3.0, z=0.7,
     if R_off_Mpc is not None:
         prof = prof[0]
     return jnp.interp(modr.reshape(-1), ths, prof).reshape(geom.shape)
+
+
+def NFWMatchedFilterSN(cc, log10Moverh, c, z, ells, Nls, kellmax,
+                       overdensity=500.0, critical=True, at_cluster_z=True,
+                       arc_stamp=100.0, px_stamp=0.05,
+                       rayleigh_sigma_arcmin=None, win_at_lens=None,
+                       return_kappa=False, verbose=False):
+    """Matched-filter S/N forecast for an NFW cluster kappa profile
+    against a lensing-reconstruction noise curve (reference
+    ``orphics/lensing.py:771``).
+
+    Builds the normalized cluster template U = kappa/k500 on a fine
+    stamp, optionally convolves with a Rayleigh miscentering
+    distribution, and returns (S/N, k500, sigma) with
+    1/sigma^2 = sum_l |U(l)|^2 / N_l over the annulus
+    [2pi/stamp, kellmax].
+    """
+    M = 10.0 ** log10Moverh
+    n = int(arc_stamp / px_stamp)
+    g = Geometry(n, n, px_stamp * arcmin, px_stamp * arcmin)
+    kellmin = 2.0 * np.pi / (arc_stamp * arcmin)
+
+    modrmap = np.asarray(g.modrmap(jnp.float64))
+    modlmap = np.asarray(g.modlmap(jnp.float64))
+
+    if win_at_lens is None:  # CMB lensing source plane
+        comS = cc.comoving_radial_distance(cc.cmbZ) * cc.h
+        comL = cc.comoving_radial_distance(z) * cc.h
+        win_at_lens = (comS - comL) / comS
+
+    kappa, r_del = NFWkappa(cc, M, c, z, modrmap * 180.0 * 60.0 / np.pi,
+                            win_at_lens, overdensity=overdensity,
+                            critical=critical, at_cluster_z=at_cluster_z)
+    kappa = np.asarray(kappa)
+    dAz = cc.angular_diameter_distance(z) * cc.h
+    th500 = r_del / dAz
+    fiveth500 = 5.0 * th500
+
+    kappa = np.where(modrmap > fiveth500, 0.0, kappa)
+    pixarea = float(g.dy) * float(g.dx)
+    k500 = kappa.sum() * pixarea
+    if verbose:
+        print("integral of kappa inside disc ", k500)
+    Ukappa = kappa / k500
+
+    Uft = np.fft.fft2(Ukappa)
+    if rayleigh_sigma_arcmin is not None:
+        assert rayleigh_sigma_arcmin >= px_stamp
+        pray = rayleigh(modrmap * 180.0 * 60.0 / np.pi,
+                        rayleigh_sigma_arcmin)
+        rayk = np.fft.fft2(np.fft.ifftshift(np.asarray(pray)))
+        rayk = rayk / rayk[modlmap < 1e-3]
+        Uft = Uft * rayk
+    Upower = (Uft * Uft.conj()).real * float(g.area) / g.npix ** 2
+
+    Nls = np.asarray(Nls, dtype=float).copy()
+    Nls[Nls < 0] = 0.0
+    nl2d = np.interp(modlmap, np.asarray(ells, float), Nls)
+    filt = np.zeros_like(Upower)
+    sel = (modlmap >= kellmin) & (modlmap <= kellmax) & (nl2d > 0)
+    filt[sel] = Upower[sel] / nl2d[sel]
+    varinv = filt.sum()
+    std = np.sqrt(1.0 / varinv)
+    sn = k500 / std
+    if verbose:
+        print(sn)
+    if return_kappa:
+        return sn, np.fft.ifft2(Uft).real * k500
+    return sn, k500, std

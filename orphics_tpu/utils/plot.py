@@ -10,6 +10,7 @@ import os
 import numpy as np
 
 __all__ = ["Plotter", "plot_img", "hist", "html_gallery", "corner_plot",
+           "hplot", "mollview",
            "high_res_plot_img", "mplot", "layered_contour",
            "generate_gallery_html", "write_gallery_html",
            "alpha_from_confidence"]
@@ -434,3 +435,65 @@ def write_gallery_html(image_files, outfile, ncols=3, titles=None):
     """Write the gallery HTML to a file (reference
     ``write_gallery_html``)."""
     html_gallery(image_files, outfile=outfile, ncols=ncols, titles=titles)
+
+
+def hplot(img, savename=None, verbose=True, grid=False, down=None,
+          **kwargs):
+    """High-resolution map render (the reference's enplot-based ``hplot``,
+    ``orphics/io.py:313``), drawn natively with matplotlib at one map
+    pixel per image pixel."""
+    out = high_res_plot_img(np.asarray(img), filename=savename, down=down,
+                            verbose=False, **kwargs)
+    if savename is not None and verbose:
+        print(f"Saved plot to {savename}")
+    return out
+
+
+def mollview(hp_map, filename=None, lim=None, coord="C", verbose=True,
+             return_projected_map=False, xsize=1200, title=None,
+             cmap="coolwarm", dpi=None, **kwargs):
+    """Mollweide all-sky render of a healpix RING map (reference
+    ``orphics/io.py:346``), implemented natively: sample a Mollweide
+    (lon, lat) pixel grid and look each point up with the built-in
+    ang2pix — no healpy."""
+    from . import healpix as hp
+    hp_map = np.asarray(hp_map)
+    nside = hp.npix2nside(hp_map.size)
+    ysize = xsize // 2
+    x = np.linspace(-2.0, 2.0, xsize)
+    y = np.linspace(-1.0, 1.0, ysize)
+    xx, yy = np.meshgrid(x, y)
+    # inverse Mollweide projection
+    sin_t = np.clip(yy, -1.0, 1.0)
+    theta_aux = np.arcsin(sin_t)
+    lat = np.arcsin(np.clip((2 * theta_aux + np.sin(2 * theta_aux))
+                            / np.pi, -1, 1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lon = np.pi * xx / (2 * np.cos(theta_aux))
+    valid = (np.abs(lon) <= np.pi) & ((xx / 2) ** 2 + yy ** 2 <= 1.0)
+    img = np.full(xx.shape, np.nan)
+    th = np.pi / 2 - lat[valid]
+    ph = np.mod(lon[valid], 2 * np.pi)
+    img[valid] = hp_map[hp.ang2pix(nside, th, ph)]
+    if lim is None:
+        cmin = cmax = None
+    elif isinstance(lim, (list, tuple)):
+        cmin, cmax = lim
+    else:
+        cmin, cmax = -lim, lim
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(xsize / 120.0, ysize / 120.0))
+    im = ax.imshow(img[::-1], vmin=cmin, vmax=cmax, cmap=cmap, **kwargs)
+    ax.set_axis_off()
+    if title:
+        ax.set_title(title)
+    fig.colorbar(im, ax=ax, shrink=0.6)
+    if filename is not None:
+        fig.savefig(filename, dpi=dpi, bbox_inches="tight")
+        plt.close(fig)
+        if verbose:
+            print(f"Saved healpix plot to {filename}")
+    if return_projected_map:
+        return img

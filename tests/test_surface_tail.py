@@ -330,3 +330,197 @@ class TestMapsCurvedTail:
         with pytest.raises(ValueError):
             with mpi_abort_on_exception():
                 raise ValueError("boom")
+
+
+class TestRound3Tail:
+    """Round-3 name tail (VERDICT item 6)."""
+
+    def test_convolve_matches_scipy(self):
+        from scipy import signal
+        from orphics_tpu.models import mapstools as M
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((32, 40)).astype(np.float32)
+        for kshape in [(5, 7), (4, 6), (1, 1)]:
+            k = rng.standard_normal(kshape).astype(np.float32)
+            ref = signal.convolve(x, k, mode="same")
+            out = np.asarray(M.convolve(x, k))
+            np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_convolve_gaussian_preserves_mean(self):
+        from orphics_tpu.models import mapstools as M
+        geom = rect_geometry(width_arcmin=64.0, px_res_arcmin=2.0)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal(geom.shape).astype(np.float32))
+        out = M.convolve_gaussian(x, geom, fwhm_arcmin=6.0)
+        # kernel is normalized and the field zero-mean: totals match to
+        # edge effects
+        assert abs(float(out.mean()) - float(x.mean())) < 0.05
+        # smoothing reduces variance strongly
+        assert float(out.var()) < 0.3 * float(x.var())
+
+    def test_pixcov_sim_matches_theory_diagonal(self):
+        from orphics_tpu.models import mapstools as M
+        geom = rect_geometry(width_arcmin=64.0, px_res_arcmin=4.0)
+        lmax = int(geom.lmax()) + 1
+        ells = np.arange(lmax)
+        ps = np.zeros((1, 1, lmax))
+        ps[0, 0] = 100.0 / (1.0 + ells) ** 2
+        cov = M.pixcov_sim(geom, ps, nsims=400,
+                           key=jax.random.PRNGKey(0), mean_sub=False)
+        # theory variance per pixel = sum of 2D power / area
+        from orphics_tpu.models import grf
+        mg = grf.MapGen(geom, ps)
+        sims = jax.vmap(mg.get_map)(jax.random.split(
+            jax.random.PRNGKey(9), 400))
+        var_mc = float(jnp.var(sims))
+        assert abs(np.trace(cov) / cov.shape[0] / var_mc - 1) < 0.15
+
+    def test_white_noise_with_atm(self):
+        from orphics_tpu.models import noise as N
+        ells = np.arange(2, 4000.0)
+        out = np.asarray(N.white_noise_with_atm_func(ells, 10.0, 3000.0,
+                                                     -4.0, False))
+        wn = (10.0 * np.pi / 180 / 60) ** 2
+        # far above lknee: white; at low ell: red excess
+        np.testing.assert_allclose(out[-1], wn, rtol=0.35)
+        assert out[0] > 10 * wn
+
+    def test_validate_geometry_warns(self):
+        import warnings
+        from orphics_tpu.models import lensing
+        g_ok = rect_geometry(width_arcmin=512.0, px_res_arcmin=2.0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            lensing.validate_geometry(g_ok)
+        g_tiny = Geometry(2, 2, 0.1 * arcmin / 60, 0.1 * arcmin / 60)
+        with pytest.warns(UserWarning):
+            lensing.validate_geometry(g_tiny)
+
+    def test_dndz_normalized(self):
+        from orphics_tpu.models import catalogs
+        z = np.linspace(0, 20, 4000)
+        n = np.asarray(catalogs.dndz(z, z0=1 / 3.0))
+        assert abs(np.trapezoid(n, z) - 1.0) < 1e-3
+        assert abs(z[np.argmax(n)] - 2.0 / 3.0) < 0.02  # peak at 2 z0
+
+    def test_filter_fits_roundtrip(self, tmp_path):
+        from orphics_tpu.models import catalogs
+        from orphics_tpu.utils import fitsio
+        path = str(tmp_path / "cat.fits")
+        rng = np.random.default_rng(3)
+        cols = {"RADeg": rng.uniform(0, 360, 50),
+                "decDeg": rng.uniform(-60, 60, 50),
+                "SNR": rng.uniform(0, 10, 50)}
+        fitsio.write_bintable(path, cols)
+        out = catalogs.filter_fits(path, conditions={"SNR": 5.0},
+                                   verbose=False)
+        assert np.all(out["SNR"] > 5.0)
+        assert len(out["SNR"]) == int((cols["SNR"] > 5).sum())
+        out2 = catalogs.filter_fits(path, conditions="SNR > 5.0",
+                                    verbose=False)
+        assert len(out2["SNR"]) == len(out["SNR"])
+
+    def test_fits_catalog_to_json(self, tmp_path):
+        import json
+        from orphics_tpu.models import catalogs
+        from orphics_tpu.utils import fitsio
+        path = str(tmp_path / "cat.fits")
+        jpath = str(tmp_path / "cat.json")
+        cols = {"ra": np.array([10.0, 20.0]), "dec": np.array([-5.0, 5.0]),
+                "snr": np.array([3.0, 8.0])}
+        fitsio.write_bintable(path, cols)
+        src = catalogs.fits_catalog_to_json(path, "ra", "dec",
+                                            extra_cols=["snr"],
+                                            output_file=jpath)
+        assert src[0]["ra"] == 10.0 and src[1]["dec"] == 5.0
+        assert src[1]["extra"]["snr"] == 8.0
+        assert json.load(open(jpath))[0]["name"] == "Source_0"
+
+    def test_mollview_projection(self, tmp_path):
+        from orphics_tpu.utils import plot as P, healpix as hp
+        nside = 8
+        m = np.arange(hp.nside2npix(nside), dtype=float)
+        img = P.mollview(m, filename=str(tmp_path / "m.png"),
+                         return_projected_map=True, verbose=False)
+        ys, xs = img.shape
+        assert np.isnan(img[0, 0]) and np.isnan(img[-1, -1])  # corners
+        # RING index grows toward the south pole (bottom row of imshow
+        # with origin flip = north): centre column ordering check
+        col = img[:, xs // 2]
+        good = np.isfinite(col)
+        assert col[good][0] > col[good][-1]
+
+    def test_nfw_matched_filter_sn_scaling(self, cc):
+        """S/N grows with mass and shrinks with noise."""
+        from orphics_tpu.models import nfwfit
+        ells = np.arange(2, 8001.0)
+        nls = 5e-9 * (1 + (ells / 3000.0) ** 3)
+        sn1, k500, _ = nfwfit.NFWMatchedFilterSN(
+            cc, 14.0, 3.2, 0.7, ells, nls, 8000.0, arc_stamp=60.0,
+            px_stamp=0.2)
+        sn2, _, _ = nfwfit.NFWMatchedFilterSN(
+            cc, 14.6, 3.2, 0.7, ells, nls, 8000.0, arc_stamp=60.0,
+            px_stamp=0.2)
+        sn3, _, _ = nfwfit.NFWMatchedFilterSN(
+            cc, 14.0, 3.2, 0.7, ells, 4 * nls, 8000.0, arc_stamp=60.0,
+            px_stamp=0.2)
+        assert sn2 > sn1 > 0 and k500 > 0
+        np.testing.assert_allclose(sn3, sn1 / 2.0, rtol=1e-3)
+
+    def test_model_vec_blocks(self):
+        from orphics_tpu.models import foregrounds as fg
+        ells = np.arange(2, 3000.0)
+        freqs = [93.0, 145.0]
+        beams = [lambda l: np.ones_like(l)] * 2
+        p0 = fg._default_param_template(freqs)
+        p0["rN_93"] = 1.0
+        p0["rN_145"] = 1.0
+        names = list(p0.keys())
+        vals = [p0[n] for n in names]
+        clyy = fg.power_y_template(ells, silence=True)
+        cltt = 1e3 / (1 + ells) ** 2
+        vec = fg.model_vec(names, vals, ells, freqs, [10.0, 12.0], beams,
+                           [3000.0, 3000.0], [-4.0, -4.0], cltt, clyy)
+        assert vec.shape == (3 * len(ells),)
+        assert np.all(np.isfinite(vec)) and np.all(vec[:len(ells)] > 0)
+
+    def test_fit_cross_leastsq_recovers_amplitude(self):
+        from orphics_tpu.models import foregrounds as fg
+        L, nbin = 2000, 20
+        ell = np.arange(L, dtype=float)
+        P = np.zeros((nbin, L))
+        for b in range(nbin):
+            P[b, 100 + b * 90:100 + (b + 1) * 90] = 1.0 / 90
+        theory_func = lambda l, n1, n2, p: p["A"] * 1e-3 * (
+            1 + l / 1000.0) ** -2
+        rng = np.random.default_rng(0)
+        data = {}
+        for pair in [(0, 0), (0, 1), (1, 1)]:
+            bp = P @ theory_func(ell, 0, 0, {"A": 2.7})
+            err = 0.02 * np.abs(bp) + 1e-8
+            data[pair] = (bp + rng.standard_normal(nbin) * err, err)
+        best, res = fg.fit_cross_leastsq(data, [90.0, 150.0], P, {},
+                                         theory_func, {"A": 1.0},
+                                         bounds={"A": (0, 10)})
+        assert abs(best["A"] - 2.7) < 0.05 and res.success
+
+    def test_dl_filler_policies(self):
+        from orphics_tpu.models import foregrounds as fg
+        ls = np.arange(100, 1001.0)
+        cls = ls * 2.0
+        ells = np.array([50.0, 500.0, 2000.0])
+        ex = fg.dl_filler(ells, ls, cls, "extrapolate", silence=True)
+        np.testing.assert_allclose(ex, [100.0, 1000.0, 4000.0])
+        cd = fg.dl_filler(ells, ls, cls, "constant_dl", silence=True)
+        np.testing.assert_allclose(cd, [0.0, 1000.0, 2000.0])
+        zr = fg.dl_filler(ells, ls, cls, "zeros", silence=True)
+        np.testing.assert_allclose(zr, [0.0, 1000.0, 0.0])
+
+    def test_get_planck_cutout_shape(self):
+        from orphics_tpu.models import mapstools as M
+        from orphics_tpu.utils import healpix as hp
+        m = np.arange(hp.nside2npix(32), dtype=float)
+        cut = M.get_planck_cutout(m, ra_deg=40.0, dec_deg=10.0,
+                                  arcmin_width=60.0, px=2.0, arcmin_y=40.0)
+        assert cut.shape == (20, 30)
+        assert np.all(np.isfinite(np.asarray(cut)))
