@@ -25,12 +25,34 @@ for XLA:
   the body) and contracts per *block*, so the (m, rings) contractions are
   K = ``_LBLOCK`` matmuls on the MXU rather than per-l vector ops.
 
-Measured on one v5e chip (fp32): alm2map+map2alm roundtrip 11 / 24 /
-108 ms at lmax 255 / 511 / 1023 with max-abs roundtrip error 1.2e-4 /
-8.4e-4 / 1.4e-3 on unit-variance alm (fp32 recurrence accumulation —
-the contraction precision is not the limiter). For reference-parity
-precision run under ``jax_enable_x64`` (the CPU test configuration,
-which round-trips to ~1e-12).
+Measured on one v5e chip (fp32), alm2map+map2alm roundtrip max-abs /
+rms error on unit-variance alm vs the ``_COMPENSATE`` recurrence mode
+(see ``_lambda_scan``: "lite" = split tables + TwoSum lo channel,
+"full" = that plus Dekker TwoProd on the recurrence products; the
+default is "full"):
+
+  lmax    plain fp32       "lite"           "full"       t/roundtrip
+  1023   2.2e-3/8.2e-5   1.0e-3/3.6e-5   2.2e-6/5.3e-7   0.4-0.8 s
+  2047   4.2e-3/1.6e-4   3.5e-3/8.7e-5   2.8e-6/5.8e-7   1.5-4.3 s
+  4095   1.3e-2/3.7e-4        —          3.2e-6/6.5e-7    11-25 s
+
+(The range covers "off" through "full" plus the run-to-run variance of
+the remote-tunnel timing, which is up to ~2x; "full" costs roughly
+1.5-4x "off" depending on how XLA schedules the unrolled dd block.)
+
+"full" mode eliminates the recurrence as an error source outright —
+the fp32 roundtrip lands at ~10 ulp, three orders of magnitude inside
+the project's 1e-4 budget, replacing libsharp/ducc at realistic band
+limits (reference pixell.curvedsky usage, ``orphics/maps.py:2``). The
+residual plain-fp32/"lite" error was never polar-ring *amplitude* but
+the l^2-amplified product rounding at the m <= 8 columns (measured:
+errors >1e-4 confined to m < 8, the modes un-suppressed at the poles).
+The O(lmax^2) recurrence tables enter the compiled program as device
+*arguments*, not constants (``_scan_tables_host``), so programs stay
+small enough for remote-compile at lmax 4096+ and tables transfer
+once per (rings, lmax, dtype) working set. For reference-parity
+float64 precision run under ``jax_enable_x64`` (the CPU test
+configuration, which round-trips to ~1e-12).
 
 Conventions match healpy: Condon-Shortley phase, alm packed in m-major
 triangular order (``ops/alm.py``), and the CMB polarization convention
@@ -330,6 +352,20 @@ def _seed_mantissa_exp_traced(tab, theta, dtype):
 # ---------------------------------------------------------------------------
 
 _LBLOCK = 16  # l's advanced per scan step (unrolled in the body)
+# fp32 recurrence compensation: False/"off" = plain fp32,
+# True/"lite" = dd-lite (split tables + TwoSum + first-order lo
+# channel), "full" = dd-lite plus Dekker TwoProd on the recurrence
+# products (kills the polar low-m amplification; see _lambda_scan).
+_COMPENSATE = "full"
+
+
+def _comp_mode():
+    c = _COMPENSATE
+    if c is True:
+        return "lite"
+    if c is False or c is None:
+        return "off"
+    return c
 
 
 def _pad_l_axis(arr, L1, Lpad, axis):
@@ -338,8 +374,72 @@ def _pad_l_axis(arr, L1, Lpad, axis):
     return np.pad(np.asarray(arr), pad)
 
 
+@lru_cache(maxsize=4)
+def _scan_tables_host(lmax, ns, dtype_str, theta, mode, block):
+    """Every static per-(lmax, rings) input of the l-scan, as HOST numpy
+    arrays (cached).
+
+    The public transforms feed these to their jitted implementations as
+    *device arguments* rather than letting them bake in as program
+    constants: the recurrence tables are O(lmax^2) (an lmax-4096 fp32
+    set is ~0.5 GB), and embedding them blows up compile payloads
+    (axon's remote-compile rejects the serialized program outright at
+    lmax ~4096) and executable caches, while as arguments they ride the
+    data plane once and are reused.
+    """
+    dtype = np.dtype(dtype_str)
+    nn = len(ns)
+    tab = _wigner_tables_np(lmax, tuple(ns))
+    L1 = lmax + 1
+    nb = -(-L1 // block)
+    Lpad = nb * block
+    comp = mode != "off"
+    theta_np = np.asarray(theta, np.float64)
+
+    def _blk(name):
+        return np.moveaxis(_pad_l_axis(tab[name], L1, Lpad, 1), 1, 0) \
+            .reshape(nb, block, nn, L1)
+
+    A64, B64, C64 = _blk("A"), _blk("B"), _blk("C")
+    x64 = np.cos(theta_np)
+    mant_np, e_np = _seed_mantissa_exp(tab, theta_np, np.float64)
+    out = {
+        "A": A64.astype(dtype), "B": B64.astype(dtype),
+        "C": C64.astype(dtype),
+        "x": x64.astype(dtype),
+        "seed_m": mant_np.astype(dtype), "seed_e": e_np.astype(np.int32),
+        "l0": np.asarray(tab["l0"]),
+    }
+    if comp:
+        out["Al"] = (A64 - A64.astype(np.float32)).astype(dtype)
+        out["Bl"] = (B64 - B64.astype(np.float32)).astype(dtype)
+        out["Cl"] = (C64 - C64.astype(np.float32)).astype(dtype)
+        out["xlo"] = (x64 - x64.astype(np.float32)).astype(dtype)
+        out["seed_lo"] = (mant_np - mant_np.astype(np.float32)).astype(dtype)
+    else:
+        out["Al"] = out["Bl"] = out["Cl"] = \
+            np.zeros((nb, block, 0, L1), dtype)
+        out["xlo"] = np.zeros((0,), dtype)
+        out["seed_lo"] = np.zeros((nn, 0, 0), dtype)
+    return out
+
+
+@lru_cache(maxsize=4)
+def _scan_tables_dev(lmax, ns, dtype_str, theta, mode, block=_LBLOCK):
+    """Device-resident copy of :func:`_scan_tables_host` (cached so the
+    transfer happens once per (lmax, rings, dtype, mode) working set)."""
+    host = _scan_tables_host(lmax, ns, dtype_str, theta, mode, block)
+    return {k: jnp.asarray(v) for k, v in host.items()}
+
+
+def _mode_for(dtype, traced=False):
+    return _comp_mode() if (jnp.dtype(dtype) == jnp.float32
+                            and not traced) else "off"
+
+
 def _lambda_scan(lmax, theta_np, ns, dtype, contract, init_out, xs=None,
-                 block: int = _LBLOCK, vary_axes: tuple = ()):
+                 block: int = _LBLOCK, vary_axes: tuple = (),
+                 tables=None):
     """Run the l-recursion for the Wigner columns ``ns`` in l-blocks.
 
     The recurrence is sequential in l, but the *contraction* need not be
@@ -358,58 +458,150 @@ def _lambda_scan(lmax, theta_np, ns, dtype, contract, init_out, xs=None,
     coefficients, so their lam rows are exactly zero.
     """
     nn = len(ns)
-    tab = _wigner_tables_np(lmax, tuple(ns))
     L1 = lmax + 1
     nb = -(-L1 // block)
     Lpad = nb * block
     traced = isinstance(theta_np, jnp.ndarray)
+    # Compensated fp32 modes. The fp32 recurrence error has three
+    # coherent sources: (1) the rounding of x = cos(theta) and of the
+    # A/B/C tables — fixed by carrying their float64 residuals as
+    # split-float corrections; (2) the per-step fp32 *addition*
+    # rounding — fixed by a second "lo" channel for Lambda (TwoSum on
+    # the main addition, first-order propagation of lo through the
+    # recurrence); (3) the per-step *product* rounding of p*lam_c and
+    # c*lam_p, which the lo channel cannot see and which is l^2-
+    # amplified on near-polar rings for the m <= 8 columns (the modes
+    # whose Lambda is not sin^m-suppressed at the poles; measured up to
+    # ~1e-3 relative at lmax 2048). Mode "lite" fixes (1)+(2); mode
+    # "full" (default) also fixes (3) with Dekker TwoProd error terms
+    # (exact fp32 product splitting — no FMA needed), which collapses
+    # the worst-ring recurrence error to <2e-9 in a step-exact host
+    # emulation and lands the on-chip roundtrip at ~10 ulp (see module
+    # header). Traced-theta (distributed) paths have no float64 host
+    # value to split, so they stay plain fp32.
+    mode = _mode_for(dtype, traced)
+    comp = mode != "off"
+    full = mode == "full"
     if traced:
+        tab = _wigner_tables_np(lmax, tuple(ns))
         x = jnp.cos(jnp.asarray(theta_np, dtype))  # (T,)
-    else:
-        x = jnp.asarray(np.cos(theta_np), dtype)   # (T,)
-    # per-block scanned tables: (nb, block, nn, M+1)
-    A = jnp.asarray(np.moveaxis(_pad_l_axis(tab["A"], L1, Lpad, 1), 1, 0)
-                    .reshape(nb, block, nn, L1), dtype)
-    B = jnp.asarray(np.moveaxis(_pad_l_axis(tab["B"], L1, Lpad, 1), 1, 0)
-                    .reshape(nb, block, nn, L1), dtype)
-    C = jnp.asarray(np.moveaxis(_pad_l_axis(tab["C"], L1, Lpad, 1), 1, 0)
-                    .reshape(nb, block, nn, L1), dtype)
-    if traced:
+        xlo = None
+
+        def _blk(name):
+            return np.moveaxis(_pad_l_axis(tab[name], L1, Lpad, 1), 1, 0) \
+                .reshape(nb, block, nn, L1)
+
+        # per-block scanned tables: (nb, block, nn, M+1)
+        A = jnp.asarray(_blk("A"), dtype)
+        B = jnp.asarray(_blk("B"), dtype)
+        C = jnp.asarray(_blk("C"), dtype)
+        Al = Bl = Cl = jnp.zeros((nb, block, 0, L1), dtype)
         seed_m, seed_e = _seed_mantissa_exp_traced(tab, theta_np, dtype)
+        seed_lo = None
+        l0 = jnp.asarray(tab["l0"])           # (nn, M+1)
     else:
-        mant_np, e_np = _seed_mantissa_exp(tab, theta_np, np.float64)
-        seed_m = jnp.asarray(mant_np, dtype)  # (nn, M+1, T)
-        seed_e = jnp.asarray(e_np)            # (nn, M+1, T) int32
-    l0 = jnp.asarray(tab["l0"])               # (nn, M+1)
+        if tables is None:
+            theta_key = tuple(np.asarray(theta_np, np.float64).tolist())
+            tables = _scan_tables_host(lmax, tuple(ns), np.dtype(dtype).str,
+                                       theta_key, mode, block)
+        x = jnp.asarray(tables["x"])
+        xlo = jnp.asarray(tables["xlo"]) if comp else None
+        A = jnp.asarray(tables["A"])
+        B = jnp.asarray(tables["B"])
+        C = jnp.asarray(tables["C"])
+        Al = jnp.asarray(tables["Al"])
+        Bl = jnp.asarray(tables["Bl"])
+        Cl = jnp.asarray(tables["Cl"])
+        seed_m = jnp.asarray(tables["seed_m"])   # (nn, M+1, T)
+        seed_e = jnp.asarray(tables["seed_e"])   # (nn, M+1, T) int32
+        seed_lo = jnp.asarray(tables["seed_lo"]) if comp else None
+        l0 = jnp.asarray(tables["l0"])           # (nn, M+1)
 
     T = theta_np.shape[0]
     M1 = lmax + 1
     lam_p = jnp.zeros((nn, M1, T), dtype)
     lam_c = jnp.zeros((nn, M1, T), dtype)
+    lam_pl = jnp.zeros((nn, M1, T), dtype)    # lo channels (dd-lite)
+    lam_cl = jnp.zeros((nn, M1, T), dtype)
     e = jnp.zeros((nn, M1, T), jnp.int32)
 
     inv_r = jnp.asarray(_INV_RESCALE, dtype)
     thresh = jnp.asarray(_RESCALE_THRESH, dtype)
 
+    def _twosum(aa, bb):
+        s = aa + bb
+        z = s - aa
+        return s, (aa - (s - z)) + (bb - z)
+
+    _SPLIT = jnp.asarray(2.0 ** 12 + 1.0, dtype)  # Dekker split, fp32
+
+    def _twoprod(aa, bb):
+        """fl(aa*bb) and its exact fp32 rounding error (Dekker; valid
+        for the bounded magnitudes the rescaled recurrence guarantees)."""
+        p = aa * bb
+        t = _SPLIT * aa
+        ah = t - (t - aa)
+        al = aa - ah
+        t = _SPLIT * bb
+        bh = t - (t - bb)
+        bl = bb - bh
+        err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        return p, err
+
     def step(carry, scanned):
-        Ab, Bb, Cb, lsb, xb = scanned
-        lam_p, lam_c, e, out = carry
+        Ab, Bb, Cb, Alb, Blb, Clb, lsb, xb = scanned
+        lam_p, lam_c, lam_pl, lam_cl, e, out = carry
         lams = []
         for j in range(block):
             l = lsb[j]
             a = Ab[j][:, :, None]
             b = Bb[j][:, :, None]
             c = Cb[j][:, :, None]
-            lam_n = (a * x[None, None, :] + b) * lam_c + c * lam_p
+            if comp:
+                al = Alb[j][:, :, None]
+                bl = Blb[j][:, :, None]
+                cl = Clb[j][:, :, None]
+                xb_ = x[None, None, :]
+                pe0 = a * xlo[None, None, :] + al * xb_ + bl
+                if full:
+                    ax, axe = _twoprod(a, xb_)
+                    p, pse = _twosum(ax, b)
+                    pe = pe0 + (axe + pse)
+                    t1, e1 = _twoprod(p, lam_c)
+                    t2, e2 = _twoprod(c, lam_p)
+                    s, se = _twosum(t1, t2)
+                    lo = ((p * lam_cl + c * lam_pl)
+                          + ((pe * lam_c + cl * lam_p)
+                             + (se + (e1 + e2))))
+                else:
+                    p = a * xb_ + b
+                    pe = pe0
+                    t1 = p * lam_c
+                    t2 = c * lam_p
+                    s, se = _twosum(t1, t2)
+                    lo = ((p * lam_cl + c * lam_pl)
+                          + ((pe * lam_c + cl * lam_p) + se))
+                lam_n, lam_nl = _twosum(s, lo)
+            else:
+                lam_n = (a * x[None, None, :] + b) * lam_c + c * lam_p
+                lam_nl = lam_cl  # unused
             # seed injection where l == l0(m)
             is_seed = (l0 == l)[:, :, None]
             lam_n = jnp.where(is_seed, seed_m, lam_n)
             lam_pn = jnp.where(is_seed, jnp.zeros_like(lam_c), lam_c)
             e = jnp.where(is_seed, seed_e, e)
+            if comp:
+                lam_nl = jnp.where(is_seed, seed_lo, lam_nl)
+                lam_pnl = jnp.where(is_seed, jnp.zeros_like(lam_cl), lam_cl)
+            else:
+                lam_pnl = lam_pl
             # unwind the extended exponent as values climb
             big = (jnp.abs(lam_n) > thresh) & (e > 0)
             lam_n = jnp.where(big, lam_n * inv_r, lam_n)
             lam_pn = jnp.where(big, lam_pn * inv_r, lam_pn)
+            if comp:
+                lam_nl = jnp.where(big, lam_nl * inv_r, lam_nl)
+                lam_pnl = jnp.where(big, lam_pnl * inv_r, lam_pnl)
             e = jnp.where(big, e - 1, e)
             # effective (true) values: e==0 exact, e==1 one suppression,
             # e>=2 negligible (< 2^-45)
@@ -417,9 +609,10 @@ def _lambda_scan(lmax, theta_np, ns, dtype, contract, init_out, xs=None,
                           jnp.where(e == 1, inv_r, jnp.zeros((), dtype)))
             lams.append(lam_n * w)
             lam_p, lam_c = lam_pn, lam_n
+            lam_pl, lam_cl = lam_pnl, lam_nl
         lam_blk = jnp.stack(lams)              # (block, nn, M+1, T)
         out = contract(lsb[0], lam_blk, out, xb)
-        return (lam_p, lam_c, e, out), None
+        return (lam_p, lam_c, lam_pl, lam_cl, e, out), None
 
     ls = jnp.arange(Lpad).reshape(nb, block)
     if xs is None:
@@ -432,7 +625,7 @@ def _lambda_scan(lmax, theta_np, ns, dtype, contract, init_out, xs=None,
                     axis=0),
                 (nb, block) + v.shape[1:]),
             xs)
-    carry0 = (lam_p, lam_c, e, init_out)
+    carry0 = (lam_p, lam_c, lam_pl, lam_cl, e, init_out)
     if vary_axes:
         # under shard_map, replicated initial carries must be promoted
         # to device-varying to match the theta-derived scan outputs
@@ -443,8 +636,11 @@ def _lambda_scan(lmax, theta_np, ns, dtype, contract, init_out, xs=None,
         A = jax.lax.pvary(A, tuple(vary_axes))
         B = jax.lax.pvary(B, tuple(vary_axes))
         C = jax.lax.pvary(C, tuple(vary_axes))
+        Al = jax.lax.pvary(Al, tuple(vary_axes))
+        Bl = jax.lax.pvary(Bl, tuple(vary_axes))
+        Cl = jax.lax.pvary(Cl, tuple(vary_axes))
         ls = jax.lax.pvary(ls, tuple(vary_axes))
-    (_, _, _, out), _ = lax.scan(step, carry0, (A, B, C, ls, xs))
+    out = lax.scan(step, carry0, (A, B, C, Al, Bl, Cl, ls, xs))[0][-1]
     return out
 
 
@@ -518,7 +714,20 @@ def _real_dtype(dtype):
         else jnp.float32
 
 
-@partial(jax.jit, static_argnames=("rings", "lmax"))
+def _tables_for(rings: RingGeom, lmax, ns, real_dtype):
+    """Cached device scan-tables for a (rings, lmax, ns, dtype) combo.
+
+    Called OUTSIDE the jit boundary so the O(lmax^2) tables enter the
+    compiled program as arguments, not constants (see
+    :func:`_scan_tables_host`). When a transform is itself traced
+    inside an outer jit this degrades gracefully: the concrete device
+    arrays become outer-program constants, which is exactly the old
+    behavior."""
+    rdt = np.dtype(real_dtype)
+    mode = _mode_for(rdt)
+    return _scan_tables_dev(lmax, tuple(ns), rdt.str, rings.theta, mode)
+
+
 def map2alm(maps, rings: RingGeom, lmax: int):
     """Analysis: (..., ntheta, nphi) real map(s) -> healpy-packed alm.
 
@@ -527,6 +736,12 @@ def map2alm(maps, rings: RingGeom, lmax: int):
     ``ntheta >= 2 lmax + 1``... see constructor docs).
     """
     maps = jnp.asarray(maps)
+    tables = _tables_for(rings, lmax, (0,), maps.dtype)
+    return _map2alm_impl(maps, tables, rings=rings, lmax=lmax)
+
+
+@partial(jax.jit, static_argnames=("rings", "lmax"))
+def _map2alm_impl(maps, tables, *, rings: RingGeom, lmax: int):
     rdt = maps.dtype
     cdt = jnp.result_type(rdt, jnp.complex64)
     theta = rings.theta_array()
@@ -544,16 +759,25 @@ def map2alm(maps, rings: RingGeom, lmax: int):
                            precision=_EPREC).astype(cdt)
         return lax.dynamic_update_slice_in_dim(out, rows, l_base, axis=-2)
 
-    mat = _lambda_scan(lmax, theta, (0,), rdt, contract, out0)
+    mat = _lambda_scan(lmax, theta, (0,), rdt, contract, out0,
+                       tables=tables)
     return _mat2alm(mat[..., : lmax + 1, :], lmax)
 
 
-@partial(jax.jit, static_argnames=("rings", "lmax"))
 def alm2map(alm, rings: RingGeom, lmax: int = None):
     """Synthesis: healpy-packed alm -> real map(s) (..., ntheta, nphi)."""
     alm = jnp.asarray(alm)
     if lmax is None:
         lmax = almops.getlmax(alm.shape[-1])
+    # host-side dtype math only: eager complex ops are unsupported on
+    # some TPU clients (axon)
+    rdt = np.zeros((), np.dtype(alm.dtype)).real.dtype
+    tables = _tables_for(rings, lmax, (0,), rdt)
+    return _alm2map_impl(alm, tables, rings=rings, lmax=lmax)
+
+
+@partial(jax.jit, static_argnames=("rings", "lmax"))
+def _alm2map_impl(alm, tables, *, rings: RingGeom, lmax: int):
     cdt = alm.dtype
     rdt = jnp.real(jnp.zeros((), cdt)).dtype
     theta = rings.theta_array()
@@ -569,7 +793,8 @@ def alm2map(alm, rings: RingGeom, lmax: int = None):
         return out + jnp.einsum("lmt,l...m->...tm", lam, a_blk,
                          precision=_EPREC)
 
-    acc = _lambda_scan(lmax, theta, (0,), rdt, contract, acc0, xs=mat)
+    acc = _lambda_scan(lmax, theta, (0,), rdt, contract, acc0, xs=mat,
+                       tables=tables)
     return _ring_synthesis(acc, rings, real=True).astype(rdt)
 
 
@@ -577,7 +802,6 @@ def alm2map(alm, rings: RingGeom, lmax: int = None):
 # Spin-s transforms (E/B <-> Q/U for s = 2)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("rings", "lmax", "spin"))
 def alm2map_spin(ealm, balm, rings: RingGeom, lmax: int = None, spin: int = 2):
     """Synthesis of a spin-``s`` field: (E, B) alms -> (Q, U)-like maps.
 
@@ -587,6 +811,15 @@ def alm2map_spin(ealm, balm, rings: RingGeom, lmax: int = None, spin: int = 2):
     ealm = jnp.asarray(ealm); balm = jnp.asarray(balm)
     if lmax is None:
         lmax = almops.getlmax(ealm.shape[-1])
+    rdt = np.zeros((), np.dtype(ealm.dtype)).real.dtype
+    tables = _tables_for(rings, lmax, (-spin, spin), rdt)
+    return _alm2map_spin_impl(ealm, balm, tables, rings=rings, lmax=lmax,
+                              spin=spin)
+
+
+@partial(jax.jit, static_argnames=("rings", "lmax", "spin"))
+def _alm2map_spin_impl(ealm, balm, tables, *, rings: RingGeom, lmax: int,
+                       spin: int):
     cdt = ealm.dtype
     rdt = jnp.real(jnp.zeros((), cdt)).dtype
     theta = rings.theta_array()
@@ -609,16 +842,23 @@ def alm2map_spin(ealm, balm, rings: RingGeom, lmax: int = None, spin: int = 2):
         return out.at[0].add(q).at[1].add(u)
 
     acc = _lambda_scan(lmax, theta, (-spin, spin), rdt, contract, acc0,
-                       xs=(emat, bmat))
+                       xs=(emat, bmat), tables=tables)
     q = _ring_synthesis(acc[0], rings, real=True)
     u = _ring_synthesis(acc[1], rings, real=True)
     return q.astype(rdt), u.astype(rdt)
 
 
-@partial(jax.jit, static_argnames=("rings", "lmax", "spin"))
 def map2alm_spin(qmap, umap, rings: RingGeom, lmax: int, spin: int = 2):
     """Analysis of a spin-``s`` field: (Q, U)-like maps -> (E, B) alms."""
     qmap = jnp.asarray(qmap); umap = jnp.asarray(umap)
+    tables = _tables_for(rings, lmax, (-spin, spin), qmap.dtype)
+    return _map2alm_spin_impl(qmap, umap, tables, rings=rings, lmax=lmax,
+                              spin=spin)
+
+
+@partial(jax.jit, static_argnames=("rings", "lmax", "spin"))
+def _map2alm_spin_impl(qmap, umap, tables, *, rings: RingGeom, lmax: int,
+                       spin: int):
     rdt = qmap.dtype
     cdt = jnp.result_type(rdt, jnp.complex64)
     theta = rings.theta_array()
@@ -648,7 +888,8 @@ def map2alm_spin(qmap, umap, rings: RingGeom, lmax: int, spin: int = 2):
         rows = jnp.stack([-0.5 * (ap + am), 0.5j * (ap - am)]).astype(cdt)
         return lax.dynamic_update_slice_in_dim(out, rows, l_base, axis=-2)
 
-    mat = _lambda_scan(lmax, theta, (-spin, spin), rdt, contract, out0)
+    mat = _lambda_scan(lmax, theta, (-spin, spin), rdt, contract, out0,
+                       tables=tables)
     mat = mat[..., : lmax + 1, :]
     return _mat2alm(mat[0], lmax), _mat2alm(mat[1], lmax)
 

@@ -127,6 +127,32 @@ class TestRoundtrip:
         cl1 = np.asarray(almops.alm2cl(a1))
         np.testing.assert_allclose(cl1[2:], cl0[2:], rtol=2e-4)
 
+    def test_f32_compensated_modes(self):
+        """The fp32 recurrence compensation ladder (sht._COMPENSATE):
+        "full" (Dekker TwoProd dd, the default) must land the fp32
+        roundtrip at the few-ulp level — two orders of magnitude below
+        plain fp32 — and "lite" in between. Guards both the dd algebra
+        and the device-argument table plumbing (_scan_tables_host)."""
+        lmax = 255
+        rings = sht.gauss_legendre_rings(lmax)
+        a0 = _random_alm(jax.random.PRNGKey(5), lmax, dtype=jnp.complex64)
+        errs = {}
+        old = sht._COMPENSATE
+        try:
+            for mode in ("off", "lite", "full"):
+                sht._COMPENSATE = mode
+                jax.clear_caches()
+                m = sht.alm2map(a0, rings, lmax)
+                a1 = sht.map2alm(m, rings, lmax)
+                errs[mode] = float(np.max(np.abs(np.asarray(a1 - a0))))
+        finally:
+            sht._COMPENSATE = old
+            jax.clear_caches()
+        scale = float(np.max(np.abs(np.asarray(a0))))
+        assert errs["full"] < 2e-6 * scale, errs
+        assert errs["full"] < 0.05 * errs["off"], errs
+        assert errs["lite"] <= errs["off"] * 1.05, errs
+
     def test_batched(self):
         lmax = 31
         rings = sht.gauss_legendre_rings(lmax)
