@@ -203,3 +203,91 @@ class TestDistributedSHT:
                                    atol=1e-10)
         np.testing.assert_allclose(np.asarray(jnp.abs(b_d - b_s)), 0.0,
                                    atol=1e-10)
+
+
+class TestGridSharding:
+    """Grid-axis sharding of genuinely large work (parallel/fourier.py):
+    the pencil-decomposed distributed FFT, a >=4096^2 masked-spectra
+    pipeline sharded over rows, and the reference's row-parallel lensed
+    covariance (lensing.py:563-648) sharded over covariance rows — all
+    with exact serial parity, exercising BOTH mesh axes simultaneously
+    where a batch dimension exists."""
+
+    @pytest.fixture(scope="class")
+    def mesh24(self):
+        from orphics_tpu.parallel.runtime import get_mesh
+        return get_mesh(shape=(2, 4))
+
+    def test_fft2_dist_matches_serial_both_axes(self, mesh24):
+        from orphics_tpu.parallel import fourier as pfourier
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 64, 64)).astype(np.float32)
+        z = pfourier.fft2_dist(x, mesh24, axis="grid", batch_axis="sims")
+        ref = np.fft.fft2(x)
+        np.testing.assert_allclose(np.asarray(z), ref, rtol=0, atol=2e-4)
+        # inverse closes the loop
+        xi = pfourier.ifft2_dist(z, mesh24, axis="grid",
+                                 batch_axis="sims")
+        np.testing.assert_allclose(np.asarray(xi.real), x, atol=2e-6)
+
+    def test_masked_bandpowers_4096_grid_sharded(self, mesh8):
+        """4096^2 masked-spectra pipeline sharded over the grid axis:
+        window -> distributed FFT -> power -> binned bandpowers, one
+        shard_map program, vs the identical serial computation."""
+        from orphics_tpu.parallel import fourier as pfourier
+        from orphics_tpu import rect_geometry
+        from orphics_tpu.ops.windows import get_taper
+        n = 4096
+        geom = rect_geometry(width_arcmin=n * 0.5, px_res_arcmin=0.5)
+        rng = np.random.default_rng(1)
+        m = rng.standard_normal((n, n)).astype(np.float32)
+        taper, _ = get_taper(geom, taper_percent=12.0)
+        taper = np.asarray(taper, np.float32)
+        edges = np.arange(80, 8000, 400.0)
+        ml = np.asarray(geom.modlmap(jnp.float64))
+        dig = np.digitize(ml, edges).astype(np.int32)
+        dig[dig == len(edges)] = 0          # overflow -> out of range
+        nbins = len(edges) - 1
+        norm = float(geom.area) / float(geom.npix) ** 2
+        bp = pfourier.masked_bandpowers_dist(m, taper, dig, nbins, norm,
+                                             mesh8, axis="grid")
+        assert bp.shape == (nbins,)
+        # serial reference
+        z = np.fft.fft2((m * taper).astype(np.complex64))
+        p = (np.abs(z) ** 2).astype(np.float64) * norm
+        sums = np.bincount(dig.ravel(), weights=p.ravel(),
+                           minlength=nbins + 1)
+        cnts = np.bincount(dig.ravel(), minlength=nbins + 1)
+        ref = sums[1:] / np.maximum(cnts[1:], 1)
+        np.testing.assert_allclose(np.asarray(bp), ref, rtol=2e-4)
+
+    def test_lens_cov_rows_sharded(self, mesh24):
+        """Row-sharded lensed covariance over BOTH mesh axes flattened
+        (the MPI rank-strided row loop of reference lens_cov) == the
+        serial vmapped lens_cov, and the output really is sharded."""
+        from orphics_tpu.parallel import fourier as pfourier
+        from orphics_tpu import rect_geometry
+        from orphics_tpu.models import nfwfit, theory, pixcov
+        from orphics_tpu.ops import fourier as F
+        geom = rect_geometry(width_arcmin=16 * 2.0, px_res_arcmin=2.0)
+        th = theory.default_theory()
+        # ncomp=1 -> already (npix, npix)
+        ucov = np.asarray(pixcov.scov_from_theory(
+            geom, th, lambda l: F.gauss_beam(l, 5.0), ncomp=1), np.float64)
+        assert ucov.shape == (geom.npix, geom.npix)
+        ay = 0.3 * geom.dy * np.cos(
+            np.linspace(0, 2 * np.pi, geom.shape[0]))[:, None] \
+            * np.ones(geom.shape)
+        ax = 0.3 * geom.dx * np.sin(
+            np.linspace(0, 2 * np.pi, geom.shape[1]))[None, :] \
+            * np.ones(geom.shape)
+        alpha = jnp.asarray(np.stack([ay, ax]))
+        kbeam = jnp.asarray(np.asarray(F.gauss_beam(
+            geom.modlmap(jnp.float64), 5.0)))
+        ref = np.asarray(nfwfit.lens_cov(jnp.asarray(ucov), alpha, geom,
+                                         lens_order=3, kbeam=kbeam))
+        got = pfourier.lens_cov_dist(jnp.asarray(ucov), alpha, geom,
+                                     mesh24, lens_order=3, kbeam=kbeam)
+        # genuinely distributed: one row block per device
+        assert len(got.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10)
