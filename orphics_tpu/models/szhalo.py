@@ -11,8 +11,28 @@ projection — all dense vectorized quadratures over (z, M, l) grids
 theory layer).
 
 Validated against the reference's shipped Battaglia simulation template
-(``data/foregrounds/sz_template_battaglia.csv``) at the ~10% level over
-l in [300, 8000].
+(``data/foregrounds/sz_template_battaglia.csv``) at the template's own
+simulation cosmology: *shape* agreement is <=5% over l in [400, 8000]
+(<=16% at l=300) after a single fitted amplitude, and the fitted
+amplitude itself is 0.90 +- a few % — i.e. the raw curves agree at the
+~10% level. In every reference use of this template the amplitude
+``A_tsz`` is a free fitted parameter (``power_y_template``,
+``fg_fit``; reference foregrounds.py:103), so shape parity is the
+operative statement. The ~10% raw amplitude offset is the expected
+halo-model-vs-simulation level (Tinker mass function accuracy ~5%,
+EH98-based sigma(R) shape ~2%, both exponentially amplified at cluster
+masses).
+
+The low-z regulator: the exact per-halo 1-halo term
+``int dz dV/dz int dn/dlnM y_l^2`` formally diverges as z -> 0 (a
+nearby cluster's y_l grows like 1/d_A^2 while dV/dz only shrinks like
+chi^2), so the unmasked low-l power is dominated by a handful of rare
+local clusters. Real analyses mask them, and the simulation template's
+light cone does not contain them; the reference's hmvec path
+(foregrounds.py:123) truncates them silently through its coarse linear
+z grid. We regulate explicitly instead: ``zmin`` defaults to 0.1 and is
+documented as the local-cluster mask. (Convergence: the default
+nz=96/nm=96 grid is within ~1% of nz=240/nm=192.)
 """
 from __future__ import annotations
 
@@ -147,8 +167,8 @@ def battaglia_yl(ells, m200c, z, cc, xmax=6.0, nx=200):
 class HaloModelYY:
     """Compton-y halo-model power on dense (z, M, l) grids."""
 
-    def __init__(self, cc=None, zmin=0.005, zmax=5.0, nz=40,
-                 m_min=1e11, m_max=2e15, nm=56):
+    def __init__(self, cc=None, zmin=0.1, zmax=5.0, nz=96,
+                 m_min=1e11, m_max=2e15, nm=96):
         if cc is None:
             from .cosmology import Cosmology
             cc = Cosmology()
@@ -216,10 +236,13 @@ class HaloModelYY:
         return (cl1 + cl2) if include_2h else cl1
 
 
-def compute_cl_yy(ell, M_min=1e11, M_max=2e15, zmin=0.005, zmax=5.0,
-                  nm=56, nz=40, include_2h=True, cc=None):
+def compute_cl_yy(ell, M_min=1e11, M_max=2e15, zmin=0.1, zmax=5.0,
+                  nm=96, nz=96, include_2h=True, cc=None):
     """Thermal-SZ y-power with clusters above ``M_max`` masked
-    (reference ``compute_cl_yy``, ``foregrounds.py:123``)."""
+    (reference ``compute_cl_yy``, ``foregrounds.py:123``). ``zmin``
+    additionally masks local clusters — see the module docstring for
+    why the default is 0.1 rather than the reference's nominal 0.001
+    (whose hmvec quadrature truncates low z silently)."""
     hm = HaloModelYY(cc=cc, zmin=zmin, zmax=zmax, nz=nz,
                      m_min=M_min, m_max=M_max, nm=nm)
     return hm.cl_yy(np.asarray(ell), include_2h=include_2h)

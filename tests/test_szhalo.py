@@ -55,15 +55,32 @@ class TestVsTemplate:
         return Cosmology(params)
 
     def test_cl_yy_matches_template(self, battaglia_cosmo):
-        """VERDICT acceptance: Cl_yy within ~10-20% of the reference's
-        shipped Battaglia template over l in [300, 8000] at the
-        template's own cosmology."""
+        """Quantitative parity vs the reference's shipped Battaglia
+        simulation template at the template's own cosmology, with the
+        converged default quadrature (see szhalo module docstring).
+
+        In every reference use of this template the amplitude A_tsz is
+        a free fitted parameter (power_y_template / fg_fit), so the
+        operative parity is *shape*: <=5% over l in [400, 8000] after a
+        single amplitude. The fitted amplitude itself must sit at the
+        documented ~0.90 (raw curves agree to ~10%), and the raw ratio
+        stays in a hard [0.85, 1.05] envelope over the whole range."""
         from orphics_tpu.models import foregrounds as fg
         ells = np.geomspace(300, 8000, 16)
-        cyy = szhalo.compute_cl_yy(ells, nz=30, nm=48, cc=battaglia_cosmo)
+        cyy = szhalo.compute_cl_yy(ells, cc=battaglia_cosmo)
         tmpl = np.asarray(fg.power_y_template(ells.astype(int)))
         ratio = cyy / tmpl
-        assert np.all(ratio > 0.75) and np.all(ratio < 1.25), ratio
+        # hard raw envelope over the full range (l=300 included)
+        assert np.all(ratio > 0.85) and np.all(ratio < 1.05), ratio
+        # single fitted amplitude: documented ~0.90
+        amp = np.exp(np.mean(np.log(ratio)))
+        assert 0.84 < amp < 0.96, amp
+        # shape after the amplitude: <=5% for l >= 400
+        shape = ratio / amp
+        sel = ells >= 400
+        assert np.all(np.abs(shape[sel] - 1.0) < 0.05), shape
+        # and the one excluded point (l=300) is still <=16%
+        assert np.all(np.abs(shape - 1.0) < 0.16), shape
 
     def test_two_halo_dominates_low_l_only(self, battaglia_cosmo):
         ells = np.array([200.0, 5000.0])
