@@ -105,21 +105,39 @@ class TestMV:
         assert np.median(mv[sel] / naive[sel]) > 1.005
 
     def test_vs_planck_2018_curve(self, nlgen):
-        """Shape/amplitude envelope against the shipped Planck 2018 MV
-        N_L^kk (the released curve includes inhomogeneous noise, masking
-        and realization corrections an idealized isotropic flat-sky
-        calculation cannot reproduce exactly; agreement is expected at
-        the tens-of-percent level with the right shape)."""
+        """Quantitative curve-level comparison against the shipped
+        Planck 2018 MV N_L^kk (BASELINE.md ground-truth file, used by
+        ``interfaces.PlanckLensing.get_nlkk``).
+
+        Physics of the residual: the released curve is the *effective*
+        reconstruction noise of the actual Planck pipeline — it includes
+        the N1 bias, Monte-Carlo/realization corrections, masking and
+        inhomogeneous noise — which an idealized isotropic flat-sky N0
+        with the matching beam (7'), noise (35/55 uK-arcmin) and
+        multipole cuts (lmax 2048) cannot contain. Those corrections are
+        largest at low L (our idealized N0 sits ~45% low at L=70) and
+        fade through the N0-dominated range: over L in [430, 950] the
+        two curves agree to better than 15%."""
         planck = np.loadtxt(os.path.join(DATA, "planck_2018_mv_nlkk.dat"))
         cents, mv = nlgen.get_nl_mv()
         pl = np.interp(cents, planck[:, 0], planck[:, 1])
-        sel = (cents > 100) & (cents < 950)
+        # (1) toleranced agreement where idealized N0 dominates
+        sel = (cents >= 430) & (cents < 950)
         ratio = mv[sel] / pl[sel]
-        assert np.all(ratio > 0.5) and np.all(ratio < 1.5), ratio
-        # shape: both rise by a similar factor over the range
-        rise_ours = mv[sel][-1] / mv[sel][0]
-        rise_planck = pl[sel][-1] / pl[sel][0]
-        assert abs(np.log(rise_ours / rise_planck)) < np.log(2.0)
+        assert np.all(np.abs(ratio - 1.0) < 0.15), ratio
+        # (2) the idealized curve must sit BELOW the released one at low
+        # L (it misses only *additive non-negative* corrections there)
+        lo = (cents >= 60) & (cents < 350)
+        assert np.all(mv[lo] < pl[lo] * 1.02)
+        # (3) regression band: the measured 2026-08 ratio curve, pinned
+        # to +-5% per bin — catches any drift in filters, cross-N0
+        # weights or the MV combination
+        sel_all = (cents >= 60) & (cents < 950)
+        expected = np.array([0.547, 0.675, 0.717, 0.723, 0.744, 0.802,
+                             0.881, 0.946, 0.977, 0.986, 1.011, 1.051,
+                             1.095, 1.130, 1.148])
+        np.testing.assert_allclose(mv[sel_all] / pl[sel_all], expected,
+                                   rtol=0.05)
 
 
 class TestFusedTTHalfPlane:
