@@ -39,6 +39,9 @@ default is "full"):
 (The range covers "off" through "full" plus the run-to-run variance of
 the remote-tunnel timing, which is up to ~2x; "full" costs roughly
 1.5-4x "off" depending on how XLA schedules the unrolled dd block.)
+Spin-2 (E/B <-> Q/U) roundtrips behave identically: max error 2.2e-6 /
+2.8e-6 at lmax 1023 / 2047 in "full" mode (2.1e-3 / 6.7e-3 plain) at
+1.3 / 7.9 s per roundtrip.
 
 "full" mode eliminates the recurrence as an error source outright —
 the fp32 roundtrip lands at ~10 ulp, three orders of magnitude inside
