@@ -10,12 +10,16 @@ SURVEY §3.1):
   4. raw forward FFT -> |.|^2 * area/npix^2       [FourierCalc.f2power],
   5. radial bin into 1D bandpowers                 [stats.bin2D].
 
-Also measured (BASELINE.json configs 2-5, one JSON line each):
+Also measured (BASELINE.json configs 2-5 plus config 6, one JSON line
+each):
   2. masked cross-spectra with Knox errors @ 2048^2
-  3. TT quadratic-estimator kappa reconstruction @ 512^2, SO-like noise
+  3. TT quadratic-estimator kappa reconstruction-only @ 512^2, SO-like
+     noise (stand-in half-plane sims; see bench_qe_recon docstring)
   4. 6-band tSZ-deprojected harmonic ILC coadds @ 512^2
   5. cluster stacking: batched inpaint + profile + NFW mass fit over
      10^4 cutouts
+  6. honest end-to-end lensing MC @ 512^2: lensed sim (Pallas spline
+     displacement) + beam + noise + QE recon + debiased spectra
 
 Each config prints one JSON line {"metric","value","unit","vs_baseline"};
 the headline line comes first. Select with BENCH_CONFIGS="1,2,..."
@@ -267,9 +271,18 @@ def bench_masked_cross():
 
 
 def bench_qe_recon():
-    """Config 3: TT QE kappa reconstruction rate @ 512^2 with SO-like
-    noise, N_L^0-debiased binned auto spectrum included (the
-    Lensing-noise-curves pattern)."""
+    """Config 3: TT QE kappa *reconstruction-only* rate @ 512^2 with
+    SO-like noise, N_L^0-debiased binned auto spectrum included (the
+    Lensing-noise-curves pattern).
+
+    What this measures — and what it does not: the timed loop draws
+    stand-in observed fields directly on the rfft half-plane from the
+    lensed-TT theory (zero transforms, no lensing operation, no beam
+    convolution / noise realization in the field), then runs the full
+    fused half-plane reconstruction (filters + QE + N0-debias + bin).
+    It is a *reconstruction throughput* number. The honest end-to-end
+    rate (lensed sim + beam + noise + recon) is config 6
+    (:func:`bench_lensed_e2e`)."""
     import jax
     import jax.numpy as jnp
     from orphics_tpu import rect_geometry
@@ -325,8 +338,42 @@ def bench_qe_recon():
         dt = time.perf_counter() - t0
     rate = nrep * batch / dt
     print(json.dumps({
-        "metric": f"qe_tt_recon_per_sec_{n}x{n}_fp32",
+        "metric": f"qe_tt_recon_only_per_sec_{n}x{n}_fp32",
         "value": round(rate, 2), "unit": "recons/s",
+        "vs_baseline": round(rate, 2)}), flush=True)
+
+
+def bench_lensed_e2e():
+    """Config 6: honest end-to-end lensing MC rate @ 512^2 — what the
+    reference's tt_verification loop does per iteration (FlatLensingSims
+    .get_sim + QE recon, reference lensing.py:458-516): unlensed CMB GRF
+    -> kappa GRF -> deflection -> Pallas spline displacement -> beam +
+    white noise -> deconvolve -> fused TT QE -> N0-debiased binned
+    auto/cross spectra. One number = complete sim+recon pipelines/s."""
+    import jax
+    from orphics_tpu import rect_geometry
+    from orphics_tpu.models import theory, lenspipe
+
+    n = int(os.environ.get("BENCH6_N", 512))
+    batch = int(os.environ.get("BENCH6_BATCH", 64))
+    px = 2.0
+    geom = rect_geometry(width_arcmin=n * px, px_res_arcmin=px)
+    th = theory.default_theory()
+    pipe = lenspipe.LensedQEPipeline(geom, th, lens_order=5)
+
+    out = pipe.step(jax.random.PRNGKey(0), batch)
+    _sync_scalar(out)
+    nrep = int(os.environ.get("BENCH6_REPS", 10))
+    with _maybe_trace("config6"):
+        t0 = time.perf_counter()
+        for i in range(nrep):
+            out = pipe.step(jax.random.PRNGKey(i + 1), batch)
+        _sync_scalar(out)
+        dt = time.perf_counter() - t0
+    rate = nrep * batch / dt
+    print(json.dumps({
+        "metric": f"lensed_sim_plus_qe_recon_per_sec_{n}x{n}_fp32",
+        "value": round(rate, 2), "unit": "sim+recon/s",
         "vs_baseline": round(rate, 2)}), flush=True)
 
 
@@ -536,9 +583,10 @@ def bench_stack():
 
 
 def main():
-    configs = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5").split(",")
+    configs = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6").split(",")
     fns = {"1": bench_headline, "2": bench_masked_cross,
-           "3": bench_qe_recon, "4": bench_ilc, "5": bench_stack}
+           "3": bench_qe_recon, "4": bench_ilc, "5": bench_stack,
+           "6": bench_lensed_e2e}
     for c in configs:
         c = c.strip()
         if not c:
