@@ -40,7 +40,8 @@ import numpy as np
 
 __all__ = ["tinker_f", "tinker_bias", "duffy_c200c", "m200c_to_m200m",
            "battaglia_yl", "HaloModelYY", "compute_cl_yy",
-           "compute_tsz_power"]
+           "compute_tsz_power", "clyy", "shang_sed", "subhalo_mf",
+           "CIBHaloModel", "compton_y_cib_powers"]
 
 # cgs constants for the pressure -> y conversion
 _SIGMA_T = 6.6524587e-25          # cm^2
@@ -256,3 +257,291 @@ def compute_tsz_power(ell, nu_i_ghz, nu_j_ghz, Cyy=None, **kw):
         Cyy = compute_cl_yy(ell, **kw)
     return np.asarray(Cyy) * np.asarray(g_tsz(nu_i_ghz)) \
         * np.asarray(g_tsz(nu_j_ghz)) * TCMB_uK ** 2
+
+
+def clyy(ells, zmin=0.1, zmax=5.0, mmin=1e11, mmax=5e15, **kw):
+    """Named parity surface for the reference's ``clyy_classy_sz``
+    (``foregrounds.py:629``, a classy_sz 1-halo Cl_yy wrapper) on the
+    native halo model."""
+    return compute_cl_yy(np.asarray(ells), M_min=mmin, M_max=mmax,
+                         zmin=zmin, zmax=zmax, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Shang/WebSky CIB halo model + y x CIB cross power
+# (reference compton_y_cib_powers, foregrounds.py:334 — a classy_sz
+# wrapper configured with the WebSky CIB parameters quoted there)
+# ---------------------------------------------------------------------------
+
+# WebSky CIB parameters as quoted in the reference's classy_sz config
+# (foregrounds.py:403-452): Shang et al. 2012 model 2 / Stein et al.
+# WebSky choices.
+SHANG_DEFAULTS = dict(
+    Td0=20.7,          # dust temperature today [K]
+    alpha_z=0.2,       # Td(z) = Td0 (1+z)^alpha_z
+    beta=1.6,          # emissivity index
+    alpha_hi=1.7,      # high-frequency power-law index of the SED
+    eta=1.28,          # (1+z)^eta evolution of the L-M normalization
+    zplat=2.0,         # L-M evolution plateaus above this z
+    logMpeak=12.3,     # most efficient halo mass [log10 Msun]
+    sigmaM=0.3,        # log10-mass width of the L-M relation
+    msub_min=1e11,     # minimum subhalo mass [Msun]
+)
+
+# Jiang & van den Bosch (2014) unevolved subhalo mass function
+# dN/dln(m/M) = [g1 (m/M)^a1 + g2 (m/M)^a2] exp(-b (m/M)^z) — the
+# 'JvdB14' choice in the reference's config (WebSky eq. 3.9).
+_JB14 = dict(g1=0.13, a1=-0.83, g2=1.33, a2=-0.02, b=5.67, zt=1.19)
+
+
+def subhalo_mf(m_over_M):
+    """JvdB14 dN/dln(m/M)."""
+    x = np.asarray(m_over_M, np.float64)
+    p = _JB14
+    return (p["g1"] * x ** p["a1"] + p["g2"] * x ** p["a2"]) \
+        * np.exp(-p["b"] * x ** p["zt"])
+
+
+def _sed_knee_x(beta, alpha_hi):
+    """x = h nu / k Td where the modified blackbody's log-slope equals
+    -alpha_hi (temperature-independent); bisection on
+    beta + 3 - x e^x/(e^x - 1) = -alpha_hi."""
+    f = lambda x: beta + 3.0 - x / (1.0 - np.exp(-x)) + alpha_hi
+    lo, hi = 1e-3, 50.0
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        if f(mid) > 0:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def shang_sed(nu_ghz, z, p=None):
+    """CIB SED Theta(nu_rest, Td(z)): modified blackbody nu^beta B_nu(Td)
+    joined to a nu^-alpha_hi power law where the slopes match,
+    normalized to 1 at rest-frame 353 GHz (the pivot convention is
+    degenerate with L0 — see cib_powers)."""
+    p = {**SHANG_DEFAULTS, **(p or {})}
+    from .foregrounds import planck as _bnu
+    nu = np.atleast_1d(np.asarray(nu_ghz, np.float64))
+    z = np.asarray(z, np.float64)
+    Td = p["Td0"] * (1.0 + z) ** p["alpha_z"]
+    kB_h_GHz = 20.836619  # k_B/h in GHz/K
+    nu_knee = _sed_knee_x(p["beta"], p["alpha_hi"]) * kB_h_GHz * Td
+    mbb = lambda f: f ** p["beta"] * _bnu(f * 1e9, Td)
+    lowf = mbb(np.minimum(nu, nu_knee))
+    hif = mbb(nu_knee) * (nu / nu_knee) ** (-p["alpha_hi"])
+    theta = np.where(nu <= nu_knee, lowf, hif)
+    return theta / mbb(np.asarray(353.0))
+
+
+def _u_nfw(k_invmpc, m200c, z, cc):
+    """Normalized NFW profile Fourier transform u(k|M,z), truncated at
+    r200c (Duffy c200c), standard Si/Ci closed form."""
+    from scipy.special import sici
+    m200c = np.atleast_1d(np.asarray(m200c, np.float64))
+    k = np.atleast_1d(np.asarray(k_invmpc, np.float64))
+    h = cc.h
+    rho_c = _RHO_CRIT0_H2 * h ** 2 * cc.Ez(z) ** 2
+    r200 = (3 * m200c / (4 * np.pi * 200.0 * rho_c)) ** (1 / 3.0)  # phys
+    c = duffy_c200c(m200c, z, h)
+    rs = (r200 / c) * (1 + z)          # comoving rs for comoving k
+    mu = _nfw_mu(c)
+    x = k[None, :] * rs[:, None]       # (nm, nk)
+    si_x, ci_x = sici(x)
+    si_cx, ci_cx = sici((1 + c[:, None]) * x)
+    u = (np.sin(x) * (si_cx - si_x) + np.cos(x) * (ci_cx - ci_x)
+         - np.sin(c[:, None] * x) / ((1 + c[:, None]) * x)) / mu[:, None]
+    return np.clip(u, 0.0, 1.0)
+
+
+class CIBHaloModel(HaloModelYY):
+    """Shang/WebSky CIB emissivity on the same Tinker/Limber machinery
+    as the tSZ halo model, plus the y x CIB cross.
+
+    The SED pivot convention makes the overall amplitude degenerate
+    with ``L0``; by default L0 is calibrated once so the clustered
+    143x143 GHz power matches the shipped analytic CIB-clustered
+    template at l=3000 (``foregrounds.power_cibc``, the same
+    measurement-fit normalization every reference use of CIB power
+    carries). Shapes in (l, nu, z, M) are pure halo-model predictions.
+    """
+
+    def __init__(self, cc=None, shang=None, L0=None, **kw):
+        super().__init__(cc=cc, **kw)
+        self.p = {**SHANG_DEFAULTS, **(shang or {})}
+        self._sat_lum_cache = {}
+        self.L0 = L0 if L0 is not None else self._calibrate_L0()
+
+    # --- luminosity pieces -------------------------------------------
+    def _sigma_M(self, m):
+        p = self.p
+        lg = np.log10(np.asarray(m, np.float64))
+        return np.asarray(m, np.float64) / np.sqrt(
+            2 * np.pi * p["sigmaM"] ** 2) * np.exp(
+            -(lg - p["logMpeak"]) ** 2 / (2 * p["sigmaM"] ** 2))
+
+    def _phi_z(self, z):
+        p = self.p
+        return (1.0 + np.minimum(np.asarray(z, np.float64),
+                                 p["zplat"])) ** p["eta"]
+
+    def _sat_sigma(self, iz):
+        """Sum of Sigma(m_sub) over the JvdB14 subhalo population for
+        every host mass on the grid (z-independent in this model, but
+        cached per iz for clarity)."""
+        if iz in self._sat_lum_cache:
+            return self._sat_lum_cache[iz]
+        ms = self.ms
+        out = np.zeros_like(ms)
+        for i, M in enumerate(ms):
+            if self.p["msub_min"] >= M:
+                continue
+            lx = np.linspace(np.log(self.p["msub_min"] / M), 0.0, 64)
+            x = np.exp(lx)
+            out[i] = np.trapezoid(subhalo_mf(x) * self._sigma_M(x * M),
+                                  lx)
+        self._sat_lum_cache[iz] = out
+        return out
+
+    def _flux(self, nu_ghz, iz, flux_cut_mJy=None):
+        """(S_cen, S_sat) in Jy for every grid mass at zs[iz], observed
+        frequency nu_ghz: S = L0 Phi(z) Sigma Theta((1+z)nu) /
+        (4 pi chi^2 (1+z))."""
+        z = self.zs[iz]
+        cc = self.cc
+        chi = cc.comoving_radial_distance(z)            # comoving Mpc
+        theta = shang_sed((1.0 + z) * nu_ghz, z, self.p)
+        pref = self.L0 * self._phi_z(z) * theta \
+            / (4.0 * np.pi * chi ** 2 * (1.0 + z))
+        s_cen = pref * self._sigma_M(self.ms)
+        s_sat = pref * self._sat_sigma(iz)
+        if flux_cut_mJy is not None:
+            s_cen = np.where(s_cen > flux_cut_mJy * 1e-3, 0.0, s_cen)
+        return s_cen, s_sat
+
+    def _calibrate_L0(self):
+        from . import foregrounds as fg
+        self.L0 = 1.0
+        l0 = np.array([3000.0])
+        want = float(np.asarray(fg.power_cibc(l0, 143.0))[0])
+        got = float(self.cib_cl(l0, 143.0, in_uk2=True)["total"][0])
+        self._sat_lum_cache.clear()
+        return float(np.sqrt(want / max(got, 1e-300)))
+
+    # --- power spectra -----------------------------------------------
+    def _limber_weights(self):
+        cc = self.cc
+        zs = self.zs
+        chi = np.array([cc.comoving_radial_distance(z) for z in zs])
+        Hz = np.array([cc.hubble_parameter(z) for z in zs])
+        dvdz = 299792.458 / Hz * chi ** 2               # Mpc^3 / sr
+        return chi, dvdz
+
+    def cib_cl(self, ells, nu1_ghz, nu2_ghz=None, flux_cut_mJy=None,
+               in_uk2=False):
+        """Clustered CIB power (1h cen-sat + sat-sat, 2h) at a
+        frequency pair. Returns dict with '1h', '2h', 'total' in
+        Jy^2/sr, or thermodynamic uK^2 with ``in_uk2``. The pure
+        Poisson (cen-cen shot noise) term is intentionally excluded —
+        the reference covers it with the separate ``power_cibp``
+        template."""
+        from .foregrounds import ItoDeltaT
+        if nu2_ghz is None:
+            nu2_ghz = nu1_ghz
+        ells = np.asarray(ells, np.float64)
+        chi, dvdz = self._limber_weights()
+        one = np.zeros((len(self.zs), len(ells)))
+        two = np.zeros_like(one)
+        lnm = np.log(self.ms)
+        for iz, z in enumerate(self.zs):
+            k = (ells + 0.5) / chi[iz]
+            u = _u_nfw(k, self.ms, z, self.cc)          # (nm, nl)
+            w = self.dndlnm[iz]
+            s1c, s1s = self._flux(nu1_ghz, iz, flux_cut_mJy)
+            s2c, s2s = self._flux(nu2_ghz, iz, flux_cut_mJy)
+            oneh = (s1c[:, None] * s2s[:, None] * u
+                    + s2c[:, None] * s1s[:, None] * u
+                    + s1s[:, None] * s2s[:, None] * u ** 2)
+            one[iz] = np.trapezoid(w[:, None] * oneh, lnm, axis=0)
+            b = self.bias[iz]
+            j1 = np.trapezoid((w * b)[:, None]
+                              * (s1c[:, None] + s1s[:, None] * u),
+                              lnm, axis=0)
+            j2 = np.trapezoid((w * b)[:, None]
+                              * (s2c[:, None] + s2s[:, None] * u),
+                              lnm, axis=0)
+            two[iz] = j1 * j2 * self.cc.P_lin(k, z)
+        cl1 = np.trapezoid(dvdz[:, None] * one, self.zs, axis=0)
+        cl2 = np.trapezoid(dvdz[:, None] * two, self.zs, axis=0)
+        fac = 1.0
+        if in_uk2:
+            fac = (1e-26) ** 2 * float(np.asarray(ItoDeltaT(nu1_ghz))) \
+                * float(np.asarray(ItoDeltaT(nu2_ghz)))
+        return {"1h": cl1 * fac, "2h": cl2 * fac,
+                "total": (cl1 + cl2) * fac}
+
+    def y_cib_cl(self, ells, nu_ghz, flux_cut_mJy=None, in_uk=False):
+        """y x CIB cross power (1h + 2h): the Compton-y profile against
+        the CIB flux of the same halos. Jy/sr per unit y, or uK (times
+        the tSZ spectral factor applied by the caller) with
+        ``in_uk``."""
+        from .foregrounds import ItoDeltaT
+        ells = np.asarray(ells, np.float64)
+        chi, dvdz = self._limber_weights()
+        one = np.zeros((len(self.zs), len(ells)))
+        two = np.zeros_like(one)
+        lnm = np.log(self.ms)
+        for iz, z in enumerate(self.zs):
+            k = (ells + 0.5) / chi[iz]
+            u = _u_nfw(k, self.ms, z, self.cc)
+            w = self.dndlnm[iz]
+            yl = battaglia_yl(ells, self.ms, z, self.cc)   # (nm, nl)
+            sc, ss = self._flux(nu_ghz, iz, flux_cut_mJy)
+            cib = sc[:, None] + ss[:, None] * u
+            one[iz] = np.trapezoid(w[:, None] * yl * cib, lnm, axis=0)
+            b = self.bias[iz]
+            jy = np.trapezoid((w * b)[:, None] * yl, lnm, axis=0)
+            jc = np.trapezoid((w * b)[:, None] * cib, lnm, axis=0)
+            two[iz] = jy * jc * self.cc.P_lin(k, z)
+        cl1 = np.trapezoid(dvdz[:, None] * one, self.zs, axis=0)
+        cl2 = np.trapezoid(dvdz[:, None] * two, self.zs, axis=0)
+        fac = 1.0
+        if in_uk:
+            fac = 1e-26 * float(np.asarray(ItoDeltaT(nu_ghz)))
+        return {"1h": cl1 * fac, "2h": cl2 * fac,
+                "total": (cl1 + cl2) * fac}
+
+
+def compton_y_cib_powers(freqs_ghz, flux_limits_mJy=None, lmin=2,
+                         lmax=4000, nl=40, cc=None, **kw):
+    """Native counterpart of the reference's classy_sz wrapper
+    (``foregrounds.py:334``). Returns a dict with
+
+      - ``ells``: (nl,) log-spaced multipoles in [lmin, lmax]
+      - ``yy``: (nl,) dimensionless Compton-y power (1h+2h)
+      - ``cib_cib``: (nf, nf, nl) clustered CIB power in Jy^2/sr
+      - ``y_cib``: (nf, nl) y x CIB cross in Jy/sr
+
+    (The reference function *documents* this trio but — see its tail —
+    actually returns only the yy piece; we return all three.)
+    """
+    freqs_ghz = np.atleast_1d(np.asarray(freqs_ghz, np.float64))
+    nf = len(freqs_ghz)
+    if flux_limits_mJy is None:
+        flux_limits_mJy = [None] * nf
+    ells = np.geomspace(max(lmin, 2), lmax, nl)
+    hm = CIBHaloModel(cc=cc, **kw)
+    yy = hm.cl_yy(ells)
+    cib = np.zeros((nf, nf, nl))
+    ycib = np.zeros((nf, nl))
+    for i in range(nf):
+        ycib[i] = hm.y_cib_cl(ells, freqs_ghz[i],
+                              flux_cut_mJy=flux_limits_mJy[i])["total"]
+        for j in range(i, nf):
+            cij = hm.cib_cl(ells, freqs_ghz[i], freqs_ghz[j],
+                            flux_cut_mJy=flux_limits_mJy[i])["total"]
+            cib[i, j] = cij
+            cib[j, i] = cij
+    return {"ells": ells, "yy": yy, "cib_cib": cib, "y_cib": ycib}

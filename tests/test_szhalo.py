@@ -101,3 +101,102 @@ class TestVsTemplate:
         want = (np.asarray(g_tsz(90.0)) / np.asarray(g_tsz(150.0))) ** 2
         np.testing.assert_allclose(p90 / p150, want, rtol=1e-10)
         assert p150[0] > 0  # uK^2, squared negative g
+
+
+class TestCIB:
+    """Shang/WebSky CIB halo model + y x CIB cross (the native
+    counterpart of the reference's classy_sz wrapper,
+    foregrounds.py:334). No CIB ground-truth file ships with the
+    reference (it shells out to classy_sz), so validation pins the
+    physically-measurable structure: SED limits, the documented
+    amplitude calibration, the 2h->1h transition, thermodynamic
+    frequency scaling, and the published range of the tSZ x CIB
+    correlation coefficient."""
+
+    @pytest.fixture(scope="class")
+    def hm(self):
+        return szhalo.CIBHaloModel(nz=32, nm=40)
+
+    def test_sed_limits(self):
+        # Rayleigh-Jeans side: slope beta + 2 in intensity per log nu
+        lo = szhalo.shang_sed(np.array([30.0, 60.0]), 0.0)
+        slope_rj = np.log(lo[1] / lo[0]) / np.log(2.0)
+        assert abs(slope_rj - (1.6 + 2.0)) < 0.25
+        # far Wien side: power law with index -alpha_hi
+        hi = szhalo.shang_sed(np.array([4000.0, 8000.0]), 0.0)
+        slope_w = np.log(hi[1] / hi[0]) / np.log(2.0)
+        np.testing.assert_allclose(slope_w, -1.7, atol=1e-6)
+        # pivot normalization
+        np.testing.assert_allclose(
+            szhalo.shang_sed(np.array([353.0]), 0.0), 1.0, rtol=1e-12)
+
+    def test_subhalo_mf_positive_decreasing_tail(self):
+        x = np.geomspace(1e-4, 0.9, 32)
+        f = szhalo.subhalo_mf(x)
+        assert np.all(f > 0)
+        assert f[-1] < f[-8]  # exponential cutoff near m ~ M
+
+    def test_amplitude_calibration_and_shape(self, hm):
+        """L0 is calibrated so 143x143 matches the analytic clustered
+        template at l=3000; the halo-model *shape* must then track the
+        template within a factor ~2 across l in [500, 5000]."""
+        from orphics_tpu.models import foregrounds as fg
+        ells = np.array([500.0, 1000.0, 3000.0, 5000.0])
+        got = hm.cib_cl(ells, 143.0, in_uk2=True)["total"]
+        tmpl = np.asarray(fg.power_cibc(ells, 143.0))
+        np.testing.assert_allclose(got[2] / tmpl[2], 1.0, rtol=1e-6)
+        assert np.all(got / tmpl > 0.5) and np.all(got / tmpl < 2.0)
+
+    def test_two_halo_dominates_low_l(self, hm):
+        ells = np.array([500.0, 5000.0])
+        c = hm.cib_cl(ells, 143.0)
+        assert c["1h"][0] < c["2h"][0]      # clustering at large scales
+        assert c["1h"][1] > c["2h"][1]      # 1h at small scales
+        assert np.all(c["total"] > 0)
+
+    def test_frequency_scaling_thermodynamic(self, hm):
+        """353/143 power ratio in uK^2: the CIB rises steeply with
+        frequency (order 10^2-10^3, e.g. Planck 2013 XXX)."""
+        ells = np.array([1000.0, 3000.0])
+        r = hm.cib_cl(ells, 353.0, in_uk2=True)["total"] \
+            / hm.cib_cl(ells, 143.0, in_uk2=True)["total"]
+        assert np.all(r > 50) and np.all(r < 3000), r
+
+    def test_y_cib_correlation_coefficient(self, hm):
+        """r = Cl_y,cib / sqrt(Cl_yy Cl_cib) in the published 0.1-0.8
+        band (Planck 2015 tSZ x CIB measured ~0.3-0.5), increasing
+        toward small scales (same halos source both)."""
+        ells = np.array([500.0, 1000.0, 3000.0, 5000.0])
+        yc = hm.y_cib_cl(ells, 143.0)["total"]
+        yy = hm.cl_yy(ells)
+        cc_ = hm.cib_cl(ells, 143.0)["total"]
+        r = yc / np.sqrt(yy * cc_)
+        assert np.all(r > 0.1) and np.all(r < 0.8), r
+        assert r[-1] > r[0]
+
+    def test_flux_cut_reduces_power(self, hm):
+        ells = np.array([1000.0])
+        full = hm.cib_cl(ells, 353.0)["total"][0]
+        cut = hm.cib_cl(ells, 353.0, flux_cut_mJy=1.0)["total"][0]
+        assert 0 < cut < full
+
+    def test_compton_y_cib_powers_surface(self):
+        out = szhalo.compton_y_cib_powers([143.0, 353.0],
+                                          flux_limits_mJy=[7.0, 7.0],
+                                          lmax=4000, nl=8, nz=24, nm=32)
+        assert out["yy"].shape == (8,)
+        assert out["cib_cib"].shape == (2, 2, 8)
+        assert out["y_cib"].shape == (2, 8)
+        assert np.all(out["yy"] > 0)
+        assert np.all(out["cib_cib"] > 0)
+        assert np.all(out["y_cib"] > 0)
+        # symmetric frequency matrix
+        np.testing.assert_allclose(out["cib_cib"][0, 1],
+                                   out["cib_cib"][1, 0])
+
+    def test_clyy_alias(self):
+        ells = np.array([500.0, 3000.0])
+        a = szhalo.clyy(ells, mmin=1e11, mmax=2e15, nz=24, nm=32)
+        b = szhalo.compute_cl_yy(ells, M_min=1e11, M_max=2e15,
+                                 nz=24, nm=32)
+        np.testing.assert_allclose(a, b, rtol=1e-12)
