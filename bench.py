@@ -293,7 +293,7 @@ def bench_qe_recon():
     from orphics_tpu.ops.binning import RfftBin2D
 
     n = int(os.environ.get("BENCH3_N", 512))
-    batch = int(os.environ.get("BENCH3_BATCH", 32))
+    batch = int(os.environ.get("BENCH3_BATCH", 64))
     px = 2.0
     geom = rect_geometry(width_arcmin=n * px, px_res_arcmin=px)
     th = theory.default_theory()
@@ -312,10 +312,69 @@ def bench_qe_recon():
     ells = np.arange(th.lpad + 1)
     cltt = np.asarray(th.lCl("TT", ells))
     # Fused path: synthesize the stand-in observed sims directly on the
-    # rfft half-plane (exactly rfft2 of a real GRF map; zero transforms),
-    # then the fused half-plane TT reconstruction (qe.kappa_tt_rfft).
-    covsqrt_h = grf.covsqrt_half(geom, ells, cltt, dtype=jnp.float32)
+    # Fourier plane (exactly the spectrum of a real GRF map; zero
+    # transforms), then the fused TT reconstruction.
     norm = jnp.float32(geom.area / geom.npix ** 2)
+
+    impl = os.environ.get("BENCH_IMPL", "pallas")
+    if impl == "pallas" and n % 128 == 0 and n >= 256 and batch % 2 == 0:
+        # Pallas MXU path (qe.kappa_tt_pallas): on-chip PRNG spectral
+        # synthesis, Hermitian pair split via one mirror, 2.5 complex
+        # Pallas transforms + 1 mirror per map, full-plane permuted
+        # N0-debias + MXU bin reduce. Full-plane binning of a Hermitian
+        # power == the half-plane RfftBin2D result (tested).
+        from orphics_tpu.ops import pallas_fft as pf
+        from orphics_tpu.ops.pallas_kernels import bin_matmul
+        perm, _ = pf.row_perm(n)
+        ml_full = np.asarray(geom.modlmap(jnp.float64))
+        c2d = np.interp(ml_full, ells, cltt, left=0, right=0)
+        scale_pp = jnp.asarray(
+            (np.sqrt(np.maximum(c2d, 0.0))
+             * (geom.npix / float(geom.area) ** 0.5))[perm][:, perm]
+            .astype(np.float32))
+        n0_pp = jnp.asarray(np.asarray(
+            q.N_L_kk("TT"))[perm][:, perm].astype(np.float32))
+        dig = np.digitize(ml_full[perm][:, perm], edges).astype(np.int32)
+        dig[dig == len(edges)] = 0
+        nseg = len(edges)
+        idc = jnp.asarray(dig.ravel())
+        icnt = jnp.asarray(
+            (1.0 / np.maximum(np.bincount(dig.ravel(), minlength=nseg),
+                              1))[1:].astype(np.float32))
+        npairs = batch // 2
+
+        @jax.jit
+        def step(seed):
+            zr, zi = pf.noise_planes(scale_pp, seed, npairs)
+            zmr, zmi = pf.mirror_pp(zr, zi)
+            f1r = 0.5 * (zr + zmr)
+            f1i = 0.5 * (zi - zmi)
+            f2r = 0.5 * (zi + zmi)
+            f2i = 0.5 * (zmr - zr)
+            Zr = jnp.stack([f1r, f2r], 1).reshape(batch, n, n)
+            Zi = jnp.stack([f1i, f2i], 1).reshape(batch, n, n)
+            our, oui = q.kappa_tt_pallas(Zr, Zi)
+            p = (our * our + oui * oui) * norm - n0_pp[None]
+            sums = bin_matmul(p.reshape(batch, -1), idc, nseg)
+            return sums[:, 1:] * icnt
+
+        out = step(0)
+        _sync_scalar(out)
+        nrep = int(os.environ.get("BENCH3_REPS", 20))
+        with _maybe_trace("config3"):
+            t0 = time.perf_counter()
+            for i in range(nrep):
+                out = step(i + 1)
+            _sync_scalar(out)
+            dt = time.perf_counter() - t0
+        rate = nrep * batch / dt
+        print(json.dumps({
+            "metric": f"qe_tt_recon_only_per_sec_{n}x{n}_fp32",
+            "value": round(rate, 2), "unit": "recons/s",
+            "vs_baseline": round(rate, 2)}), flush=True)
+        return
+
+    covsqrt_h = grf.covsqrt_half(geom, ells, cltt, dtype=jnp.float32)
 
     @jax.jit
     def step(key):

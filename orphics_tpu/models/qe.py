@@ -457,6 +457,97 @@ class QE:
             self._al_cache["_tt_half"] = plans
         return plans
 
+    def _tt_pp_plans(self):
+        """Full-plane doubly-permuted filter planes for the Pallas TT
+        path (:meth:`kappa_tt_pallas`); cached statics.
+
+        The packing algebra collapses the filter applications: the
+        spectrum of the packed (a + i alpha_y) leg pair is
+        ``(wa0 + i wag_y)(-i fold) Z = (wa0 + wag_y) Z`` — one REAL
+        filter plane — because the ``-1j`` Hermitian fold and the ``i``
+        of the pair packing cancel.
+        """
+        if "_tt_pp" in self._al_cache:
+            return self._al_cache["_tt_pp"]
+        from ..ops import pallas_fft as pf
+        with jax.ensure_compile_time_eval():
+            n = self.geom.nx
+            assert self.geom.ny == n and n % 128 == 0 and n >= 256, \
+                "Pallas TT path requires a square 128*B grid (B >= 2)"
+            if self.field_masks is not None:
+                m1 = m2 = self.field_masks["T"]
+            else:
+                m1, m2 = self.gmask, self.ymask
+            assert bool(np.array_equal(np.asarray(m1), np.asarray(m2))), \
+                "Pallas TT path implements the symmetric-mask estimator"
+            C = self.cl2d["TT"]
+            ct = self.ctot["TT"]
+            phys = jnp.asarray(self._phys, self.dtype)
+            w1 = jnp.where(ct > 0, m1 / (2.0 * jnp.where(ct > 0, ct, 1.0)),
+                           0.0)
+            wa0 = np.asarray(w1 * phys, np.float64)
+            wagy = np.asarray(self.ly * C * w1 * phys, np.float64)
+            wagx = np.asarray(self.lx * C * w1 * phys, np.float64)
+            postf = np.asarray(
+                self.A_L("TT") * self.kmask * 0.5 * self.modlmap ** 2
+                * (float(self.geom.area) ** 0.5 / self._phys)
+                * self._conv_fac, np.float64)
+            perm, _ = pf.row_perm(n)
+            pp = lambda A: jnp.asarray(
+                np.asarray(A)[perm][:, perm], jnp.float32)
+            plans = (pp(wa0 + wagy), pp(wagx), pp(np.asarray(self.ly)),
+                     pp(np.asarray(self.lx)), pp(postf))
+            self._al_cache["_tt_pp"] = plans
+        return plans
+
+    @partial(jax.jit, static_argnames=("self", "interpret"))
+    def kappa_tt_pallas(self, zr, zi, interpret: bool = False):
+        """Fused TT reconstruction on the Pallas MXU FFT path.
+
+        ``zr, zi``: (B, n, n) fp32 re/im planes of the raw full-plane
+        fft2 spectrum of the real beam-deconvolved observed map(s) in
+        the ``fft2pp`` doubly-permuted layout, Hermitian per map, B
+        even. Returns the kappa k-planes (B, n, n) re/im in the same
+        layout — ``natural(out) == kappa_from_map("TT", fft2(map))``
+        to fp32 accuracy (tests/test_qe_pallas.py).
+
+        Cost per map: 1.5 complex inverse + 1 complex forward Pallas
+        transforms + 1 mirror (the XLA half-plane path
+        :meth:`kappa_tt_rfft` needs 5 half-plane transforms at ~8x the
+        per-transform cost — see bench config 3):
+
+        * ONE ``ifft2pp`` yields BOTH the ``a`` and ``alpha_y`` legs as
+          Re/Im of a single complex map (filter ``wa0 + wag_y``),
+        * the ``alpha_x`` legs of CONSECUTIVE maps pack pairwise into
+          one ``ifft2pp`` (spectrum ``wag_x (-i Z1 + Z2)``),
+        * the two quadratic source planes S_y, S_x go back through ONE
+          ``fft2pp`` as Re/Im, Hermitian-split with ``mirror_pp``.
+        """
+        from ..ops import pallas_fft as pf
+        wA, wX, Ly, Lx, post = self._tt_pp_plans()
+        B = zr.shape[0]
+        assert B % 2 == 0, "kappa_tt_pallas packs maps in pairs: B even"
+        # (a + i alpha_y) per map: one real filter, one inverse
+        m_r, m_i = pf.ifft2pp(wA * zr, wA * zi, interpret=interpret)
+        # alpha_x legs packed across consecutive maps
+        xr = wX * zr
+        xi = wX * zi
+        pr = xi[0::2] + xr[1::2]
+        pi = xi[1::2] - xr[0::2]
+        ax_r, ax_i = pf.ifft2pp(pr, pi, interpret=interpret)
+        ax = jnp.stack([ax_r, ax_i], axis=1).reshape(zr.shape)
+        Sy = 4.0 * m_r * m_i
+        Sx = 4.0 * m_r * ax
+        Nr, Ni = pf.fft2pp(Sy, Sx, interpret=interpret)
+        Nmr, Nmi = pf.mirror_pp(Nr, Ni, interpret=interpret)
+        g1r = 0.5 * (Nr + Nmr)
+        g1i = 0.5 * (Ni - Nmi)
+        g2r = 0.5 * (Ni + Nmi)
+        g2i = 0.5 * (Nmr - Nr)
+        ur = -(Ly * g1i + Lx * g2i)
+        ui = Ly * g1r + Lx * g2r
+        return post * ur, post * ui
+
     @partial(jax.jit, static_argnames=("self",))
     def kappa_tt_rfft(self, xh, yh=None):
         """Fused TT kappa reconstruction on the rfft half-plane.

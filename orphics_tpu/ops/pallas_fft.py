@@ -630,6 +630,59 @@ def rowifft_noise_y(scale, seed, batch: int, rtile: int = 64,
       jnp.asarray(seed, jnp.int32).reshape(1))
 
 
+def _noise_planes_kernel(sc_ref, seed_ref, ore_ref, oim_ref, *, rtile, n):
+    """scale * (white complex noise) with the noise generated on-chip —
+    the spectral-domain producer for pipelines that consume Fourier
+    planes directly (no DFT in this kernel). Same PRNG discipline as
+    :func:`_rowifft_noise_kernel` (23-bit uniforms -> erf_inv, one
+    generator draw per seeding)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    cell = i * pl.num_programs(1) + j
+
+    def normals(stream):
+        pltpu.prng_seed(seed_ref[0], 2 * cell + stream)
+        bits = pltpu.prng_random_bits((rtile, n))
+        ib = jnp.bitwise_and(pltpu.bitcast(bits, jnp.int32), (1 << 23) - 1)
+        u = (ib.astype(jnp.float32) + 0.5) * (1.0 / (1 << 23))
+        return jnp.sqrt(2.0) * jax.lax.erf_inv(2.0 * u - 1.0)
+
+    sc = sc_ref[:]
+    ore_ref[0] = normals(0) * sc
+    oim_ref[0] = normals(1) * sc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "rtile", "interpret"))
+def noise_planes(scale, seed, batch: int, rtile: int = 64,
+                 interpret: bool = False):
+    """(batch, n, n) x 2 fp32 planes of ``scale * eta`` with eta
+    standard complex white noise drawn by the on-chip PRNG (stream =
+    seed x block; reproducible, never in HBM unscaled). ``scale`` in
+    whatever static layout the consumer uses (typically doubly-permuted
+    covsqrt). On CPU/interpret falls back to jax.random (different
+    stream, same law)."""
+    n = scale.shape[-1]
+    if interpret:
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+        kr, ki = jax.random.split(key)
+        er = jax.random.normal(kr, (batch, n, n), jnp.float32)
+        ei = jax.random.normal(ki, (batch, n, n), jnp.float32)
+        return er * scale[None], ei * scale[None]
+    nt = n // rtile
+    dblk = pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_noise_planes_kernel, rtile=rtile, n=n),
+        grid=(batch, nt),
+        in_specs=[pl.BlockSpec((rtile, n), lambda i, j: (j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[dblk, dblk],
+        out_shape=[jax.ShapeDtypeStruct((batch, n, n), jnp.float32)] * 2,
+    )(scale.astype(jnp.float32), jnp.asarray(seed, jnp.int32).reshape(1))
+
+
 def _row_call(xre, xim, inverse, rtile, interpret, scale=None):
     b, nrows, n = xre.shape
     A, B, FBre, FBim, FAre, FAim, TWre, TWim = _plan(n, inverse)

@@ -1,0 +1,96 @@
+"""Pallas-path TT quadratic estimator (QE.kappa_tt_pallas) vs the
+reference full-plane reconstruction, in interpret mode on CPU."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orphics_tpu import rect_geometry
+from orphics_tpu.models import theory, qe
+from orphics_tpu.ops import fourier as F
+from orphics_tpu.ops import pallas_fft as pf
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n = 256
+    geom = rect_geometry(width_arcmin=n * 2.0, px_res_arcmin=2.0)
+    th = theory.default_theory()
+    ctot = qe.lensing_noise_2d(geom, th, 1.4, 6.0)
+    lmax_grid = geom.ellmax_safe()
+    q = qe.QE(geom, th, ctot,
+              xmask=F.mask_kspace(geom, lmin=100,
+                                  lmax=min(3000, lmax_grid - 1)),
+              kmask=F.mask_kspace(geom, lmin=40,
+                                  lmax=min(3000, lmax_grid * 0.8)))
+    perm, _ = pf.row_perm(n)
+    inv = np.argsort(perm)
+    return geom, q, perm, inv
+
+
+class TestKappaTTPallas:
+    def test_matches_full_plane(self, setup):
+        geom, q, perm, inv = setup
+        n = geom.nx
+        rng = np.random.default_rng(0)
+        maps = rng.standard_normal((2, n, n)).astype(np.float32)
+        # reference: full-plane XLA reconstruction per map
+        refs = []
+        for m in maps:
+            Z = jnp.fft.fft2(jnp.asarray(m))
+            refs.append(np.asarray(q.kappa_from_map("TT", Z)))
+        refs = np.stack(refs)
+        # pallas path: pp-permuted Hermitian spectra in
+        Z = np.fft.fft2(maps)
+        zr = jnp.asarray(Z.real[:, perm][:, :, perm].astype(np.float32))
+        zi = jnp.asarray(Z.imag[:, perm][:, :, perm].astype(np.float32))
+        our, oui = q.kappa_tt_pallas(zr, zi, interpret=True)
+        got = (np.asarray(our) + 1j * np.asarray(oui))[:, inv][:, :, inv]
+        scale = np.abs(refs).max()
+        assert np.max(np.abs(got - refs)) < 2e-4 * scale
+
+    def test_power_bins_match_half_plane(self, setup):
+        """The pp-plane |kappa|^2 binned with permuted ids must equal
+        the half-plane RfftBin2D result (the bench config-3 pattern)."""
+        from orphics_tpu.ops.binning import RfftBin2D
+        from orphics_tpu.ops.pallas_kernels import bin_matmul
+        geom, q, perm, inv = setup
+        n = geom.nx
+        nxr = n // 2 + 1
+        rng = np.random.default_rng(1)
+        maps = rng.standard_normal((2, n, n)).astype(np.float32)
+        edges = np.arange(40, 2000, 80.0)
+        binner = RfftBin2D(geom, edges)
+        norm = float(geom.area) / float(geom.npix) ** 2
+        # half-plane reference
+        xh = jnp.fft.rfft2(jnp.asarray(maps))
+        fk = q.kappa_tt_rfft(xh)
+        p2d = (fk.conj() * fk).real * norm
+        _, ref = binner.bin(p2d)
+        # pallas full-plane: bin with permuted full-plane ids
+        Z = np.fft.fft2(maps)
+        zr = jnp.asarray(Z.real[:, perm][:, :, perm].astype(np.float32))
+        zi = jnp.asarray(Z.imag[:, perm][:, :, perm].astype(np.float32))
+        our, oui = q.kappa_tt_pallas(zr, zi, interpret=True)
+        p_pp = (our ** 2 + oui ** 2) * norm
+        ml = np.asarray(geom.modlmap(jnp.float64))[perm][:, perm]
+        dig = np.digitize(ml, edges).astype(np.int32)
+        dig[dig == len(edges)] = 0
+        nseg = len(edges)  # nbins + 1 segments incl out-of-range 0
+        sums = bin_matmul(p_pp.reshape(2, -1), jnp.asarray(dig.ravel()),
+                          nseg, interpret=True)
+        cnts = np.bincount(dig.ravel(), minlength=nseg)
+        got = np.asarray(sums)[:, 1:] / np.maximum(cnts[1:], 1)
+        # full-plane binning == half-plane binning (Hermitian weights)
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-3)
+
+    def test_noise_planes_interpret(self, setup):
+        geom, q, perm, inv = setup
+        n = geom.nx
+        scale = jnp.asarray(np.linspace(0.5, 2.0, n * n)
+                            .reshape(n, n).astype(np.float32))
+        zr, zi = pf.noise_planes(scale, 7, 2, interpret=True)
+        assert zr.shape == (2, n, n) and zi.shape == (2, n, n)
+        # law: std ~ scale
+        r = np.asarray(zr) / np.asarray(scale)[None]
+        assert abs(r.std() - 1.0) < 0.02
