@@ -53,7 +53,7 @@ class LensedQEPipeline:
                  noise_uk_arcmin=6.0, xlmin=100, xlmax=3000, klmin=40,
                  klmax=3000, edges=None, lens_order: int = 5,
                  maxdisp_px: int = 8, dtype=jnp.float32,
-                 interpret: bool = False):
+                 interpret: bool = False, impl: str = "auto"):
         self.geom = geom
         self.lens_order = lens_order
         self.maxdisp_px = maxdisp_px
@@ -119,10 +119,149 @@ class LensedQEPipeline:
         self.binner = RfftBin2D(geom, edges)
         self.norm = float(geom.area) / float(geom.npix) ** 2
 
+        # --- Pallas full-plane plan (see pp_step): everything the fused
+        # MXU path needs as doubly-permuted static planes
+        ny_, nx_ = geom.shape
+        self.impl = ("pallas" if (impl in ("auto", "pallas")
+                                  and ny_ == nx_ and nx_ % 128 == 0
+                                  and nx_ >= 256) else "xla") \
+            if impl != "xla" else "xla"
+        if self.impl == "pallas":
+            from ..ops import pallas_fft as pfft
+            n = nx_
+            perm, _ = pfft.row_perm(n)
+            self._perm = perm
+            pp = lambda A: jnp.asarray(
+                np.asarray(A, np.float64)[perm][:, perm]
+                .astype(np.float32))
+            ml = np.asarray(geom.modlmap(jnp.float32), np.float64)
+            ells_f = np.arange(theory.lpad + 1)
+            # full-plane synthesis scales (same normalization as the
+            # half-plane covsqrt_half: sqrt(C) npix / sqrt(area))
+            sig = geom.npix / float(geom.area) ** 0.5
+            ctt2d = np.interp(ml, ells_f, np.asarray(cl_uu), left=0,
+                              right=0)
+            ckk2d = np.interp(ml, ells_f, np.asarray(cl_kk), left=0,
+                              right=0)
+            ry_f = np.asarray(pallas_lens._bspline_freq_response(
+                n, lens_order), np.float64)
+            resp_f = ry_f[:, None] * ry_f[None, :]
+            self.csq_coeff_pp = pp(np.sqrt(np.maximum(ctt2d, 0.0))
+                                   * sig / resp_f)
+            self.csq_kk_pp = pp(np.sqrt(np.maximum(ckk2d, 0.0)) * sig)
+            # kappa -> deflection multipliers c_i = l_i * 2/(l(l+1))
+            lmap_f = np.asarray(geom.lmap(jnp.float32), np.float64)
+            denom = ml * (ml + 1.0)
+            fphi_f = np.where(denom > 0, 2.0 / np.where(denom > 0, denom,
+                                                        1.0), 0.0)
+            fphi_f = np.where(ml < 2.0, 0.0, fphi_f)
+            self.cy_pp = pp(lmap_f[0] * fphi_f)
+            self.cx_pp = pp(lmap_f[1] * fphi_f)
+            kbeam_f = np.exp(-((beam_arcmin * arcmin) ** 2) * ml ** 2
+                             / (16.0 * np.log(2.0)))
+            self.nscale_pp = pp(self.ncov_h / np.maximum(kbeam_f, 1e-8))
+            self.n0_pp = pp(np.asarray(self.qe.N_L_kk("TT")))
+            # permuted full-plane binning tables
+            dig = np.digitize(ml[perm][:, perm], edges).astype(np.int32)
+            dig[dig == len(edges)] = 0
+            self._nseg = len(edges)
+            self._idc = jnp.asarray(dig.ravel())
+            self._icnt = jnp.asarray(
+                (1.0 / np.maximum(np.bincount(dig.ravel(),
+                                              minlength=self._nseg), 1))
+                [1:].astype(np.float32))
+
+    def _interleave(self, a, b):
+        """(P, n, n) x 2 -> (2P, n, n), pairs adjacent."""
+        return jnp.stack([a, b], axis=1).reshape(
+            (2 * a.shape[0],) + a.shape[1:])
+
+    @partial(jax.jit, static_argnames=("self", "batch", "interpret"))
+    def _pp_core(self, zk, zc, w, batch: int, interpret: bool = False):
+        """Deterministic Pallas-path pipeline body from the three
+        pair-level complex noise plane sets (each (P, n, n) re/im in
+        the fft2pp layout): kappa spectra ``zk`` (scale csq_kk_pp),
+        CMB spline-coefficient spectra ``zc`` (scale csq_coeff_pp) and
+        observation noise ``w`` (scale nscale_pp).
+
+        Per map: 0.5 mirror (kappa split) + 0.5 ifft (coeff pair) +
+        1 ifft (both deflection components as Re/Im — the i of the
+        packing rides the i l_i multiplier) + the Pallas spline
+        displacement + 0.5 fft + 0.5 mirror (observed pair) + the
+        2.5-transform Pallas QE + MXU bin reduce. No XLA FFT anywhere.
+        """
+        from ..ops import pallas_fft as pfft
+        from ..ops.pallas_kernels import bin_matmul
+        geom = self.geom
+        n = geom.shape[0]
+        (zkr, zki), (zcr, zci), (wr, wi) = zk, zc, w
+        # Hermitian split of the kappa pair -> per-map input kappa
+        zmr, zmi = pfft.mirror_pp(zkr, zki, interpret=interpret)
+        Zkr = self._interleave(0.5 * (zkr + zmr), 0.5 * (zki + zmi))
+        Zki = self._interleave(0.5 * (zki - zmi), 0.5 * (zmr - zkr))
+        # CMB spline coefficients: two real maps per inverse
+        c1, c2 = pfft.ifft2pp(zcr, zci, interpret=interpret)
+        coeffs = self._interleave(c1, c2)
+        # deflection: A = (i cy + i * i cx) o Zk -> ifft gives
+        # (alpha_y, alpha_x) as Re/Im of ONE complex map each map
+        ar = -self.cy_pp * Zki - self.cx_pp * Zkr
+        ai = self.cy_pp * Zkr - self.cx_pp * Zki
+        ay, ax = pfft.ifft2pp(ar, ai, interpret=interpret)
+        alpha = jnp.stack([ay, ax], axis=1)            # (B, 2, n, n)
+        lensed = pallas_lens.lens_map_pallas(
+            coeffs[:, None], alpha, geom, order=self.lens_order,
+            maxdisp_px=self.maxdisp_px, prefiltered=True,
+            interpret=interpret)[:, 0]
+        # observed spectra: pair-packed forward + spectral noise add
+        Zor, Zoi = pfft.fft2pp(lensed[0::2], lensed[1::2],
+                               interpret=interpret)
+        Zor = Zor + wr
+        Zoi = Zoi + wi
+        omr, omi = pfft.mirror_pp(Zor, Zoi, interpret=interpret)
+        Xr = self._interleave(0.5 * (Zor + omr), 0.5 * (Zoi + omi))
+        Xi = self._interleave(0.5 * (Zoi - omi), 0.5 * (omr - Zor))
+        fkr, fki = self.qe.kappa_tt_pallas(Xr, Xi, interpret=interpret)
+        norm = jnp.float32(self.norm)
+        cross = (fkr * Zkr + fki * Zki) * norm
+        auto_in = (Zkr * Zkr + Zki * Zki) * norm
+        auto_rec = (fkr * fkr + fki * fki) * norm - self.n0_pp[None]
+        stacked = jnp.stack([cross, auto_in, auto_rec], axis=1) \
+            .reshape(3 * batch, -1)
+        sums = bin_matmul(stacked, self._idc, self._nseg,
+                          interpret=interpret)
+        out = sums[:, 1:] * self._icnt
+        return out.reshape(batch, 3, out.shape[-1])
+
     @partial(jax.jit, static_argnames=("self", "batch"))
     def step(self, key, batch: int):
         """Run ``batch`` independent sim+recon pipelines; returns the
         binned (cross, auto_in, auto_rec - N0) stack, (batch, 3, nbins)."""
+        if self.impl == "pallas":
+            from ..ops import pallas_fft as pfft
+            assert batch % 2 == 0, "pallas path packs map pairs: B even"
+            # chunk to <= 32 maps per fused program: the full graph at
+            # B = 64 crashes the TPU compile helper (oversized fused
+            # program); 32-map chunks are also near the throughput
+            # plateau, so nothing is lost
+            chunk = min(batch, 32)
+            while batch % chunk:
+                chunk -= 2
+            outs = []
+            for c in range(batch // chunk):
+                P = chunk // 2
+                seed = jax.random.randint(
+                    jax.random.fold_in(key, c), (), 0,
+                    jnp.iinfo(jnp.int32).max // 4)
+                zk = pfft.noise_planes(self.csq_kk_pp, 4 * seed, P,
+                                       interpret=self.interpret)
+                zc = pfft.noise_planes(self.csq_coeff_pp, 4 * seed + 1,
+                                       P, interpret=self.interpret)
+                w = pfft.noise_planes(self.nscale_pp, 4 * seed + 2, P,
+                                      interpret=self.interpret)
+                outs.append(self._pp_core(zk, zc, w, chunk,
+                                          interpret=self.interpret))
+            return outs[0] if len(outs) == 1 else \
+                jnp.concatenate(outs, axis=0)
         geom = self.geom
         keys = jax.random.split(key, 3 * batch).reshape(batch, 3, 2)
         eta_c = jax.vmap(lambda k: _grf.rand_hermitian_half(k, geom))(

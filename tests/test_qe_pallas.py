@@ -94,3 +94,84 @@ class TestKappaTTPallas:
         # law: std ~ scale
         r = np.asarray(zr) / np.asarray(scale)[None]
         assert abs(r.std() - 1.0) < 0.02
+
+
+class TestLensPipePallas:
+    """The fully-fused Pallas end-to-end lensing pipeline
+    (LensedQEPipeline impl='pallas') vs an XLA/numpy assembly of the
+    identical math from the same injected noise planes."""
+
+    def test_pp_core_matches_xla_assembly(self):
+        from orphics_tpu.models import theory, lenspipe
+        from orphics_tpu.ops import pallas_lens
+        n = 256
+        geom = rect_geometry(width_arcmin=n * 2.0, px_res_arcmin=2.0)
+        th = theory.default_theory()
+        pipe = lenspipe.LensedQEPipeline(geom, th, lens_order=3,
+                                         impl="pallas", interpret=True)
+        assert pipe.impl == "pallas"
+        perm = pipe._perm
+        inv = np.argsort(perm)
+        B, P = 2, 1
+        rng = np.random.default_rng(0)
+
+        def drawn(scale_pp):
+            sc = np.asarray(scale_pp)[inv][:, inv]  # natural scale
+            z = (rng.standard_normal((P, n, n))
+                 + 1j * rng.standard_normal((P, n, n))) * sc[None]
+            return z.astype(np.complex64)
+
+        zk = drawn(pipe.csq_kk_pp)
+        zc = drawn(pipe.csq_coeff_pp)
+        w = drawn(pipe.nscale_pp)
+        topp = lambda z: (jnp.asarray(z.real[:, perm][:, :, perm]),
+                          jnp.asarray(z.imag[:, perm][:, :, perm]))
+        got = np.asarray(pipe._pp_core(topp(zk), topp(zc), topp(w), B,
+                                       interpret=True))
+
+        # ---- reference assembly (natural layout, jnp.fft) ----
+        def mirror(z):
+            return np.roll(z[:, ::-1, ::-1], 1, axis=(1, 2))
+
+        def split(z):
+            zm = mirror(z)
+            f1 = 0.5 * (z + np.conj(zm))
+            f2 = -0.5j * (z - np.conj(zm))
+            return np.stack([f1[0], f2[0]])      # (B, n, n), P = 1
+
+        Zk = split(zk)
+        W = split(w)
+        mc = np.fft.ifft2(zc)[0]
+        coeffs = np.stack([mc.real, mc.imag])
+        cy = np.asarray(pipe.cy_pp)[inv][:, inv]
+        cx = np.asarray(pipe.cx_pp)[inv][:, inv]
+        refs = []
+        for m in range(B):
+            ay = np.fft.ifft2(1j * cy * Zk[m]).real
+            ax = np.fft.ifft2(1j * cx * Zk[m]).real
+            alpha = jnp.asarray(np.stack([ay, ax]).astype(np.float32))
+            lensed = np.asarray(pallas_lens.lens_map_pallas(
+                jnp.asarray(coeffs[m].astype(np.float32))[None, None],
+                alpha[None], geom, order=3, prefiltered=True,
+                interpret=True))[0, 0]
+            X = np.fft.fft2(lensed) + W[m]
+            fk = np.asarray(pipe.qe.kappa_from_map(
+                "TT", jnp.asarray(X.astype(np.complex64))))
+            norm = pipe.norm
+            n0 = np.asarray(pipe.n0_pp)[inv][:, inv]
+            cross = (np.conj(fk) * Zk[m]).real * norm
+            auto_in = np.abs(Zk[m]) ** 2 * norm
+            auto_rec = np.abs(fk) ** 2 * norm - n0
+            # the pipeline's own bin ids, unpermuted (exact match)
+            dig = np.asarray(pipe._idc).reshape(n, n)[inv][:, inv]
+            cnts = np.bincount(dig.ravel(), minlength=pipe._nseg)
+            row = []
+            for p2d in (cross, auto_in, auto_rec):
+                sums = np.bincount(dig.ravel(), weights=p2d.ravel(),
+                                   minlength=pipe._nseg)
+                row.append(sums[1:] / np.maximum(cnts[1:], 1))
+            refs.append(np.stack(row))
+        refs = np.stack(refs)
+        scale = np.abs(refs).max()
+        assert np.max(np.abs(got - refs)) < 5e-4 * scale, \
+            np.max(np.abs(got - refs)) / scale
