@@ -194,3 +194,73 @@ class TestOnChipFusedPasses:
                     + jnp.max(jnp.abs(Ci - Ci_ref))) / scale
 
         assert float(err()) < 1e-4
+
+
+@pytest.mark.tpu
+class TestOnChipQEPallas:
+    """The round-3 Pallas QE / lensing-pipeline paths on the real chip:
+    interpret-mode parity is established in tests/test_qe_pallas.py,
+    but Mosaic (split3 bf16 MXU dots) is a different code path — verify
+    the on-chip numbers against the XLA half-plane reconstruction."""
+
+    def test_kappa_tt_pallas_matches_rfft(self, onchip):
+        import numpy as np
+        from orphics_tpu import rect_geometry
+        from orphics_tpu.models import theory, qe
+        from orphics_tpu.ops import fourier as F
+        from orphics_tpu.ops import pallas_fft as pf
+        n = 512
+        geom = rect_geometry(width_arcmin=n * 2.0, px_res_arcmin=2.0)
+        th = theory.default_theory()
+        ctot = qe.lensing_noise_2d(geom, th, 1.4, 6.0)
+        lmax_grid = geom.ellmax_safe()
+        q = qe.QE(geom, th, ctot,
+                  xmask=F.mask_kspace(geom, lmin=100,
+                                      lmax=min(3000, lmax_grid - 1)),
+                  kmask=F.mask_kspace(geom, lmin=40,
+                                      lmax=min(3000, lmax_grid * 0.8)))
+        perm, _ = pf.row_perm(n)
+        permj = jnp.asarray(perm)
+        maps = jax.random.normal(jax.random.PRNGKey(3), (2, n, n),
+                                 jnp.float32)
+        nxr = n // 2 + 1
+
+        @jax.jit
+        def err():
+            # XLA half-plane reference
+            fk = q.kappa_tt_rfft(jnp.fft.rfft2(maps))
+            # pallas full-plane (permuted input built on device)
+            Z = jnp.fft.fft2(maps)
+            zr = jnp.real(Z)[:, permj][:, :, permj]
+            zi = jnp.imag(Z)[:, permj][:, :, permj]
+            our, oui = q.kappa_tt_pallas(zr, zi)
+            inv = jnp.argsort(permj)
+            got = (our + 1j * oui)[:, inv][:, :, inv][..., :nxr]
+            scale = jnp.max(jnp.abs(fk))
+            return jnp.max(jnp.abs(got - fk)) / scale
+
+        # split3 MXU dots: ~1.5e-5 per transform, a few transforms deep
+        assert float(err()) < 2e-3
+
+    def test_lenspipe_pallas_cross_equals_auto(self, onchip):
+        """End-to-end statistical closure on chip: the QE cross
+        spectrum with the input kappa must track the input kappa auto
+        spectrum (unbiased estimator) over the well-measured bins."""
+        import numpy as np
+        from orphics_tpu import rect_geometry
+        from orphics_tpu.models import theory, lenspipe
+        geom = rect_geometry(width_arcmin=512 * 2.0, px_res_arcmin=2.0)
+        th = theory.default_theory()
+        pipe = lenspipe.LensedQEPipeline(geom, th, lens_order=5)
+        assert pipe.impl == "pallas"
+        acc = []
+        for i in range(4):
+            out = pipe.step(jax.random.PRNGKey(10 + i), 32)
+            acc.append(np.asarray(out))
+        m = np.concatenate(acc).mean(0)         # (3, nbins)
+        cents = pipe.centers()
+        sel = (cents > 80) & (cents < 600)
+        ratio = m[0][sel] / m[1][sel]
+        assert np.all(np.isfinite(m))
+        # MC noise with 128 sims: ~5-10%; test at 20%
+        assert np.all(np.abs(ratio - 1.0) < 0.2), ratio
