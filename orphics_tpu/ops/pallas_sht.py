@@ -1,0 +1,335 @@
+"""Pallas TPU kernel for the spherical-harmonic Legendre transform.
+
+The XLA ``lax.scan`` path in :mod:`.sht` advances the three-term
+l-recursion block-by-block with every carry plane round-tripping
+HBM and the contraction re-reading the ring-coefficient planes per
+block. This kernel inverts the loop structure the TPU-native way:
+
+  tile the (m, rings) plane; each program runs the ENTIRE l-recursion
+  for its tile with all carries resident in VMEM, contracts each
+  Lambda row against its G tile in registers, and accumulates the
+  (m, l) output across ring tiles in a revisited VMEM block.
+
+HBM traffic collapses to "read every input once, write the output
+once" (the scan re-reads O(L/block) times), and the full
+double-single ("dd") compensated recurrence of ``sht._lambda_scan``
+— split A/B/C/x/seed tables, TwoSum lo channel, Dekker TwoProd
+product corrections, extended-exponent rescaling — runs entirely in
+registers. Accuracy is identical to the scan's "full" mode (~10 ulp
+roundtrips; tests/test_sht.py::TestPallasSHT).
+
+Layout: working tiles are (m sublanes, rings lanes); the l-tables are
+stored transposed (m, l) so the per-l slice is a (mtile, 1) column.
+Spin-0, fp32, host-known theta only (the distributed traced-theta
+path keeps the scan). Synthesis (:func:`alm2map_pl`) and analysis
+(:func:`map2alm_pl`); batched inputs fall back to the scan.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import sht as _sht
+
+__all__ = ["map2alm_pl", "alm2map_pl", "supported"]
+
+_RB = _sht._RESCALE_BITS
+_INV = float(2.0 ** -_RB)
+_TH = float(2.0 ** (_RB // 2))
+_SPLIT = float(2.0 ** 12 + 1.0)
+_UNROLL = 8
+
+
+def _twosum(a, b):
+    s = a + b
+    z = s - a
+    return s, (a - (s - z)) + (b - z)
+
+
+def _twoprod(a, b):
+    p = a * b
+    t = _SPLIT * a
+    ah = t - (t - a)
+    al = a - ah
+    t = _SPLIT * b
+    bh = t - (t - b)
+    bl = b - bh
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _dd_step(l, tabs, vals, carry):
+    """One l-step of the full-dd recurrence on an (mtile, ttile) tile.
+    ``tabs`` = (Ah, Bh, Ch, Al, Bl, Cl) refs in (m, l) layout, sliced
+    at column l; ``vals`` = (x (1, ttile), xlo, sm, sl, se,
+    l0v (mtile, 1)) tile values. Returns (new_carry, weighted Lambda)."""
+    Ah, Bh, Ch, Al, Bl, Cl = tabs
+    x, xlo, sm, sl, se, l0v = vals
+    lam_p, lam_c, lam_pl, lam_cl, e = carry
+    a = Ah[:, pl.ds(l, 1)]
+    b = Bh[:, pl.ds(l, 1)]
+    c = Ch[:, pl.ds(l, 1)]
+    al_ = Al[:, pl.ds(l, 1)]
+    bl_ = Bl[:, pl.ds(l, 1)]
+    cl_ = Cl[:, pl.ds(l, 1)]
+    ax, axe = _twoprod(a, x)
+    p, pse = _twosum(ax, b)
+    pe = (a * xlo + al_ * x + bl_) + (axe + pse)
+    t1, e1 = _twoprod(p, lam_c)
+    t2, e2 = _twoprod(c, lam_p)
+    s, s_e = _twosum(t1, t2)
+    lo = ((p * lam_cl + c * lam_pl)
+          + ((pe * lam_c + cl_ * lam_p) + (s_e + (e1 + e2))))
+    lam_n, lam_nl = _twosum(s, lo)
+    # seed injection where l == l0(m)
+    is_seed = l0v == l                      # (mtile, 1) bool
+    lam_n = jnp.where(is_seed, sm, lam_n)
+    lam_nl = jnp.where(is_seed, sl, lam_nl)
+    lam_pn = jnp.where(is_seed, jnp.zeros_like(lam_c), lam_c)
+    lam_pnl = jnp.where(is_seed, jnp.zeros_like(lam_cl), lam_cl)
+    e = jnp.where(is_seed, se, e)
+    # unwind the extended exponent as values climb
+    big = (jnp.abs(lam_n) > _TH) & (e > 0)
+    lam_n = jnp.where(big, lam_n * _INV, lam_n)
+    lam_nl = jnp.where(big, lam_nl * _INV, lam_nl)
+    lam_pn = jnp.where(big, lam_pn * _INV, lam_pn)
+    lam_pnl = jnp.where(big, lam_pnl * _INV, lam_pnl)
+    e = jnp.where(big, e - 1, e)
+    w = jnp.where(e == 0, jnp.float32(1.0),
+                  jnp.where(e == 1, jnp.float32(_INV), jnp.float32(0.0)))
+    return (lam_pn, lam_n, lam_pnl, lam_nl, e), lam_n * w
+
+
+def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
+                Gr, Gi, outr, outi, *, Lp, ttile, mtile):
+    jt = pl.program_id(1)
+
+    @pl.when(jt == 0)
+    def _init():
+        outr[...] = jnp.zeros((mtile, Lp), jnp.float32)
+        outi[...] = jnp.zeros((mtile, Lp), jnp.float32)
+
+    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    gr = Gr[:]
+    gi = Gi[:]
+    z = jnp.zeros((mtile, ttile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((mtile, ttile), jnp.int32))
+
+    def chunk(ic, carry):
+        base = ic * _UNROLL
+        accr = []
+        acci = []
+        for j in range(_UNROLL):
+            carry, lw = _dd_step(base + j, tabs, vals, carry)
+            accr.append(jnp.sum(lw * gr, axis=1, keepdims=True))
+            acci.append(jnp.sum(lw * gi, axis=1, keepdims=True))
+        rr = jnp.concatenate(accr, axis=1)   # (mtile, _UNROLL)
+        ri = jnp.concatenate(acci, axis=1)
+        outr[:, pl.ds(base, _UNROLL)] = \
+            outr[:, pl.ds(base, _UNROLL)] + rr
+        outi[:, pl.ds(base, _UNROLL)] = \
+            outi[:, pl.ds(base, _UNROLL)] + ri
+        return carry
+
+    jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
+
+
+def _syn_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
+                ar, ai, outr, outi, *, Lp, ttile, mtile):
+    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    z = jnp.zeros((mtile, ttile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((mtile, ttile), jnp.int32), z, z)
+
+    def chunk(ic, carry):
+        lam_carry = carry[:5]
+        accr, acci = carry[5], carry[6]
+        base = ic * _UNROLL
+        for j in range(_UNROLL):
+            lam_carry, lw = _dd_step(base + j, tabs, vals, lam_carry)
+            accr = accr + lw * ar[:, pl.ds(base + j, 1)]
+            acci = acci + lw * ai[:, pl.ds(base + j, 1)]
+        return lam_carry + (accr, acci)
+
+    out = jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
+    outr[...] = out[5]
+    outi[...] = out[6]
+
+
+def _tiles(lmax):
+    """VMEM budget: the (mtile, Lp) l-tables dominate (6 fp32 planes +
+    the alm rows, double-buffered by the pipeline), so mtile shrinks
+    as lmax grows to stay under the 16 MB scoped-vmem limit. m rides
+    the SUBLANES (8-granular), rings ride the full 128 lanes."""
+    if lmax < 1536:
+        mtile = 128
+    elif lmax < 3072:
+        mtile = 64
+    else:
+        mtile = 32
+    return mtile, 256
+
+
+def _prep(lmax, rings, mtile, ttile):
+    """Host tables in the kernel layout: l-tables transposed (Mp, Lp),
+    ring/seed tiles (Mp, Tp), x as a (1, Tp) row."""
+    tab = _sht._wigner_tables_np(lmax, (0,))
+    L1 = M1 = lmax + 1
+    Lp = -(-L1 // _UNROLL) * _UNROLL
+    Mp = -(-M1 // mtile) * mtile
+    T = rings.ntheta
+    Tp = -(-T // ttile) * ttile
+
+    def padml(A):                           # (L1, M1) -> (Mp, Lp)
+        return np.pad(A.T, ((0, Mp - M1), (0, Lp - L1))) \
+            .astype(np.float32)
+
+    A64 = np.asarray(tab["A"][0], np.float64)
+    B64 = np.asarray(tab["B"][0], np.float64)
+    C64 = np.asarray(tab["C"][0], np.float64)
+    theta = np.asarray(rings.theta_array(), np.float64)
+    x64 = np.cos(theta)
+    mant, e_np = _sht._seed_mantissa_exp(tab, theta, np.float64)
+    sm = mant[0]                            # (M1, T)
+    se = e_np[0]
+
+    def padmt(A, dtype=np.float32):         # (M1, T) -> (Mp, Tp)
+        return np.pad(A, ((0, Mp - M1), (0, Tp - T))).astype(dtype)
+
+    return dict(
+        Ah=padml(A64.astype(np.float32)),
+        Bh=padml(B64.astype(np.float32)),
+        Ch=padml(C64.astype(np.float32)),
+        Al=padml(A64 - A64.astype(np.float32)),
+        Bl=padml(B64 - B64.astype(np.float32)),
+        Cl=padml(C64 - C64.astype(np.float32)),
+        x=np.pad(x64.astype(np.float32), (0, Tp - T)).reshape(1, -1),
+        xlo=np.pad((x64 - x64.astype(np.float32)).astype(np.float32),
+                   (0, Tp - T)).reshape(1, -1),
+        sm=padmt(sm.astype(np.float32)),
+        sl=padmt((sm - sm.astype(np.float32)).astype(np.float32)),
+        se=padmt(se, np.int32),
+        # padded m rows get l0 = -1: never seeded, Lambda stays 0
+        l0=np.pad(np.asarray(tab["l0"][0], np.int32), (0, Mp - M1),
+                  constant_values=-1).reshape(-1, 1),
+    ), L1, M1, Lp, Mp, T, Tp
+
+
+def _prep_shapes(lmax, rings, mtile, ttile):
+    """Shape bookkeeping only (cheap, trace-safe)."""
+    L1 = M1 = lmax + 1
+    Lp = -(-L1 // _UNROLL) * _UNROLL
+    Mp = -(-M1 // mtile) * mtile
+    T = rings.ntheta
+    Tp = -(-T // ttile) * ttile
+    return L1, M1, Lp, Mp, T, Tp
+
+
+@functools.lru_cache(maxsize=4)
+def _prep_dev(lmax, rings, mtile, ttile):
+    """Device tables, cached OUTSIDE any trace (called from the non-jit
+    wrappers so the O(lmax^2) tables are program arguments, not
+    constants — and so no tracer ever enters the cache)."""
+    host, *_ = _prep(lmax, rings, mtile, ttile)
+    return {k: jnp.asarray(v) for k, v in host.items()}
+
+
+def supported(lmax, rings, dtype, batch_shape):
+    """Kernel applicability: fp32, spin-0, host theta, unbatched."""
+    return (jnp.dtype(dtype) == jnp.float32 and batch_shape == ()
+            and not isinstance(rings, jnp.ndarray))
+
+
+def _specs(mtile, ttile, Lp, Tp):
+    tabml = pl.BlockSpec((mtile, Lp), lambda im, jt: (im, 0),
+                         memory_space=pltpu.VMEM)
+    tvec = pl.BlockSpec((1, ttile), lambda im, jt: (0, jt),
+                        memory_space=pltpu.VMEM)
+    mt = pl.BlockSpec((mtile, ttile), lambda im, jt: (im, jt),
+                      memory_space=pltpu.VMEM)
+    mcol = pl.BlockSpec((mtile, 1), lambda im, jt: (im, 0),
+                        memory_space=pltpu.VMEM)
+    return [tabml] * 6 + [tvec, tvec, mt, mt, mt, mcol], tabml, mt
+
+
+def _lambda_args(tabs):
+    return (tabs["Ah"], tabs["Bh"], tabs["Ch"], tabs["Al"], tabs["Bl"],
+            tabs["Cl"], tabs["x"], tabs["xlo"], tabs["sm"], tabs["sl"],
+            tabs["se"], tabs["l0"])
+
+
+def map2alm_pl(maps, rings, lmax: int, interpret: bool = False):
+    """Pallas analysis: (ntheta, nphi) fp32 map -> healpy-packed alm
+    (parity with :func:`..sht.map2alm` in "full" mode)."""
+    mtile, ttile = _tiles(lmax)
+    tabs = _prep_dev(lmax, rings, mtile, ttile)
+    return _map2alm_pl_impl(jnp.asarray(maps, jnp.float32), tabs,
+                            rings=rings, lmax=lmax, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _map2alm_pl_impl(maps, tabs, *, rings, lmax: int,
+                     interpret: bool = False):
+    mtile, ttile = _tiles(lmax)
+    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
+    w = jnp.asarray(rings.weights_array(), jnp.float32) \
+        * jnp.float32(2.0 * np.pi / rings.nphi)
+    F = _sht._ring_analysis(maps, rings, lmax)       # (T, M+1)
+    G = (F * w[:, None]).T                           # (M+1, T)
+    Gr = jnp.pad(jnp.real(G), ((0, Mp - M1), (0, Tp - T)))
+    Gi = jnp.pad(jnp.imag(G), ((0, Mp - M1), (0, Tp - T)))
+    in_specs, tabml, mt = _specs(mtile, ttile, Lp, Tp)
+    outr, outi = pl.pallas_call(
+        functools.partial(_ana_kernel, Lp=Lp, ttile=ttile, mtile=mtile),
+        grid=(Mp // mtile, Tp // ttile),
+        in_specs=in_specs + [mt, mt],
+        out_specs=[tabml, tabml],
+        out_shape=[jax.ShapeDtypeStruct((Mp, Lp), jnp.float32)] * 2,
+        interpret=interpret,
+    )(*_lambda_args(tabs), Gr.astype(jnp.float32),
+      Gi.astype(jnp.float32))
+    mat = (outr[:M1, :L1] + 1j * outi[:M1, :L1]).T \
+        .astype(jnp.complex64)                       # (L+1, M+1)
+    return _sht._mat2alm(mat, lmax)
+
+
+def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False):
+    """Pallas synthesis: healpy-packed alm -> (ntheta, nphi) fp32 map."""
+    from . import alm as almops
+    alm = jnp.asarray(alm)
+    if lmax is None:
+        lmax = almops.getlmax(alm.shape[-1])
+    mtile, ttile = _tiles(lmax)
+    tabs = _prep_dev(lmax, rings, mtile, ttile)
+    return _alm2map_pl_impl(alm, tabs, rings=rings, lmax=lmax,
+                            interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _alm2map_pl_impl(alm, tabs, *, rings, lmax: int,
+                     interpret: bool = False):
+    mtile, ttile = _tiles(lmax)
+    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
+    mat = _sht._alm2mat(alm, lmax).T                 # (M+1, L+1)
+    ar = jnp.pad(jnp.real(mat),
+                 ((0, Mp - M1), (0, Lp - L1))).astype(jnp.float32)
+    ai = jnp.pad(jnp.imag(mat),
+                 ((0, Mp - M1), (0, Lp - L1))).astype(jnp.float32)
+    in_specs, tabml, mt = _specs(mtile, ttile, Lp, Tp)
+    accr, acci = pl.pallas_call(
+        functools.partial(_syn_kernel, Lp=Lp, ttile=ttile, mtile=mtile),
+        grid=(Mp // mtile, Tp // ttile),
+        in_specs=in_specs + [tabml, tabml],
+        out_specs=[mt, mt],
+        out_shape=[jax.ShapeDtypeStruct((Mp, Tp), jnp.float32)] * 2,
+        interpret=interpret,
+    )(*_lambda_args(tabs), ar, ai)
+    acc = (accr[:M1, :T] + 1j * acci[:M1, :T]).T \
+        .astype(jnp.complex64)                       # (T, M+1)
+    return _sht._ring_synthesis(acc, rings, real=True) \
+        .astype(jnp.float32)

@@ -263,3 +263,49 @@ class TestQuadrature:
         rings = sht.gauss_legendre_rings(16, nphi=8)
         with pytest.raises(ValueError):
             sht.map2alm(jnp.ones(rings.shape), rings, 16)
+
+
+class TestPallasSHT:
+    """The Pallas Legendre-transform kernel (ops/pallas_sht.py) vs the
+    scan path in "full" mode, interpret mode on CPU."""
+
+    def test_parity_and_roundtrip(self):
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 63
+        rings = sht.gauss_legendre_rings(lmax)
+        a0 = _random_alm(jax.random.PRNGKey(11), lmax,
+                         dtype=jnp.complex64)
+        old = sht._COMPENSATE
+        try:
+            sht._COMPENSATE = "full"
+            jax.clear_caches()
+            m_ref = np.asarray(sht.alm2map(a0, rings, lmax))
+            m_pl = np.asarray(ps.alm2map_pl(a0, rings, lmax,
+                                            interpret=True))
+            assert np.abs(m_pl - m_ref).max() < 1e-6 * np.abs(m_ref).max()
+            a_ref = np.asarray(sht.map2alm(jnp.asarray(m_ref), rings,
+                                           lmax))
+            a_pl = np.asarray(ps.map2alm_pl(jnp.asarray(m_ref), rings,
+                                            lmax, interpret=True))
+            assert np.abs(a_pl - a_ref).max() < 1e-6 * np.abs(a_ref).max()
+        finally:
+            sht._COMPENSATE = old
+            jax.clear_caches()
+        # kernel-only roundtrip at the dd-full accuracy level
+        a2 = np.asarray(ps.map2alm_pl(
+            ps.alm2map_pl(a0, rings, lmax, interpret=True), rings, lmax,
+            interpret=True))
+        assert np.abs(a2 - np.asarray(a0)).max() < 3e-6
+
+    def test_non_multiple_lmax(self):
+        """lmax + 1 not divisible by the unroll/tile sizes: padding
+        (zero tables, l0 = -1 columns) must be exact."""
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 45
+        rings = sht.gauss_legendre_rings(lmax)
+        a0 = _random_alm(jax.random.PRNGKey(13), lmax,
+                         dtype=jnp.complex64)
+        a2 = np.asarray(ps.map2alm_pl(
+            ps.alm2map_pl(a0, rings, lmax, interpret=True), rings, lmax,
+            interpret=True))
+        assert np.abs(a2 - np.asarray(a0)).max() < 3e-6
