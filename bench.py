@@ -20,6 +20,8 @@ each):
      10^4 cutouts
   6. honest end-to-end lensing MC @ 512^2: lensed sim (Pallas spline
      displacement) + beam + noise + QE recon + debiased spectra
+  7. curved-sky SHT roundtrips at lmax 2047 (the Pallas Legendre
+     kernel on accelerator backends)
 
 Each config prints one JSON line {"metric","value","unit","vs_baseline"};
 the headline line comes first. Select with BENCH_CONFIGS="1,2,..."
@@ -641,11 +643,53 @@ def bench_stack():
         "vs_baseline": round(rate, 2)}), flush=True)
 
 
+def bench_sht():
+    """Config 7: curved-sky SHT roundtrips (alm2map + map2alm) at
+    lmax 2047 on Gauss-Legendre rings, fp32, through the dispatched
+    path (the Pallas Legendre kernel on accelerator backends; the
+    reference's libsharp/ducc workload, ``orphics/maps.py:2``)."""
+    import jax
+    import jax.numpy as jnp
+    from orphics_tpu.ops import sht
+
+    lmax = int(os.environ.get("BENCH7_LMAX", 2047))
+    rings = sht.gauss_legendre_rings(lmax)
+    nalm = (lmax + 1) * (lmax + 2) // 2
+
+    @jax.jit
+    def mkalm(key):
+        kr, ki = jax.random.split(key)
+        a = (jax.random.normal(kr, (nalm,), jnp.float32)
+             + 1j * jax.random.normal(ki, (nalm,), jnp.float32))
+        return a.at[: lmax + 1].set(
+            jnp.real(a[: lmax + 1]).astype(jnp.complex64))
+
+    maxerr = jax.jit(lambda a, b: jnp.abs(a - b).max())
+    a0 = mkalm(jax.random.PRNGKey(0))
+    m = sht.alm2map(a0, rings, lmax)
+    a2 = sht.map2alm(m, rings, lmax)
+    err = _sync_scalar(maxerr(a2, a0))        # warm + validate
+    assert err < 1e-3, f"SHT roundtrip error {err}"
+    nrep = int(os.environ.get("BENCH7_REPS", 10))
+    with _maybe_trace("config7"):
+        t0 = time.perf_counter()
+        a = a0
+        for _ in range(nrep):
+            a = sht.map2alm(sht.alm2map(a, rings, lmax), rings, lmax)
+        _sync_scalar(maxerr(a, a0))
+        dt = time.perf_counter() - t0
+    rate = nrep / dt
+    print(json.dumps({
+        "metric": f"sht_roundtrips_per_sec_lmax{lmax}",
+        "value": round(rate, 3), "unit": "roundtrips/s",
+        "vs_baseline": round(rate, 3)}), flush=True)
+
+
 def main():
-    configs = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6").split(",")
+    configs = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7").split(",")
     fns = {"1": bench_headline, "2": bench_masked_cross,
            "3": bench_qe_recon, "4": bench_ilc, "5": bench_stack,
-           "6": bench_lensed_e2e}
+           "6": bench_lensed_e2e, "7": bench_sht}
     for c in configs:
         c = c.strip()
         if not c:

@@ -20,9 +20,18 @@ roundtrips; tests/test_sht.py::TestPallasSHT).
 
 Layout: working tiles are (m sublanes, rings lanes); the l-tables are
 stored transposed (m, l) so the per-l slice is a (mtile, 1) column.
-Spin-0, fp32, host-known theta only (the distributed traced-theta
-path keeps the scan). Synthesis (:func:`alm2map_pl`) and analysis
-(:func:`map2alm_pl`); batched inputs fall back to the scan.
+fp32, host-known theta only (the distributed traced-theta path keeps
+the scan). Synthesis (:func:`alm2map_pl`) and analysis
+(:func:`map2alm_pl`); batches run the compiled kernel per map from the
+host wrapper (one compile, B dispatches).
+
+Spin-2 rides the SAME kernel: the spin transform pair splits into two
+independent n = -s / n = +s Legendre transforms (``a_pm = -(E ± iB)``;
+``q_m = (Sp + Sm)/2``, ``u_m = -i (Sp - Sm)/2`` where ``Sp/Sm`` are
+the n = -s / +s syntheses of ``a_+`` / ``a_-``), so
+:func:`alm2map_spin_pl` / :func:`map2alm_spin_pl` are two kernel
+launches with n-specific tables plus O(M T) combination arithmetic —
+no (W, X) mixing inside the kernel (cf. ``sht._alm2map_spin_impl``).
 """
 from __future__ import annotations
 
@@ -36,7 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import sht as _sht
 
-__all__ = ["map2alm_pl", "alm2map_pl", "supported"]
+__all__ = ["map2alm_pl", "alm2map_pl", "map2alm_spin_pl",
+           "alm2map_spin_pl", "supported"]
 
 _RB = _sht._RESCALE_BITS
 _INV = float(2.0 ** -_RB)
@@ -175,10 +185,11 @@ def _tiles(lmax):
     return mtile, 256
 
 
-def _prep(lmax, rings, mtile, ttile):
+def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0):
     """Host tables in the kernel layout: l-tables transposed (Mp, Lp),
-    ring/seed tiles (Mp, Tp), x as a (1, Tp) row."""
-    tab = _sht._wigner_tables_np(lmax, (0,))
+    ring/seed tiles (Mp, Tp), x as a (1, Tp) row. ``ns``/``ni`` select
+    the Wigner n column (spin-s uses ns=(-s, s) with ni = 0 / 1)."""
+    tab = _sht._wigner_tables_np(lmax, ns)
     L1 = M1 = lmax + 1
     Lp = -(-L1 // _UNROLL) * _UNROLL
     Mp = -(-M1 // mtile) * mtile
@@ -189,14 +200,14 @@ def _prep(lmax, rings, mtile, ttile):
         return np.pad(A.T, ((0, Mp - M1), (0, Lp - L1))) \
             .astype(np.float32)
 
-    A64 = np.asarray(tab["A"][0], np.float64)
-    B64 = np.asarray(tab["B"][0], np.float64)
-    C64 = np.asarray(tab["C"][0], np.float64)
+    A64 = np.asarray(tab["A"][ni], np.float64)
+    B64 = np.asarray(tab["B"][ni], np.float64)
+    C64 = np.asarray(tab["C"][ni], np.float64)
     theta = np.asarray(rings.theta_array(), np.float64)
     x64 = np.cos(theta)
     mant, e_np = _sht._seed_mantissa_exp(tab, theta, np.float64)
-    sm = mant[0]                            # (M1, T)
-    se = e_np[0]
+    sm = mant[ni]                           # (M1, T)
+    se = e_np[ni]
 
     def padmt(A, dtype=np.float32):         # (M1, T) -> (Mp, Tp)
         return np.pad(A, ((0, Mp - M1), (0, Tp - T))).astype(dtype)
@@ -215,7 +226,7 @@ def _prep(lmax, rings, mtile, ttile):
         sl=padmt((sm - sm.astype(np.float32)).astype(np.float32)),
         se=padmt(se, np.int32),
         # padded m rows get l0 = -1: never seeded, Lambda stays 0
-        l0=np.pad(np.asarray(tab["l0"][0], np.int32), (0, Mp - M1),
+        l0=np.pad(np.asarray(tab["l0"][ni], np.int32), (0, Mp - M1),
                   constant_values=-1).reshape(-1, 1),
     ), L1, M1, Lp, Mp, T, Tp
 
@@ -230,19 +241,22 @@ def _prep_shapes(lmax, rings, mtile, ttile):
     return L1, M1, Lp, Mp, T, Tp
 
 
-@functools.lru_cache(maxsize=4)
-def _prep_dev(lmax, rings, mtile, ttile):
+@functools.lru_cache(maxsize=8)
+def _prep_dev(lmax, rings, mtile, ttile, ns=(0,), ni=0):
     """Device tables, cached OUTSIDE any trace (called from the non-jit
     wrappers so the O(lmax^2) tables are program arguments, not
     constants — and so no tracer ever enters the cache)."""
-    host, *_ = _prep(lmax, rings, mtile, ttile)
+    host, *_ = _prep(lmax, rings, mtile, ttile, ns, ni)
     return {k: jnp.asarray(v) for k, v in host.items()}
 
 
-def supported(lmax, rings, dtype, batch_shape):
-    """Kernel applicability: fp32, spin-0, host theta, unbatched."""
-    return (jnp.dtype(dtype) == jnp.float32 and batch_shape == ()
-            and not isinstance(rings, jnp.ndarray))
+def supported(lmax, rings, dtype):
+    """Kernel applicability: fp32 maps, host-known theta (RingGeom).
+    Batches are looped in the wrappers; spin-2 has its own entry
+    points. The distributed traced-theta path keeps the scan."""
+    return (jnp.dtype(dtype) == jnp.float32
+            and not isinstance(rings, jnp.ndarray)
+            and hasattr(rings, "ntheta"))
 
 
 def _specs(mtile, ttile, Lp, Tp):
@@ -263,24 +277,34 @@ def _lambda_args(tabs):
             tabs["se"], tabs["l0"])
 
 
+def _batched(fn, x, ndim_core):
+    """Run ``fn`` over the leading batch dims of ``x`` (compiled once,
+    dispatched per element — the kernel is unbatched by design)."""
+    bshape = x.shape[: x.ndim - ndim_core]
+    if bshape == ():
+        return fn(x)
+    flat = x.reshape((-1,) + x.shape[x.ndim - ndim_core:])
+    outs = [fn(flat[i]) for i in range(flat.shape[0])]
+    out = jnp.stack(outs)
+    return out.reshape(bshape + out.shape[1:])
+
+
 def map2alm_pl(maps, rings, lmax: int, interpret: bool = False):
-    """Pallas analysis: (ntheta, nphi) fp32 map -> healpy-packed alm
-    (parity with :func:`..sht.map2alm` in "full" mode)."""
+    """Pallas analysis: (..., ntheta, nphi) fp32 map -> healpy-packed
+    alm (parity with :func:`..sht.map2alm` in "full" mode)."""
     mtile, ttile = _tiles(lmax)
     tabs = _prep_dev(lmax, rings, mtile, ttile)
-    return _map2alm_pl_impl(jnp.asarray(maps, jnp.float32), tabs,
-                            rings=rings, lmax=lmax, interpret=interpret)
+    return _batched(
+        lambda m: _map2alm_pl_impl(m, tabs, rings=rings, lmax=lmax,
+                                   interpret=interpret),
+        jnp.asarray(maps, jnp.float32), 2)
 
 
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
-def _map2alm_pl_impl(maps, tabs, *, rings, lmax: int,
-                     interpret: bool = False):
+def _leg_ana(G, tabs, rings, lmax, interpret):
+    """Core Legendre analysis: weighted ring-coefficient matrix
+    G (M+1, T) complex -> (L+1, M+1) complex64 a-matrix."""
     mtile, ttile = _tiles(lmax)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
-    w = jnp.asarray(rings.weights_array(), jnp.float32) \
-        * jnp.float32(2.0 * np.pi / rings.nphi)
-    F = _sht._ring_analysis(maps, rings, lmax)       # (T, M+1)
-    G = (F * w[:, None]).T                           # (M+1, T)
     Gr = jnp.pad(jnp.real(G), ((0, Mp - M1), (0, Tp - T)))
     Gi = jnp.pad(jnp.imag(G), ((0, Mp - M1), (0, Tp - T)))
     in_specs, tabml, mt = _specs(mtile, ttile, Lp, Tp)
@@ -293,29 +317,15 @@ def _map2alm_pl_impl(maps, tabs, *, rings, lmax: int,
         interpret=interpret,
     )(*_lambda_args(tabs), Gr.astype(jnp.float32),
       Gi.astype(jnp.float32))
-    mat = (outr[:M1, :L1] + 1j * outi[:M1, :L1]).T \
+    return (outr[:M1, :L1] + 1j * outi[:M1, :L1]).T \
         .astype(jnp.complex64)                       # (L+1, M+1)
-    return _sht._mat2alm(mat, lmax)
 
 
-def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False):
-    """Pallas synthesis: healpy-packed alm -> (ntheta, nphi) fp32 map."""
-    from . import alm as almops
-    alm = jnp.asarray(alm)
-    if lmax is None:
-        lmax = almops.getlmax(alm.shape[-1])
-    mtile, ttile = _tiles(lmax)
-    tabs = _prep_dev(lmax, rings, mtile, ttile)
-    return _alm2map_pl_impl(alm, tabs, rings=rings, lmax=lmax,
-                            interpret=interpret)
-
-
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
-def _alm2map_pl_impl(alm, tabs, *, rings, lmax: int,
-                     interpret: bool = False):
+def _leg_syn(mat, tabs, rings, lmax, interpret):
+    """Core Legendre synthesis: (M+1, L+1) complex a-matrix ->
+    (T, M+1) complex64 ring-coefficient matrix."""
     mtile, ttile = _tiles(lmax)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
-    mat = _sht._alm2mat(alm, lmax).T                 # (M+1, L+1)
     ar = jnp.pad(jnp.real(mat),
                  ((0, Mp - M1), (0, Lp - L1))).astype(jnp.float32)
     ai = jnp.pad(jnp.imag(mat),
@@ -329,7 +339,137 @@ def _alm2map_pl_impl(alm, tabs, *, rings, lmax: int,
         out_shape=[jax.ShapeDtypeStruct((Mp, Tp), jnp.float32)] * 2,
         interpret=interpret,
     )(*_lambda_args(tabs), ar, ai)
-    acc = (accr[:M1, :T] + 1j * acci[:M1, :T]).T \
+    return (accr[:M1, :T] + 1j * acci[:M1, :T]).T \
         .astype(jnp.complex64)                       # (T, M+1)
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _map2alm_pl_impl(maps, tabs, *, rings, lmax: int,
+                     interpret: bool = False):
+    w = jnp.asarray(rings.weights_array(), jnp.float32) \
+        * jnp.float32(2.0 * np.pi / rings.nphi)
+    F = _sht._ring_analysis(maps, rings, lmax)       # (T, M+1)
+    G = (F * w[:, None]).T                           # (M+1, T)
+    mat = _leg_ana(G, tabs, rings, lmax, interpret)
+    return _sht._mat2alm(mat, lmax)
+
+
+def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False):
+    """Pallas synthesis: healpy-packed alm (leading batch dims ok) ->
+    (..., ntheta, nphi) fp32 map."""
+    from . import alm as almops
+    alm = jnp.asarray(alm)
+    if lmax is None:
+        lmax = almops.getlmax(alm.shape[-1])
+    mtile, ttile = _tiles(lmax)
+    tabs = _prep_dev(lmax, rings, mtile, ttile)
+    return _batched(
+        lambda a: _alm2map_pl_impl(a, tabs, rings=rings, lmax=lmax,
+                                   interpret=interpret),
+        alm, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _alm2map_pl_impl(alm, tabs, *, rings, lmax: int,
+                     interpret: bool = False):
+    mat = _sht._alm2mat(alm, lmax).T                 # (M+1, L+1)
+    acc = _leg_syn(mat, tabs, rings, lmax, interpret)
     return _sht._ring_synthesis(acc, rings, real=True) \
         .astype(jnp.float32)
+
+
+_SPIN_NS = lambda spin: (-spin, spin)
+
+
+def map2alm_spin_pl(qmap, umap, rings, lmax: int, spin: int = 2,
+                    interpret: bool = False):
+    """Pallas spin-s analysis: (Q, U) fp32 maps -> (E, B) alms.
+    Two n = -s / +s Legendre transforms of F(Q+iU) / F(Q-iU);
+    convention parity with :func:`..sht.map2alm_spin`."""
+    ns = _SPIN_NS(spin)
+    mtile, ttile = _tiles(lmax)
+    tabs_m = _prep_dev(lmax, rings, mtile, ttile, ns, 0)
+    tabs_p = _prep_dev(lmax, rings, mtile, ttile, ns, 1)
+    q = jnp.asarray(qmap, jnp.float32)
+    u = jnp.asarray(umap, jnp.float32)
+    if q.ndim > 2:
+        bshape = q.shape[:-2]
+        qf = q.reshape((-1,) + q.shape[-2:])
+        uf = u.reshape((-1,) + u.shape[-2:])
+        es, bs = zip(*[
+            _map2alm_spin_pl_impl(qf[i], uf[i], tabs_m, tabs_p,
+                                  rings=rings, lmax=lmax,
+                                  interpret=interpret)
+            for i in range(qf.shape[0])])
+        return (jnp.stack(es).reshape(bshape + es[0].shape),
+                jnp.stack(bs).reshape(bshape + bs[0].shape))
+    return _map2alm_spin_pl_impl(q, u, tabs_m, tabs_p, rings=rings,
+                                 lmax=lmax, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _map2alm_spin_pl_impl(qmap, umap, tabs_m, tabs_p, *, rings,
+                          lmax: int, interpret: bool = False):
+    if rings.nphi < 2 * lmax + 1:
+        raise ValueError("nphi too small for requested lmax")
+    w = jnp.asarray(rings.weights_array(), jnp.float32) \
+        * jnp.float32(2.0 * np.pi / rings.nphi)
+    p_plus = qmap.astype(jnp.complex64) + 1j * umap.astype(jnp.complex64)
+    p_minus = qmap.astype(jnp.complex64) - 1j * umap.astype(jnp.complex64)
+    m = jnp.arange(lmax + 1)
+    phase = jnp.exp(-1j * m * rings.phi0).astype(jnp.complex64)
+    Fp = jnp.fft.fft(p_plus, axis=-1)[..., : lmax + 1] * phase
+    Fm = jnp.fft.fft(p_minus, axis=-1)[..., : lmax + 1] * phase
+    Gp = (Fp * w[:, None]).T                         # (M+1, T)
+    Gm = (Fm * w[:, None]).T
+    ap = _leg_ana(Gp, tabs_m, rings, lmax, interpret)  # (L+1, M+1)
+    am = _leg_ana(Gm, tabs_p, rings, lmax, interpret)
+    # E = -(a+ + a-)/2 ; B = i (a+ - a-)/2  (cf. sht._map2alm_spin_impl)
+    return (_sht._mat2alm(-0.5 * (ap + am), lmax),
+            _sht._mat2alm(0.5j * (ap - am), lmax))
+
+
+def alm2map_spin_pl(ealm, balm, rings, lmax: int = None, spin: int = 2,
+                    interpret: bool = False):
+    """Pallas spin-s synthesis: (E, B) alms -> (Q, U) fp32 maps.
+    a_pm = -(E ± iB) through the n = -s / +s kernels; q_m = (Sp+Sm)/2,
+    u_m = -i (Sp-Sm)/2; convention parity with
+    :func:`..sht.alm2map_spin`."""
+    from . import alm as almops
+    ealm = jnp.asarray(ealm)
+    balm = jnp.asarray(balm)
+    if lmax is None:
+        lmax = almops.getlmax(ealm.shape[-1])
+    ns = _SPIN_NS(spin)
+    mtile, ttile = _tiles(lmax)
+    tabs_m = _prep_dev(lmax, rings, mtile, ttile, ns, 0)
+    tabs_p = _prep_dev(lmax, rings, mtile, ttile, ns, 1)
+    if ealm.ndim > 1:
+        bshape = ealm.shape[:-1]
+        ef = ealm.reshape((-1, ealm.shape[-1]))
+        bf = balm.reshape((-1, balm.shape[-1]))
+        qs, us = zip(*[
+            _alm2map_spin_pl_impl(ef[i], bf[i], tabs_m, tabs_p,
+                                  rings=rings, lmax=lmax,
+                                  interpret=interpret)
+            for i in range(ef.shape[0])])
+        return (jnp.stack(qs).reshape(bshape + qs[0].shape),
+                jnp.stack(us).reshape(bshape + us[0].shape))
+    return _alm2map_spin_pl_impl(ealm, balm, tabs_m, tabs_p, rings=rings,
+                                 lmax=lmax, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _alm2map_spin_pl_impl(ealm, balm, tabs_m, tabs_p, *, rings,
+                          lmax: int, interpret: bool = False):
+    emat = _sht._alm2mat(ealm, lmax).T               # (M+1, L+1)
+    bmat = _sht._alm2mat(balm, lmax).T
+    ap = -(emat + 1j * bmat)
+    am = -(emat - 1j * bmat)
+    Sp = _leg_syn(ap, tabs_m, rings, lmax, interpret)  # (T, M+1)
+    Sm = _leg_syn(am, tabs_p, rings, lmax, interpret)
+    q_m = 0.5 * (Sp + Sm)
+    u_m = -0.5j * (Sp - Sm)
+    q = _sht._ring_synthesis(q_m, rings, real=True)
+    u = _sht._ring_synthesis(u_m, rings, real=True)
+    return q.astype(jnp.float32), u.astype(jnp.float32)

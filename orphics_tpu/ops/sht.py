@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import lru_cache, partial
 
 import numpy as np
@@ -731,6 +732,19 @@ def _tables_for(rings: RingGeom, lmax, ns, real_dtype):
     return _scan_tables_dev(lmax, tuple(ns), rdt.str, rings.theta, mode)
 
 
+def _pallas_ok(rings, lmax, real_dtype):
+    """Route through the Pallas Legendre kernel (ops/pallas_sht.py)?
+    On-accelerator fp32 with host-known rings; ``ORPHICS_TPU_SHT=scan``
+    opts out. Interpret-mode Pallas on CPU is orders slower than the
+    scan, so CPU always keeps the scan path."""
+    if os.environ.get("ORPHICS_TPU_SHT", "auto") == "scan":
+        return False
+    if jax.default_backend() in ("cpu",):
+        return False
+    from . import pallas_sht
+    return pallas_sht.supported(lmax, rings, real_dtype)
+
+
 def map2alm(maps, rings: RingGeom, lmax: int):
     """Analysis: (..., ntheta, nphi) real map(s) -> healpy-packed alm.
 
@@ -739,6 +753,9 @@ def map2alm(maps, rings: RingGeom, lmax: int):
     ``ntheta >= 2 lmax + 1``... see constructor docs).
     """
     maps = jnp.asarray(maps)
+    if _pallas_ok(rings, lmax, maps.dtype):
+        from . import pallas_sht
+        return pallas_sht.map2alm_pl(maps, rings, lmax)
     tables = _tables_for(rings, lmax, (0,), maps.dtype)
     return _map2alm_impl(maps, tables, rings=rings, lmax=lmax)
 
@@ -775,6 +792,9 @@ def alm2map(alm, rings: RingGeom, lmax: int = None):
     # host-side dtype math only: eager complex ops are unsupported on
     # some TPU clients (axon)
     rdt = np.zeros((), np.dtype(alm.dtype)).real.dtype
+    if _pallas_ok(rings, lmax, rdt):
+        from . import pallas_sht
+        return pallas_sht.alm2map_pl(alm, rings, lmax)
     tables = _tables_for(rings, lmax, (0,), rdt)
     return _alm2map_impl(alm, tables, rings=rings, lmax=lmax)
 
@@ -815,6 +835,10 @@ def alm2map_spin(ealm, balm, rings: RingGeom, lmax: int = None, spin: int = 2):
     if lmax is None:
         lmax = almops.getlmax(ealm.shape[-1])
     rdt = np.zeros((), np.dtype(ealm.dtype)).real.dtype
+    if _pallas_ok(rings, lmax, rdt):
+        from . import pallas_sht
+        return pallas_sht.alm2map_spin_pl(ealm, balm, rings, lmax,
+                                          spin=spin)
     tables = _tables_for(rings, lmax, (-spin, spin), rdt)
     return _alm2map_spin_impl(ealm, balm, tables, rings=rings, lmax=lmax,
                               spin=spin)
@@ -854,6 +878,10 @@ def _alm2map_spin_impl(ealm, balm, tables, *, rings: RingGeom, lmax: int,
 def map2alm_spin(qmap, umap, rings: RingGeom, lmax: int, spin: int = 2):
     """Analysis of a spin-``s`` field: (Q, U)-like maps -> (E, B) alms."""
     qmap = jnp.asarray(qmap); umap = jnp.asarray(umap)
+    if _pallas_ok(rings, lmax, qmap.dtype):
+        from . import pallas_sht
+        return pallas_sht.map2alm_spin_pl(qmap, umap, rings, lmax,
+                                          spin=spin)
     tables = _tables_for(rings, lmax, (-spin, spin), qmap.dtype)
     return _map2alm_spin_impl(qmap, umap, tables, rings=rings, lmax=lmax,
                               spin=spin)

@@ -309,3 +309,59 @@ class TestPallasSHT:
             ps.alm2map_pl(a0, rings, lmax, interpret=True), rings, lmax,
             interpret=True))
         assert np.abs(a2 - np.asarray(a0)).max() < 3e-6
+
+    def test_batched_wrapper(self):
+        """Leading batch dims loop the compiled kernel per map."""
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 31
+        rings = sht.gauss_legendre_rings(lmax)
+        alms = jnp.stack([
+            _random_alm(jax.random.PRNGKey(s), lmax, dtype=jnp.complex64)
+            for s in (1, 2, 3)])
+        maps = ps.alm2map_pl(alms, rings, lmax, interpret=True)
+        assert maps.shape == (3, rings.ntheta, rings.nphi)
+        for i in range(3):
+            ref = ps.alm2map_pl(alms[i], rings, lmax, interpret=True)
+            assert np.abs(np.asarray(maps[i]) - np.asarray(ref)).max() == 0
+        a2 = ps.map2alm_pl(maps, rings, lmax, interpret=True)
+        assert a2.shape == alms.shape
+        assert np.abs(np.asarray(a2) - np.asarray(alms)).max() < 3e-6
+
+    def test_spin2_parity_and_roundtrip(self):
+        """Spin-2 as two n = -+2 kernel launches vs the scan path."""
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 63
+        rings = sht.gauss_legendre_rings(lmax)
+        ke, kb = jax.random.split(jax.random.PRNGKey(21))
+        def spin_alm(k):
+            a = _random_alm(k, lmax, dtype=jnp.complex64)
+            mat = sht._alm2mat(a, lmax).at[:2, :].set(0)  # l0 = 2
+            return sht._mat2alm(mat, lmax)
+        e0, b0 = spin_alm(ke), spin_alm(kb)
+        old = sht._COMPENSATE
+        try:
+            sht._COMPENSATE = "full"
+            jax.clear_caches()
+            q_ref, u_ref = sht.alm2map_spin(e0, b0, rings, lmax)
+            q_ref = np.asarray(q_ref); u_ref = np.asarray(u_ref)
+            q_pl, u_pl = ps.alm2map_spin_pl(e0, b0, rings, lmax,
+                                            interpret=True)
+            scale = max(np.abs(q_ref).max(), np.abs(u_ref).max())
+            assert np.abs(np.asarray(q_pl) - q_ref).max() < 1e-6 * scale
+            assert np.abs(np.asarray(u_pl) - u_ref).max() < 1e-6 * scale
+            e_ref, b_ref = sht.map2alm_spin(
+                jnp.asarray(q_ref, jnp.float32),
+                jnp.asarray(u_ref, jnp.float32), rings, lmax)
+            e_pl, b_pl = ps.map2alm_spin_pl(q_ref.astype(np.float32),
+                                            u_ref.astype(np.float32),
+                                            rings, lmax, interpret=True)
+            assert np.abs(np.asarray(e_pl) - np.asarray(e_ref)).max() < 2e-6
+            assert np.abs(np.asarray(b_pl) - np.asarray(b_ref)).max() < 2e-6
+        finally:
+            sht._COMPENSATE = old
+            jax.clear_caches()
+        # kernel-only roundtrip
+        e2, b2 = ps.map2alm_spin_pl(q_pl, u_pl, rings, lmax,
+                                    interpret=True)
+        assert np.abs(np.asarray(e2) - np.asarray(e0)).max() < 3e-6
+        assert np.abs(np.asarray(b2) - np.asarray(b0)).max() < 3e-6
