@@ -23,6 +23,7 @@ from ..ops.windows import get_taper
 from .lensing import nfw_kappa_profile, lens_map_spline
 
 __all__ = ["nfw_kappa", "NFWkappa", "binned_nfw", "fit_nfw_profile",
+           "kappa_2h_profile", "halo_bias",
            "filter_bin_kappa2d", "filter_bin_kappa1d", "lens_cov",
            "beam_cov", "lens_cov_pol"]
 
@@ -62,16 +63,95 @@ def NFWkappa(cc, mass_msun_overh, concentration, zL, theta_arcmin,
     return kappa, rdel
 
 
+def halo_bias(mass_msun_overh, z, cc, critical=False):
+    """Tinker et al. 2010 linear bias for a halo of the given mass
+    (Msun/h). ``critical=True`` interprets the mass as M200c and
+    converts to the 200-mean definition the bias fit is calibrated at
+    (NFW + Duffy concentration); otherwise mass is taken as M200m."""
+    from .szhalo import tinker_bias, m200c_to_m200m
+    m_msun = float(mass_msun_overh) / cc.h
+    if critical:
+        m200m, _ = m200c_to_m200m(np.atleast_1d(m_msun), z, cc)
+        m_msun = float(np.asarray(m200m).reshape(-1)[0])
+    rho_m0 = cc.rho_crit0_h2() * cc.h ** 2 * cc.om       # Msun/Mpc^3
+    R_mpc = (3.0 * m_msun / (4.0 * np.pi * rho_m0)) ** (1.0 / 3.0)
+    sig = float(cc.sigmaR(R_mpc * cc.h, z))
+    return float(tinker_bias(1.686 / sig))
+
+
+def kappa_2h_profile(thetas_rad, mass_msun_overh, z, cc, z_s=1100.0,
+                     critical=False, bias=None, lmin=2, lmax=10000,
+                     nl=2048):
+    """Two-halo convergence profile of a halo at ``z`` (reference
+    ``binned_nfw``'s ``hm.kappa_2h_profiles``, ``orphics/lensing.py:300``
+    — the hmvec optional dependency made native).
+
+    The halo-convergence cross spectrum in Limber form,
+
+        C_L^{h kappa} = b(M) W_kappa(chi_L) / chi_L^2
+                        P_lin((L + 1/2)/chi_L, z),
+
+    Hankel-transformed back to angle:
+    ``kappa_2h(theta) = int L dL/(2 pi) J_0(L theta) C_L``.
+    thetas in radians; mass in Msun/h. ``bias`` overrides the Tinker
+    b(M) (:func:`halo_bias`).
+    """
+    from scipy.special import j0
+    if bias is None:
+        bias = halo_bias(mass_msun_overh, z, cc, critical=critical)
+    chiL = float(cc.comoving_radial_distance(z))         # Mpc
+    chiS = float(cc.comoving_radial_distance(z_s))
+    H0_invmpc = cc.H0 / 299792.458                       # 1/Mpc
+    Wk = 1.5 * cc.om * H0_invmpc ** 2 * (1.0 + z) * chiL \
+        * (chiS - chiL) / chiS                           # 1/Mpc
+    ls = np.linspace(float(lmin), float(lmax), int(nl))
+    k = (ls + 0.5) / chiL                                # 1/Mpc
+    P = np.asarray(cc.P_lin(k, z), np.float64)           # Mpc^3
+    cl = bias * Wk / chiL ** 2 * P
+    thetas = np.atleast_1d(np.asarray(thetas_rad, np.float64))
+    # J_0 kernel on the (theta, L) grid; trapezoid over L
+    J = j0(np.outer(thetas, ls))
+    integ = J * (ls * cl)[None, :] / (2.0 * np.pi)
+    return np.trapezoid(integ, ls, axis=-1)
+
+
 def binned_nfw(mass, z, conc, cc, geom: Geometry, bin_edges_arcmin,
                lmax=None, lmin=None, overdensity=200.0, critical=False,
-               at_cluster_z=True, kmask=None):
+               at_cluster_z=True, kmask=None, include_2h=False,
+               sigma_mis=None, z_s=1100.0):
     """Fourier-filtered, radially binned NFW kappa profile (reference
-    ``lensing.py:285``, 1-halo path)."""
+    ``lensing.py:285``). ``include_2h=True`` adds the native two-halo
+    term (:func:`kappa_2h_profile`) and ``sigma_mis`` (arcmin) a
+    Rayleigh miscentering convolution
+    (:func:`kappa_nfw_profiley1d`) — together the reference's
+    ``improved=True`` path via hmvec, natively."""
     modrmap = geom.modrmap(jnp.float64)
     binner = Bin2D(np.asarray(modrmap), np.asarray(bin_edges_arcmin) * arcmin)
-    k = nfw_kappa(mass, modrmap, cc, zL=z, concentration=conc,
-                  overdensity=overdensity, critical=critical,
-                  at_cluster_z=at_cluster_z)
+    if sigma_mis is not None:
+        modr = np.asarray(modrmap)
+        ths = jnp.asarray(np.geomspace(
+            max(modr[modr > 0].min() * 0.5, 1e-7), modr.max() * 1.05,
+            192))
+        com_mpc = float(cc.comoving_radial_distance(z))
+        R_off = float(sigma_mis) * arcmin * com_mpc   # comoving Mpc
+        koff, _ = kappa_nfw_profiley1d(
+            ths, mass=mass, conc=conc, z=z, z_s=z_s,
+            delta=overdensity, critical=critical, R_off_Mpc=R_off,
+            R_off_Mpc_max=max(4.0 * R_off, 1.0), cc=cc)
+        k = jnp.interp(modrmap.reshape(-1), ths,
+                       koff).reshape(geom.shape)
+    else:
+        k = nfw_kappa(mass, modrmap, cc, zL=z, concentration=conc,
+                      overdensity=overdensity, critical=critical,
+                      at_cluster_z=at_cluster_z)
+    if include_2h:
+        modr = np.asarray(modrmap)
+        ths = np.geomspace(max(modr[modr > 0].min() * 0.5, 1e-7),
+                           modr.max() * 1.05, 128)
+        k2h = kappa_2h_profile(ths, mass, z, cc, z_s=z_s,
+                               critical=critical)
+        k = k + jnp.interp(modrmap.reshape(-1), jnp.asarray(ths),
+                           jnp.asarray(k2h)).reshape(geom.shape)
     if kmask is None:
         kmask = F.mask_kspace(geom, lmin=lmin, lmax=lmax)
     kf = F.kfilter(k, kmask, geom)
@@ -81,9 +161,12 @@ def binned_nfw(mass, z, conc, cc, geom: Geometry, bin_edges_arcmin,
 def fit_nfw_profile(profile_data, profile_cov, masses, z, conc, cc,
                     geom: Geometry, bin_edges_arcmin, lmax, lmin=None,
                     overdensity=200.0, critical=False, at_cluster_z=True,
-                    mass_guess=2e14, sigma_guess=2e13, kmask=None):
+                    mass_guess=2e14, sigma_guess=2e13, kmask=None,
+                    include_2h=False, sigma_mis=None):
     """Mass likelihood from a measured kappa profile (reference
-    ``lensing.py:313``): scan lnL(M), Gaussian fit for (M, sigma_M)."""
+    ``lensing.py:313``): scan lnL(M), Gaussian fit for (M, sigma_M).
+    ``include_2h``/``sigma_mis`` forward to :func:`binned_nfw` (the
+    reference's ``improved=True`` model)."""
     from ..utils.fitting import fit_gauss
     cinv = np.linalg.inv(np.asarray(profile_cov))
     lnlikes = []
@@ -91,7 +174,8 @@ def fit_nfw_profile(profile_data, profile_cov, masses, z, conc, cc,
     for mass in masses:
         _, prof = binned_nfw(mass, z, conc, cc, geom, bin_edges_arcmin,
                              lmax, lmin, overdensity, critical,
-                             at_cluster_z, kmask=kmask)
+                             at_cluster_z, kmask=kmask,
+                             include_2h=include_2h, sigma_mis=sigma_mis)
         prof = np.asarray(prof)
         diff = np.asarray(profile_data) - prof
         fprofiles.append(prof)
@@ -106,7 +190,9 @@ def fit_nfw_profile(profile_data, profile_cov, masses, z, conc, cc,
     like_fit = gaussian(np.asarray(masses), fit_mass, mass_err)
     _, fit_profile = binned_nfw(fit_mass, z, conc, cc, geom,
                                 bin_edges_arcmin, lmax, lmin, overdensity,
-                                critical, at_cluster_z, kmask=kmask)
+                                critical, at_cluster_z, kmask=kmask,
+                                include_2h=include_2h,
+                                sigma_mis=sigma_mis)
     return (lnlikes, like_fit, fit_mass, mass_err, np.asarray(fprofiles),
             np.asarray(fit_profile))
 

@@ -126,6 +126,60 @@ class TestLensingTail:
         km = np.asarray(nfwfit.kappa_nfw(-2e14, 3.2, 1.0, th, cc, 0.7))
         np.testing.assert_allclose(km, -k1, rtol=1e-6)
 
+    def test_two_halo_profile(self, cc):
+        """Native 2-halo term (reference binned_nfw improved=True via
+        hmvec, orphics/lensing.py:300): Tinker bias in a sane range,
+        kappa_2h positive and decreasing, subdominant to the 1-halo
+        term in the core but flatter in the outskirts."""
+        from orphics_tpu.models import nfwfit
+        b = nfwfit.halo_bias(2e14, 0.7, cc)
+        assert 2.0 < b < 8.0
+        # bias grows with mass and with the critical-mass definition
+        assert nfwfit.halo_bias(5e14, 0.7, cc) > b
+        assert nfwfit.halo_bias(2e14, 0.7, cc, critical=True) > b
+        th = np.geomspace(0.5, 30, 16) * np.pi / 180.0 / 60.0
+        k2 = nfwfit.kappa_2h_profile(th, 2e14, 0.7, cc)
+        assert np.all(np.isfinite(k2)) and np.all(k2 > 0)
+        assert np.all(np.diff(k2) < 0)
+        k1 = np.asarray(nfwfit.nfw_kappa(2e14, jnp.asarray(th), cc,
+                                         zL=0.7))
+        assert k2[0] < 0.3 * k1[0]          # core is 1h-dominated
+        assert k2[-1] > k1[-1]              # outskirts 2h-dominated
+        # explicit bias override scales linearly
+        k2b = nfwfit.kappa_2h_profile(th, 2e14, 0.7, cc, bias=2.0 * b)
+        np.testing.assert_allclose(k2b, 2.0 * k2, rtol=1e-10, atol=0)
+
+    def test_binned_nfw_include_2h(self, cc):
+        from orphics_tpu.models import nfwfit
+        geom = rect_geometry(width_arcmin=64.0, px_res_arcmin=0.5)
+        edges = np.arange(0.5, 12, 1.0)
+        _, p1 = nfwfit.binned_nfw(2e14, 0.7, 3.0, cc, geom, edges,
+                                  lmax=6000, lmin=200)
+        _, p2 = nfwfit.binned_nfw(2e14, 0.7, 3.0, cc, geom, edges,
+                                  lmax=6000, lmin=200, include_2h=True)
+        d = np.asarray(p2) - np.asarray(p1)
+        assert np.all(np.isfinite(d)) and np.all(d > 0)
+        # 2h addition is a smooth, slowly-declining excess
+        assert d[0] < 0.05 and d[0] > d[-1] > 0
+
+    def test_binned_nfw_miscentering(self, cc):
+        """sigma_mis (arcmin) convolves the profile with a Rayleigh
+        offset distribution (reference improved-path via hmvec): tiny
+        sigma reproduces the centered profile, large sigma suppresses
+        the core and pushes signal outward."""
+        from orphics_tpu.models import nfwfit
+        geom = rect_geometry(width_arcmin=64.0, px_res_arcmin=0.5)
+        edges = np.arange(0.5, 12, 1.0)
+        kw = dict(lmax=6000, lmin=200, overdensity=500, critical=True)
+        _, p0 = nfwfit.binned_nfw(2e14, 0.7, 3.0, cc, geom, edges, **kw)
+        _, ps = nfwfit.binned_nfw(2e14, 0.7, 3.0, cc, geom, edges,
+                                  sigma_mis=0.02, **kw)
+        _, pm = nfwfit.binned_nfw(2e14, 0.7, 3.0, cc, geom, edges,
+                                  sigma_mis=2.0, **kw)
+        assert abs(float(ps[0] / p0[0]) - 1.0) < 0.01
+        assert float(pm[0]) < 0.5 * float(p0[0])
+        assert float(pm[2]) > float(p0[2])
+
     def test_rayleigh_normalized_peak(self):
         from orphics_tpu.models.nfwfit import rayleigh
         th = np.linspace(0, 10, 4001)
