@@ -656,13 +656,16 @@ def bench_sht():
     rings = sht.gauss_legendre_rings(lmax)
     nalm = (lmax + 1) * (lmax + 2) // 2
 
+    batch = int(os.environ.get("BENCH7_BATCH", 1))
+
     @jax.jit
     def mkalm(key):
         kr, ki = jax.random.split(key)
-        a = (jax.random.normal(kr, (nalm,), jnp.float32)
-             + 1j * jax.random.normal(ki, (nalm,), jnp.float32))
-        return a.at[: lmax + 1].set(
-            jnp.real(a[: lmax + 1]).astype(jnp.complex64))
+        shp = (nalm,) if batch == 1 else (batch, nalm)
+        a = (jax.random.normal(kr, shp, jnp.float32)
+             + 1j * jax.random.normal(ki, shp, jnp.float32))
+        return a.at[..., : lmax + 1].set(
+            jnp.real(a[..., : lmax + 1]).astype(jnp.complex64))
 
     maxerr = jax.jit(lambda a, b: jnp.abs(a - b).max())
     a0 = mkalm(jax.random.PRNGKey(0))
@@ -678,9 +681,11 @@ def bench_sht():
             a = sht.map2alm(sht.alm2map(a, rings, lmax), rings, lmax)
         _sync_scalar(maxerr(a, a0))
         dt = time.perf_counter() - t0
-    rate = nrep / dt
+    rate = nrep * batch / dt
+    tag = f"sht_roundtrips_per_sec_lmax{lmax}" \
+        + (f"_batch{batch}" if batch > 1 else "")
     print(json.dumps({
-        "metric": f"sht_roundtrips_per_sec_lmax{lmax}",
+        "metric": tag,
         "value": round(rate, 3), "unit": "roundtrips/s",
         "vs_baseline": round(rate, 3)}), flush=True)
 

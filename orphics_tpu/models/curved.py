@@ -74,15 +74,30 @@ def synalm_matrix(key, ps, lmax: int):
     return jnp.einsum("kij,jk->ik", mix, unit)
 
 
-def rand_map(key, rings: RingGeom, ps, lmax: int, pol: bool = None):
+def rand_map(key, rings: RingGeom, ps, lmax: int, pol: bool = None,
+             nsims: int = None):
     """Curved-sky GRF realization (reference ``cs.rand_map`` role at
     ``orphics/maps.py:744``).
 
     ``ps`` is a 1D TT spectrum, or a ``(nc, nc, nl)`` matrix whose
     components are ordered T, E, B (pol synthesis via spin-2).
-    Returns ``(ntheta, nphi)`` or ``(3, ntheta, nphi)``.
+    Returns ``(ntheta, nphi)`` or ``(3, ntheta, nphi)``; with
+    ``nsims`` an ensemble with a leading sims dim — the batched alm
+    stacks ride the packed Pallas Legendre kernels on accelerator
+    backends (several maps per l-recurrence).
     """
     ps = jnp.asarray(ps)
+    if nsims is not None:
+        keys = jax.random.split(key, nsims)
+        if ps.ndim == 1:
+            alms = jax.vmap(lambda k: almops.synalm(
+                k, ps, lmax=lmax,
+                dtype=jnp.result_type(ps.dtype, jnp.complex64)))(keys)
+            return sht.alm2map(alms, rings, lmax)
+        alms = jax.vmap(lambda k: synalm_matrix(k, ps, lmax))(keys)
+        if ps.shape[0] == 1:
+            return sht.alm2map(alms[:, 0], rings, lmax)
+        return sht.alm2map_pol(alms, rings, lmax)
     if ps.ndim == 1:
         a = almops.synalm(key, ps, lmax=lmax,
                           dtype=jnp.result_type(ps.dtype, jnp.complex64))

@@ -5,10 +5,11 @@ Reference anchors: ``nfw_kappa``/``NFWkappa`` (``orphics/lensing.py:711,
 ``filter_bin_kappa1d/2d`` (``:108,115``), ``lens_cov_pol``/``lens_cov``/
 ``beam_cov`` (``:525,588,626``).
 
-The mass-likelihood scan is vmapped over masses (the reference loops in
-Python), and the lensed covariance lenses covariance rows/columns as
-batched maps — the row-parallel MPI loop of ``lens_cov_pol`` becomes a
-sharded vmap.
+The chi^2 mass scan in :func:`mass_estimate` is vmapped over masses;
+:func:`fit_nfw_profile` walks its (host-side) profile models in a
+Python loop like the reference. The lensed covariance lenses covariance
+rows/columns as batched maps — the row-parallel MPI loop of
+``lens_cov_pol`` becomes a sharded vmap.
 """
 from __future__ import annotations
 

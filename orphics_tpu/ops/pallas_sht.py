@@ -22,8 +22,11 @@ Layout: working tiles are (m sublanes, rings lanes); the l-tables are
 stored transposed (m, l) so the per-l slice is a (mtile, 1) column.
 fp32, host-known theta only (the distributed traced-theta path keeps
 the scan). Synthesis (:func:`alm2map_pl`) and analysis
-(:func:`map2alm_pl`); batches run the compiled kernel per map from the
-host wrapper (one compile, B dispatches).
+(:func:`map2alm_pl`); batched inputs chunk into groups of
+:func:`_pack` maps per launch — the packed kernels
+(``_ana/_syn_kernel_b``) contract every map in the group against ONE
+l-recurrence, amortizing the ~40-VPU-flop double-single step per
+(m, ring, l) that dominates single-map transforms.
 
 Spin-2 rides the SAME kernel: the spin transform pair splits into two
 independent n = -s / n = +s Legendre transforms (``a_pm = -(E ± iB)``;
@@ -171,6 +174,68 @@ def _syn_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
     outi[...] = out[6]
 
 
+def _ana_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
+                  Gr, Gi, outr, outi, *, Lp, ttile, mtile, nmaps):
+    """Packed analysis: one l-recurrence contracts ``nmaps`` maps
+    (G refs and outputs carry a leading maps dim) — the recurrence
+    cost (~40 VPU flops per (m, ring, l)) amortizes over the batch."""
+    jt = pl.program_id(1)
+
+    @pl.when(jt == 0)
+    def _init():
+        outr[...] = jnp.zeros((nmaps, mtile, Lp), jnp.float32)
+        outi[...] = jnp.zeros((nmaps, mtile, Lp), jnp.float32)
+
+    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    gr = Gr[:]                                   # (nmaps, mtile, ttile)
+    gi = Gi[:]
+    z = jnp.zeros((mtile, ttile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((mtile, ttile), jnp.int32))
+
+    def chunk(ic, carry):
+        base = ic * _UNROLL
+        accr = []
+        acci = []
+        for j in range(_UNROLL):
+            carry, lw = _dd_step(base + j, tabs, vals, carry)
+            accr.append(jnp.sum(lw[None] * gr, axis=2)[..., None])
+            acci.append(jnp.sum(lw[None] * gi, axis=2)[..., None])
+        rr = jnp.concatenate(accr, axis=2)       # (nmaps, mtile, UNROLL)
+        ri = jnp.concatenate(acci, axis=2)
+        outr[:, :, pl.ds(base, _UNROLL)] = \
+            outr[:, :, pl.ds(base, _UNROLL)] + rr
+        outi[:, :, pl.ds(base, _UNROLL)] = \
+            outi[:, :, pl.ds(base, _UNROLL)] + ri
+        return carry
+
+    jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
+
+
+def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
+                  ar, ai, outr, outi, *, Lp, ttile, mtile, nmaps):
+    """Packed synthesis: one l-recurrence drives ``nmaps`` alm sets."""
+    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    z = jnp.zeros((mtile, ttile), jnp.float32)
+    zb = jnp.zeros((nmaps, mtile, ttile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((mtile, ttile), jnp.int32), zb, zb)
+
+    def chunk(ic, carry):
+        lam_carry = carry[:5]
+        accr, acci = carry[5], carry[6]
+        base = ic * _UNROLL
+        for j in range(_UNROLL):
+            lam_carry, lw = _dd_step(base + j, tabs, vals, lam_carry)
+            accr = accr + lw[None] * ar[:, :, pl.ds(base + j, 1)]
+            acci = acci + lw[None] * ai[:, :, pl.ds(base + j, 1)]
+        return lam_carry + (accr, acci)
+
+    out = jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
+    outr[...] = out[5]
+    outi[...] = out[6]
+
+
 def _tiles(lmax):
     """VMEM budget: the (mtile, Lp) l-tables dominate (6 fp32 planes +
     the alm rows, double-buffered by the pipeline), so mtile shrinks
@@ -183,6 +248,12 @@ def _tiles(lmax):
     else:
         mtile = 32
     return mtile, 256
+
+
+def _pack(lmax):
+    """Maps packed per kernel launch for batched transforms: bounded by
+    the (nmaps, mtile, Lp) output blocks' VMEM share."""
+    return 4 if lmax < 1536 else 2
 
 
 def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0):
@@ -277,15 +348,19 @@ def _lambda_args(tabs):
             tabs["se"], tabs["l0"])
 
 
-def _batched(fn, x, ndim_core):
-    """Run ``fn`` over the leading batch dims of ``x`` (compiled once,
-    dispatched per element — the kernel is unbatched by design)."""
+def _batched(fn_one, fn_pack, x, ndim_core, lmax):
+    """Run over leading batch dims: single elements go through the
+    unbatched kernel; batches are chunked into groups of
+    :func:`_pack` maps, each group one packed-kernel launch (the
+    l-recurrence amortizes across the group)."""
     bshape = x.shape[: x.ndim - ndim_core]
     if bshape == ():
-        return fn(x)
+        return fn_one(x)
     flat = x.reshape((-1,) + x.shape[x.ndim - ndim_core:])
-    outs = [fn(flat[i]) for i in range(flat.shape[0])]
-    out = jnp.stack(outs)
+    P = _pack(lmax)
+    outs = [fn_pack(flat[i: i + P])
+            for i in range(0, flat.shape[0], P)]
+    out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
     return out.reshape(bshape + out.shape[1:])
 
 
@@ -297,7 +372,9 @@ def map2alm_pl(maps, rings, lmax: int, interpret: bool = False):
     return _batched(
         lambda m: _map2alm_pl_impl(m, tabs, rings=rings, lmax=lmax,
                                    interpret=interpret),
-        jnp.asarray(maps, jnp.float32), 2)
+        lambda m: _map2alm_pl_b_impl(m, tabs, rings=rings, lmax=lmax,
+                                     interpret=interpret),
+        jnp.asarray(maps, jnp.float32), 2, lmax)
 
 
 def _leg_ana(G, tabs, rings, lmax, interpret):
@@ -343,6 +420,63 @@ def _leg_syn(mat, tabs, rings, lmax, interpret):
         .astype(jnp.complex64)                       # (T, M+1)
 
 
+def _leg_ana_b(G, tabs, rings, lmax, interpret):
+    """Packed Legendre analysis: G (nmaps, M+1, T) complex ->
+    (nmaps, L+1, M+1) complex64 (one recurrence, nmaps contractions)."""
+    nmaps = G.shape[0]
+    mtile, ttile = _tiles(lmax)
+    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
+    Gr = jnp.pad(jnp.real(G), ((0, 0), (0, Mp - M1), (0, Tp - T)))
+    Gi = jnp.pad(jnp.imag(G), ((0, 0), (0, Mp - M1), (0, Tp - T)))
+    in_specs, tabml, mt = _specs(mtile, ttile, Lp, Tp)
+    bmt = pl.BlockSpec((nmaps, mtile, ttile), lambda im, jt: (0, im, jt),
+                       memory_space=pltpu.VMEM)
+    btab = pl.BlockSpec((nmaps, mtile, Lp), lambda im, jt: (0, im, 0),
+                        memory_space=pltpu.VMEM)
+    outr, outi = pl.pallas_call(
+        functools.partial(_ana_kernel_b, Lp=Lp, ttile=ttile,
+                          mtile=mtile, nmaps=nmaps),
+        grid=(Mp // mtile, Tp // ttile),
+        in_specs=in_specs + [bmt, bmt],
+        out_specs=[btab, btab],
+        out_shape=[jax.ShapeDtypeStruct((nmaps, Mp, Lp),
+                                        jnp.float32)] * 2,
+        interpret=interpret,
+    )(*_lambda_args(tabs), Gr.astype(jnp.float32),
+      Gi.astype(jnp.float32))
+    return (outr[:, :M1, :L1] + 1j * outi[:, :M1, :L1]) \
+        .swapaxes(-2, -1).astype(jnp.complex64)      # (nmaps, L+1, M+1)
+
+
+def _leg_syn_b(mat, tabs, rings, lmax, interpret):
+    """Packed Legendre synthesis: (nmaps, M+1, L+1) complex a-matrices
+    -> (nmaps, T, M+1) complex64 ring coefficients."""
+    nmaps = mat.shape[0]
+    mtile, ttile = _tiles(lmax)
+    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
+    ar = jnp.pad(jnp.real(mat), ((0, 0), (0, Mp - M1), (0, Lp - L1))) \
+        .astype(jnp.float32)
+    ai = jnp.pad(jnp.imag(mat), ((0, 0), (0, Mp - M1), (0, Lp - L1))) \
+        .astype(jnp.float32)
+    in_specs, tabml, mt = _specs(mtile, ttile, Lp, Tp)
+    bmt = pl.BlockSpec((nmaps, mtile, ttile), lambda im, jt: (0, im, jt),
+                       memory_space=pltpu.VMEM)
+    btab = pl.BlockSpec((nmaps, mtile, Lp), lambda im, jt: (0, im, 0),
+                        memory_space=pltpu.VMEM)
+    accr, acci = pl.pallas_call(
+        functools.partial(_syn_kernel_b, Lp=Lp, ttile=ttile,
+                          mtile=mtile, nmaps=nmaps),
+        grid=(Mp // mtile, Tp // ttile),
+        in_specs=in_specs + [btab, btab],
+        out_specs=[bmt, bmt],
+        out_shape=[jax.ShapeDtypeStruct((nmaps, Mp, Tp),
+                                        jnp.float32)] * 2,
+        interpret=interpret,
+    )(*_lambda_args(tabs), ar, ai)
+    return (accr[:, :M1, :T] + 1j * acci[:, :M1, :T]) \
+        .swapaxes(-2, -1).astype(jnp.complex64)      # (nmaps, T, M+1)
+
+
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
 def _map2alm_pl_impl(maps, tabs, *, rings, lmax: int,
                      interpret: bool = False):
@@ -352,6 +486,28 @@ def _map2alm_pl_impl(maps, tabs, *, rings, lmax: int,
     G = (F * w[:, None]).T                           # (M+1, T)
     mat = _leg_ana(G, tabs, rings, lmax, interpret)
     return _sht._mat2alm(mat, lmax)
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _map2alm_pl_b_impl(maps, tabs, *, rings, lmax: int,
+                       interpret: bool = False):
+    """Packed analysis of (nmaps, ntheta, nphi) maps."""
+    w = jnp.asarray(rings.weights_array(), jnp.float32) \
+        * jnp.float32(2.0 * np.pi / rings.nphi)
+    F = _sht._ring_analysis(maps, rings, lmax)       # (nmaps, T, M+1)
+    G = jnp.swapaxes(F * w[None, :, None], -2, -1)   # (nmaps, M+1, T)
+    mat = _leg_ana_b(G, tabs, rings, lmax, interpret)
+    return _sht._mat2alm(mat, lmax)
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _alm2map_pl_b_impl(alm, tabs, *, rings, lmax: int,
+                       interpret: bool = False):
+    """Packed synthesis of (nmaps, nalm) alms."""
+    mat = jnp.swapaxes(_sht._alm2mat(alm, lmax), -2, -1)
+    acc = _leg_syn_b(mat, tabs, rings, lmax, interpret)
+    return _sht._ring_synthesis(acc, rings, real=True) \
+        .astype(jnp.float32)
 
 
 def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False):
@@ -366,7 +522,9 @@ def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False):
     return _batched(
         lambda a: _alm2map_pl_impl(a, tabs, rings=rings, lmax=lmax,
                                    interpret=interpret),
-        alm, 1)
+        lambda a: _alm2map_pl_b_impl(a, tabs, rings=rings, lmax=lmax,
+                                     interpret=interpret),
+        alm, 1, lmax)
 
 
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
@@ -396,13 +554,16 @@ def map2alm_spin_pl(qmap, umap, rings, lmax: int, spin: int = 2,
         bshape = q.shape[:-2]
         qf = q.reshape((-1,) + q.shape[-2:])
         uf = u.reshape((-1,) + u.shape[-2:])
+        P = _pack(lmax)
         es, bs = zip(*[
-            _map2alm_spin_pl_impl(qf[i], uf[i], tabs_m, tabs_p,
-                                  rings=rings, lmax=lmax,
-                                  interpret=interpret)
-            for i in range(qf.shape[0])])
-        return (jnp.stack(es).reshape(bshape + es[0].shape),
-                jnp.stack(bs).reshape(bshape + bs[0].shape))
+            _map2alm_spin_pl_b_impl(qf[i: i + P], uf[i: i + P], tabs_m,
+                                    tabs_p, rings=rings, lmax=lmax,
+                                    interpret=interpret)
+            for i in range(0, qf.shape[0], P)])
+        e = jnp.concatenate(es) if len(es) > 1 else es[0]
+        b = jnp.concatenate(bs) if len(bs) > 1 else bs[0]
+        return (e.reshape(bshape + e.shape[1:]),
+                b.reshape(bshape + b.shape[1:]))
     return _map2alm_spin_pl_impl(q, u, tabs_m, tabs_p, rings=rings,
                                  lmax=lmax, interpret=interpret)
 
@@ -429,6 +590,28 @@ def _map2alm_spin_pl_impl(qmap, umap, tabs_m, tabs_p, *, rings,
             _sht._mat2alm(0.5j * (ap - am), lmax))
 
 
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _map2alm_spin_pl_b_impl(qmap, umap, tabs_m, tabs_p, *, rings,
+                            lmax: int, interpret: bool = False):
+    """Packed spin-s analysis of (nmaps, ntheta, nphi) Q/U maps."""
+    if rings.nphi < 2 * lmax + 1:
+        raise ValueError("nphi too small for requested lmax")
+    w = jnp.asarray(rings.weights_array(), jnp.float32) \
+        * jnp.float32(2.0 * np.pi / rings.nphi)
+    p_plus = qmap.astype(jnp.complex64) + 1j * umap.astype(jnp.complex64)
+    p_minus = qmap.astype(jnp.complex64) - 1j * umap.astype(jnp.complex64)
+    m = jnp.arange(lmax + 1)
+    phase = jnp.exp(-1j * m * rings.phi0).astype(jnp.complex64)
+    Fp = jnp.fft.fft(p_plus, axis=-1)[..., : lmax + 1] * phase
+    Fm = jnp.fft.fft(p_minus, axis=-1)[..., : lmax + 1] * phase
+    Gp = jnp.swapaxes(Fp * w[None, :, None], -2, -1)   # (nmaps, M+1, T)
+    Gm = jnp.swapaxes(Fm * w[None, :, None], -2, -1)
+    ap = _leg_ana_b(Gp, tabs_m, rings, lmax, interpret)
+    am = _leg_ana_b(Gm, tabs_p, rings, lmax, interpret)
+    return (_sht._mat2alm(-0.5 * (ap + am), lmax),
+            _sht._mat2alm(0.5j * (ap - am), lmax))
+
+
 def alm2map_spin_pl(ealm, balm, rings, lmax: int = None, spin: int = 2,
                     interpret: bool = False):
     """Pallas spin-s synthesis: (E, B) alms -> (Q, U) fp32 maps.
@@ -448,13 +631,16 @@ def alm2map_spin_pl(ealm, balm, rings, lmax: int = None, spin: int = 2,
         bshape = ealm.shape[:-1]
         ef = ealm.reshape((-1, ealm.shape[-1]))
         bf = balm.reshape((-1, balm.shape[-1]))
+        P = _pack(lmax)
         qs, us = zip(*[
-            _alm2map_spin_pl_impl(ef[i], bf[i], tabs_m, tabs_p,
-                                  rings=rings, lmax=lmax,
-                                  interpret=interpret)
-            for i in range(ef.shape[0])])
-        return (jnp.stack(qs).reshape(bshape + qs[0].shape),
-                jnp.stack(us).reshape(bshape + us[0].shape))
+            _alm2map_spin_pl_b_impl(ef[i: i + P], bf[i: i + P], tabs_m,
+                                    tabs_p, rings=rings, lmax=lmax,
+                                    interpret=interpret)
+            for i in range(0, ef.shape[0], P)])
+        q = jnp.concatenate(qs) if len(qs) > 1 else qs[0]
+        u = jnp.concatenate(us) if len(us) > 1 else us[0]
+        return (q.reshape(bshape + q.shape[1:]),
+                u.reshape(bshape + u.shape[1:]))
     return _alm2map_spin_pl_impl(ealm, balm, tabs_m, tabs_p, rings=rings,
                                  lmax=lmax, interpret=interpret)
 
@@ -468,6 +654,23 @@ def _alm2map_spin_pl_impl(ealm, balm, tabs_m, tabs_p, *, rings,
     am = -(emat - 1j * bmat)
     Sp = _leg_syn(ap, tabs_m, rings, lmax, interpret)  # (T, M+1)
     Sm = _leg_syn(am, tabs_p, rings, lmax, interpret)
+    q_m = 0.5 * (Sp + Sm)
+    u_m = -0.5j * (Sp - Sm)
+    q = _sht._ring_synthesis(q_m, rings, real=True)
+    u = _sht._ring_synthesis(u_m, rings, real=True)
+    return q.astype(jnp.float32), u.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _alm2map_spin_pl_b_impl(ealm, balm, tabs_m, tabs_p, *, rings,
+                            lmax: int, interpret: bool = False):
+    """Packed spin-s synthesis of (nmaps, nalm) E/B alms."""
+    emat = jnp.swapaxes(_sht._alm2mat(ealm, lmax), -2, -1)
+    bmat = jnp.swapaxes(_sht._alm2mat(balm, lmax), -2, -1)
+    ap = -(emat + 1j * bmat)
+    am = -(emat - 1j * bmat)
+    Sp = _leg_syn_b(ap, tabs_m, rings, lmax, interpret)  # (nmaps, T, M+1)
+    Sm = _leg_syn_b(am, tabs_p, rings, lmax, interpret)
     q_m = 0.5 * (Sp + Sm)
     u_m = -0.5j * (Sp - Sm)
     q = _sht._ring_synthesis(q_m, rings, real=True)

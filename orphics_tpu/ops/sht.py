@@ -633,17 +633,15 @@ def _lambda_scan(lmax, theta_np, ns, dtype, contract, init_out, xs=None,
     if vary_axes:
         # under shard_map, replicated initial carries must be promoted
         # to device-varying to match the theta-derived scan outputs
-        carry0 = jax.tree_util.tree_map(
-            lambda v: jax.lax.pvary(v, tuple(vary_axes)), carry0)
-        xs = jax.tree_util.tree_map(
-            lambda v: jax.lax.pvary(v, tuple(vary_axes)), xs)
-        A = jax.lax.pvary(A, tuple(vary_axes))
-        B = jax.lax.pvary(B, tuple(vary_axes))
-        C = jax.lax.pvary(C, tuple(vary_axes))
-        Al = jax.lax.pvary(Al, tuple(vary_axes))
-        Bl = jax.lax.pvary(Bl, tuple(vary_axes))
-        Cl = jax.lax.pvary(Cl, tuple(vary_axes))
-        ls = jax.lax.pvary(ls, tuple(vary_axes))
+        if hasattr(jax.lax, "pcast"):            # pvary deprecated
+            pv = lambda v: jax.lax.pcast(v, tuple(vary_axes),
+                                         to="varying")
+        else:
+            pv = lambda v: jax.lax.pvary(v, tuple(vary_axes))
+        carry0 = jax.tree_util.tree_map(pv, carry0)
+        xs = jax.tree_util.tree_map(pv, xs)
+        A, B, C, Al, Bl, Cl, ls = (pv(A), pv(B), pv(C), pv(Al), pv(Bl),
+                                   pv(Cl), pv(ls))
     out = lax.scan(step, carry0, (A, B, C, Al, Bl, Cl, ls, xs))[0][-1]
     return out
 

@@ -53,6 +53,22 @@ class TestRandMap:
         assert tqu.shape == (3,) + RINGS.shape
         assert bool(jnp.all(jnp.isfinite(tqu)))
 
+    def test_ensemble_nsims(self):
+        """nsims batches: leading sims dim, distinct realizations,
+        same statistics machinery as the per-key loop."""
+        m = curved.rand_map(jax.random.PRNGKey(3), RINGS,
+                            jnp.asarray(CL), LMAX, nsims=4)
+        assert m.shape == (4,) + RINGS.shape
+        assert bool(jnp.all(jnp.isfinite(m)))
+        assert float(jnp.abs(m[0] - m[1]).max()) > 0
+        ps = np.zeros((3, 3, LMAX + 1))
+        ps[0, 0] = CL
+        ps[1, 1] = CL
+        tqu = curved.rand_map(jax.random.PRNGKey(4), RINGS,
+                              jnp.asarray(ps), LMAX, nsims=2)
+        assert tqu.shape == (2, 3) + RINGS.shape
+        assert bool(jnp.all(jnp.isfinite(tqu)))
+
 
 class TestSmoothing:
     def test_beam_transfer(self):

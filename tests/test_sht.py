@@ -327,6 +327,32 @@ class TestPallasSHT:
         assert a2.shape == alms.shape
         assert np.abs(np.asarray(a2) - np.asarray(alms)).max() < 3e-6
 
+    def test_spin2_batched_packed(self):
+        """Batched spin-2 goes through the packed (multi-map) kernels;
+        parity with the per-map path."""
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 31
+        rings = sht.gauss_legendre_rings(lmax)
+        def spin_alm(s):
+            a = _random_alm(jax.random.PRNGKey(s), lmax,
+                            dtype=jnp.complex64)
+            mat = sht._alm2mat(a, lmax).at[:2, :].set(0)
+            return sht._mat2alm(mat, lmax)
+        es = jnp.stack([spin_alm(s) for s in (5, 6, 7)])
+        bs = jnp.stack([spin_alm(s) for s in (8, 9, 10)])
+        q, u = ps.alm2map_spin_pl(es, bs, rings, lmax, interpret=True)
+        assert q.shape == (3, rings.ntheta, rings.nphi)
+        for i in range(3):
+            qr, ur = ps.alm2map_spin_pl(es[i], bs[i], rings, lmax,
+                                        interpret=True)
+            sc = float(jnp.abs(qr).max())
+            assert float(jnp.abs(q[i] - qr).max()) < 1e-6 * sc
+            assert float(jnp.abs(u[i] - ur).max()) < 1e-6 * sc
+        e2, b2 = ps.map2alm_spin_pl(q, u, rings, lmax, interpret=True)
+        assert e2.shape == es.shape
+        assert float(jnp.abs(e2 - es).max()) < 3e-6
+        assert float(jnp.abs(b2 - bs).max()) < 3e-6
+
     def test_spin2_parity_and_roundtrip(self):
         """Spin-2 as two n = -+2 kernel launches vs the scan path."""
         from orphics_tpu.ops import pallas_sht as ps
