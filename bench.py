@@ -336,13 +336,7 @@ def bench_qe_recon():
             .astype(np.float32))
         n0_pp = jnp.asarray(np.asarray(
             q.N_L_kk("TT"))[perm][:, perm].astype(np.float32))
-        dig = np.digitize(ml_full[perm][:, perm], edges).astype(np.int32)
-        dig[dig == len(edges)] = 0
-        nseg = len(edges)
-        idc = jnp.asarray(dig.ravel())
-        icnt = jnp.asarray(
-            (1.0 / np.maximum(np.bincount(dig.ravel(), minlength=nseg),
-                              1))[1:].astype(np.float32))
+        idc, icnt, nseg = pf.permuted_bin_tables(ml_full, perm, edges)
         npairs = batch // 2
 
         @jax.jit

@@ -662,7 +662,16 @@ def filter_fits(infile, conditions=None, drop_cols=None, strict=True,
                 keep &= np.asarray(cols[name]) > thresh
         else:
             ns = {k: np.asarray(v) for k, v in cols.items()}
-            keep &= np.asarray(eval(conditions, {"np": np}, ns), bool)
+            # empty __builtins__ — otherwise eval() injects the real
+            # builtins module, making the condition string a code-
+            # execution vector (__import__ etc.)
+            try:
+                keep &= np.asarray(
+                    eval(conditions, {"np": np, "__builtins__": {}}, ns),
+                    bool)
+            except NameError:
+                if strict:
+                    raise
     if mask is not None:
         if ra_name not in cols or dec_name not in cols:
             if strict:

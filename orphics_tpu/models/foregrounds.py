@@ -102,17 +102,22 @@ def dl_filler(ells, ls, cls, fill_type="extrapolate", fill_positive=False,
     ells = np.asarray(ells, dtype=float)
     ls = np.asarray(ls, dtype=float)
     cls = np.asarray(cls, dtype=float)
+    if ls.size > 1 and np.any(np.diff(ls) < 0):
+        order = np.argsort(ls)           # np.interp needs ascending xp
+        ls, cls = ls[order], cls[order]
     if not silence and ells.max() > ls.max():
         warnings.warn("Requested ells above available range; filling per "
                       f"fill_type={fill_type}")
     out = np.interp(ells, ls, cls)       # linear inside, clamped outside
     lo = ells < ls[0]
     hi = ells > ls[-1]
-    if fill_type == "extrapolate":
+    if fill_type == "extrapolate" and ls.size > 1:
         out[lo] = cls[0] + (cls[1] - cls[0]) / (ls[1] - ls[0]) * (
             ells[lo] - ls[0])
         out[hi] = cls[-1] + (cls[-1] - cls[-2]) / (ls[-1] - ls[-2]) * (
             ells[hi] - ls[-1])
+    elif fill_type == "extrapolate":
+        pass                             # 1-point table: clamp
     elif fill_type == "constant_dl":
         out[lo] = 0.0
         out[hi] = cls[-1]
@@ -650,12 +655,14 @@ def model_vec(all_params, params, ell, freqs, dT_guess, beams, lknees,
     blocks = []
     for i, j in itertools.combinations_with_replacement(
             range(len(freqs)), 2):
-        nu1 = freqs[i]
         b1, b2 = beams[i](ell), beams[j](ell)
         mod = (p["A_cmb"] * cl_cmb_tmpl
                + fg_cl(ell, p, i, j, cl_tsz_tmpl, freqs)) * b1 * b2
-        sig = dT_guess[i] * p[f"rN_{int(nu1)}"]
-        mod = mod + get_noise(ell, i, j, sig, sig, lknees, alphas,
+        # per-LEG noise amplitudes (cross pairs carry sig_i, sig_j —
+        # cf. evaluate_model_dict; a single sig biased Aatm_corr fits)
+        sig1 = dT_guess[i] * p[f"rN_{int(freqs[i])}"]
+        sig2 = dT_guess[j] * p[f"rN_{int(freqs[j])}"]
+        mod = mod + get_noise(ell, i, j, sig1, sig2, lknees, alphas,
                               p["Aatm_corr"])
         blocks.append(mod)
     return np.concatenate(blocks)
@@ -696,7 +703,6 @@ def fit_cross_leastsq(data, freqs_ghz, P, ell_cuts, theory_func, params0,
 
     pairs = list(data.keys())
     bandpowers, errors, keeps = {}, {}, {}
-    ell_idx = np.arange(L)
     has_weight = P != 0.0
     for pair in pairs:
         item = data[pair]
@@ -713,11 +719,12 @@ def fit_cross_leastsq(data, freqs_ghz, P, ell_cuts, theory_func, params0,
             keeps[pair] = np.ones(Nb, bool)
         elif (isinstance(cuts, (list, tuple)) and len(cuts)
               and np.ndim(cuts[0]) == 1):
+            # (lmin, lmax) ranges select by PHYSICAL ell value, not
+            # column index (the two only coincide for ell=arange(L))
             inc = np.zeros(L, bool)
             for lmin, lmax in cuts:
-                lmin, lmax = sorted((int(lmin), int(lmax)))
-                inc |= (ell_idx >= max(lmin, 0)) & (ell_idx
-                                                    <= min(lmax, L - 1))
+                lmin, lmax = sorted((float(lmin), float(lmax)))
+                inc |= (ell >= lmin) & (ell <= lmax)
             keeps[pair] = np.any(has_weight[:, inc], axis=1)
         else:
             km = np.asarray(cuts, bool)

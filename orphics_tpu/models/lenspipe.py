@@ -122,10 +122,14 @@ class LensedQEPipeline:
         # --- Pallas full-plane plan (see pp_step): everything the fused
         # MXU path needs as doubly-permuted static planes
         ny_, nx_ = geom.shape
-        self.impl = ("pallas" if (impl in ("auto", "pallas")
-                                  and ny_ == nx_ and nx_ % 128 == 0
-                                  and nx_ >= 256) else "xla") \
-            if impl != "xla" else "xla"
+        pallas_ok = ny_ == nx_ and nx_ % 128 == 0 and nx_ >= 256
+        if impl == "pallas" and not pallas_ok:
+            raise ValueError(
+                f"impl='pallas' requires a square grid, n % 128 == 0 "
+                f"and n >= 256; got {geom.shape}. Use impl='auto' for "
+                "silent fallback to the XLA path.")
+        self.impl = "pallas" if (impl in ("auto", "pallas")
+                                 and pallas_ok) else "xla"
         if self.impl == "pallas":
             from ..ops import pallas_fft as pfft
             n = nx_
@@ -161,15 +165,9 @@ class LensedQEPipeline:
                              / (16.0 * np.log(2.0)))
             self.nscale_pp = pp(self.ncov_h / np.maximum(kbeam_f, 1e-8))
             self.n0_pp = pp(np.asarray(self.qe.N_L_kk("TT")))
-            # permuted full-plane binning tables
-            dig = np.digitize(ml[perm][:, perm], edges).astype(np.int32)
-            dig[dig == len(edges)] = 0
-            self._nseg = len(edges)
-            self._idc = jnp.asarray(dig.ravel())
-            self._icnt = jnp.asarray(
-                (1.0 / np.maximum(np.bincount(dig.ravel(),
-                                              minlength=self._nseg), 1))
-                [1:].astype(np.float32))
+            # permuted full-plane binning tables (shared recipe)
+            self._idc, self._icnt, self._nseg = \
+                pfft.permuted_bin_tables(ml, perm, edges)
 
     def _interleave(self, a, b):
         """(P, n, n) x 2 -> (2P, n, n), pairs adjacent."""

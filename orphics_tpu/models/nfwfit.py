@@ -31,10 +31,12 @@ __all__ = ["nfw_kappa", "NFWkappa", "binned_nfw", "fit_nfw_profile",
 
 def nfw_kappa(mass_msun_overh, modrmap_radians, cc, zL=0.7,
               concentration=3.2, overdensity=180.0, critical=False,
-              at_cluster_z=False):
+              at_cluster_z=False, z_s=None):
     """NFW convergence on a radial grid using a Cosmology for distances
-    (reference ``lensing.py:711``)."""
-    comS = cc.comoving_radial_distance(cc.cmbZ) * cc.h
+    (reference ``lensing.py:711``; source plane ``z_s`` defaults to the
+    CMB as there)."""
+    comS = cc.comoving_radial_distance(cc.cmbZ if z_s is None
+                                       else z_s) * cc.h
     comL = cc.comoving_radial_distance(zL) * cc.h
     win = (comS - comL) / comS
     zdensity = zL if at_cluster_z else 0.0
@@ -64,16 +66,62 @@ def NFWkappa(cc, mass_msun_overh, concentration, zL, theta_arcmin,
     return kappa, rdel
 
 
-def halo_bias(mass_msun_overh, z, cc, critical=False):
-    """Tinker et al. 2010 linear bias for a halo of the given mass
-    (Msun/h). ``critical=True`` interprets the mass as M200c and
-    converts to the 200-mean definition the bias fit is calibrated at
-    (NFW + Duffy concentration); otherwise mass is taken as M200m."""
-    from .szhalo import tinker_bias, m200c_to_m200m
-    m_msun = float(mass_msun_overh) / cc.h
-    if critical:
+def _mdelta_to_m200m(m_msun, z, cc, delta, critical):
+    """Convert M_delta (Msun, at ``delta`` x rho_{crit|mean}(z)) to the
+    200-mean definition, assuming an NFW profile with Duffy c200c(M):
+    outer bisection on M200c such that the NFW mass enclosed at the
+    delta-overdensity radius equals ``m_msun``; then the existing
+    M200c -> M200m conversion."""
+    from .szhalo import (m200c_to_m200m, duffy_c200c, _nfw_mu,
+                         _RHO_CRIT0_H2)
+    if delta == 200 and not critical:
+        return m_msun
+    if delta == 200 and critical:
         m200m, _ = m200c_to_m200m(np.atleast_1d(m_msun), z, cc)
-        m_msun = float(np.asarray(m200m).reshape(-1)[0])
+        return float(np.asarray(m200m).reshape(-1)[0])
+    h = cc.h
+    rho_c = _RHO_CRIT0_H2 * h ** 2 * cc.Ez(z) ** 2       # Msun/Mpc^3
+    rho_ref = rho_c if critical \
+        else _RHO_CRIT0_H2 * h ** 2 * cc.om * (1 + z) ** 3
+
+    def mass_at_delta(m200c):
+        r200c = (3 * m200c / (4 * np.pi * 200.0 * rho_c)) ** (1 / 3.0)
+        c = float(duffy_c200c(m200c, z, h))
+        rs = r200c / c
+        rho_s = m200c / (4 * np.pi * rs ** 3 * _nfw_mu(c))
+        # inner bisection: M(r) = (4 pi/3) delta rho_ref r^3
+        glo, ghi = 0.05 * r200c, 20.0 * r200c
+        for _ in range(60):
+            mid = 0.5 * (glo + ghi)
+            if (rho_s * rs ** 3 * _nfw_mu(mid / rs)
+                    > (delta / 3.0) * rho_ref * mid ** 3):
+                glo = mid
+            else:
+                ghi = mid
+        r_d = 0.5 * (glo + ghi)
+        return (4 * np.pi / 3.0) * delta * rho_ref * r_d ** 3
+
+    lo, hi = m_msun * 1e-2, m_msun * 1e2
+    for _ in range(80):                # monotone in m200c
+        mid = np.sqrt(lo * hi)
+        if mass_at_delta(mid) < m_msun:
+            lo = mid
+        else:
+            hi = mid
+    m200c = np.sqrt(lo * hi)
+    m200m, _ = m200c_to_m200m(np.atleast_1d(m200c), z, cc)
+    return float(np.asarray(m200m).reshape(-1)[0])
+
+
+def halo_bias(mass_msun_overh, z, cc, critical=False, overdensity=200.0):
+    """Tinker et al. 2010 linear bias for a halo of the given mass
+    (Msun/h) in the (``overdensity``, ``critical``) definition; the
+    mass is converted to the 200-mean definition the bias fit is
+    calibrated at (NFW + Duffy concentration, :func:`_mdelta_to_m200m`)
+    before forming the peak height."""
+    m_msun = _mdelta_to_m200m(float(mass_msun_overh) / cc.h, z, cc,
+                              float(overdensity), bool(critical))
+    from .szhalo import tinker_bias
     rho_m0 = cc.rho_crit0_h2() * cc.h ** 2 * cc.om       # Msun/Mpc^3
     R_mpc = (3.0 * m_msun / (4.0 * np.pi * rho_m0)) ** (1.0 / 3.0)
     sig = float(cc.sigmaR(R_mpc * cc.h, z))
@@ -81,8 +129,8 @@ def halo_bias(mass_msun_overh, z, cc, critical=False):
 
 
 def kappa_2h_profile(thetas_rad, mass_msun_overh, z, cc, z_s=1100.0,
-                     critical=False, bias=None, lmin=2, lmax=10000,
-                     nl=2048):
+                     critical=False, overdensity=200.0, bias=None,
+                     lmin=2, lmax=10000, nl=2048):
     """Two-halo convergence profile of a halo at ``z`` (reference
     ``binned_nfw``'s ``hm.kappa_2h_profiles``, ``orphics/lensing.py:300``
     — the hmvec optional dependency made native).
@@ -99,7 +147,8 @@ def kappa_2h_profile(thetas_rad, mass_msun_overh, z, cc, z_s=1100.0,
     """
     from scipy.special import j0
     if bias is None:
-        bias = halo_bias(mass_msun_overh, z, cc, critical=critical)
+        bias = halo_bias(mass_msun_overh, z, cc, critical=critical,
+                         overdensity=overdensity)
     chiL = float(cc.comoving_radial_distance(z))         # Mpc
     chiS = float(cc.comoving_radial_distance(z_s))
     H0_invmpc = cc.H0 / 299792.458                       # 1/Mpc
@@ -138,19 +187,21 @@ def binned_nfw(mass, z, conc, cc, geom: Geometry, bin_edges_arcmin,
         koff, _ = kappa_nfw_profiley1d(
             ths, mass=mass, conc=conc, z=z, z_s=z_s,
             delta=overdensity, critical=critical, R_off_Mpc=R_off,
-            R_off_Mpc_max=max(4.0 * R_off, 1.0), cc=cc)
+            R_off_Mpc_max=max(4.0 * R_off, 1.0),
+            at_cluster_z=at_cluster_z, cc=cc)
         k = jnp.interp(modrmap.reshape(-1), ths,
                        koff).reshape(geom.shape)
     else:
         k = nfw_kappa(mass, modrmap, cc, zL=z, concentration=conc,
                       overdensity=overdensity, critical=critical,
-                      at_cluster_z=at_cluster_z)
+                      at_cluster_z=at_cluster_z, z_s=z_s)
     if include_2h:
         modr = np.asarray(modrmap)
         ths = np.geomspace(max(modr[modr > 0].min() * 0.5, 1e-7),
                            modr.max() * 1.05, 128)
         k2h = kappa_2h_profile(ths, mass, z, cc, z_s=z_s,
-                               critical=critical)
+                               critical=critical,
+                               overdensity=overdensity)
         k = k + jnp.interp(modrmap.reshape(-1), jnp.asarray(ths),
                            jnp.asarray(k2h)).reshape(geom.shape)
     if kmask is None:
@@ -354,7 +405,8 @@ def mass_estimate(kappa_recon, kappa_noise_2d, geom: Geometry,
 
 def kappa_nfw_profiley1d(thetas, mass=2e14, conc=3.0, z=0.7, z_s=1100.0,
                          delta=500, critical=True, R_off_Mpc=None,
-                         R_off_Mpc_max=1.0, N_off=50, N_phi=64, cc=None):
+                         R_off_Mpc_max=1.0, N_off=50, N_phi=64,
+                         at_cluster_z=True, cc=None):
     """Miscentered NFW convergence profile (the role of reference
     ``lensing.py`` ``kappa_nfw_profiley1d``, natively instead of the
     profiley/pyccl/colossus stack): the centered profile from the
@@ -374,8 +426,9 @@ def kappa_nfw_profiley1d(thetas, mass=2e14, conc=3.0, z=0.7, z_s=1100.0,
     comS = cc.comoving_radial_distance(z_s) * cc.h
     win = (comS - comL) / comS
     thetas = jnp.atleast_1d(jnp.asarray(thetas))
-    rdel = (cc.rdel_c(mass, z, delta) if critical
-            else cc.rdel_m(mass, z, delta))
+    zdensity = z if at_cluster_z else 0.0
+    rdel = (cc.rdel_c(mass, zdensity, delta) if critical
+            else cc.rdel_m(mass, zdensity, delta))
     kap = lambda th: nfw_kappa_profile(
         th, mass, comL, win, z, conc, rdel_mpc_overh=float(rdel))
     k1 = kap(thetas)

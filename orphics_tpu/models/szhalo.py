@@ -440,16 +440,20 @@ class CIBHaloModel(HaloModelYY):
         return chi, dvdz
 
     def cib_cl(self, ells, nu1_ghz, nu2_ghz=None, flux_cut_mJy=None,
-               in_uk2=False):
+               flux_cut2_mJy=None, in_uk2=False):
         """Clustered CIB power (1h cen-sat + sat-sat, 2h) at a
         frequency pair. Returns dict with '1h', '2h', 'total' in
         Jy^2/sr, or thermodynamic uK^2 with ``in_uk2``. The pure
         Poisson (cen-cen shot noise) term is intentionally excluded —
         the reference covers it with the separate ``power_cibp``
-        template."""
+        template. ``flux_cut2_mJy`` sets the second leg's flux limit
+        (defaults to the first's) — per-frequency cuts differ in any
+        real survey."""
         from .foregrounds import ItoDeltaT
         if nu2_ghz is None:
             nu2_ghz = nu1_ghz
+        if flux_cut2_mJy is None:
+            flux_cut2_mJy = flux_cut_mJy
         ells = np.asarray(ells, np.float64)
         chi, dvdz = self._limber_weights()
         one = np.zeros((len(self.zs), len(ells)))
@@ -460,7 +464,7 @@ class CIBHaloModel(HaloModelYY):
             u = _u_nfw(k, self.ms, z, self.cc)          # (nm, nl)
             w = self.dndlnm[iz]
             s1c, s1s = self._flux(nu1_ghz, iz, flux_cut_mJy)
-            s2c, s2s = self._flux(nu2_ghz, iz, flux_cut_mJy)
+            s2c, s2s = self._flux(nu2_ghz, iz, flux_cut2_mJy)
             oneh = (s1c[:, None] * s2s[:, None] * u
                     + s2c[:, None] * s1s[:, None] * u
                     + s1s[:, None] * s2s[:, None] * u ** 2)
@@ -541,7 +545,8 @@ def compton_y_cib_powers(freqs_ghz, flux_limits_mJy=None, lmin=2,
                               flux_cut_mJy=flux_limits_mJy[i])["total"]
         for j in range(i, nf):
             cij = hm.cib_cl(ells, freqs_ghz[i], freqs_ghz[j],
-                            flux_cut_mJy=flux_limits_mJy[i])["total"]
+                            flux_cut_mJy=flux_limits_mJy[i],
+                            flux_cut2_mJy=flux_limits_mJy[j])["total"]
             cib[i, j] = cij
             cib[j, i] = cij
     return {"ells": ells, "yy": yy, "cib_cib": cib, "y_cib": ycib}

@@ -122,6 +122,26 @@ def row_perm(n: int):
     return perm, inv
 
 
+def permuted_bin_tables(modlmap, perm, edges):
+    """Radial-binning tables for the MXU bin reduce on doubly-permuted
+    full planes: digitize |l| against ``edges`` in the [perm][:, perm]
+    layout, with the np.digitize overflow segment (== len(edges))
+    folded into the out-of-range segment 0. Returns (idc, icnt, nseg):
+    flat int32 segment ids, per-bin inverse counts (skipping segment
+    0), and the segment count. Shared by the bench config-3 plan and
+    LensedQEPipeline — keep the convention in ONE place."""
+    import jax.numpy as _jnp
+    dig = np.digitize(np.asarray(modlmap, np.float64)[perm][:, perm],
+                      np.asarray(edges)).astype(np.int32)
+    dig[dig == len(edges)] = 0
+    nseg = len(edges)
+    idc = _jnp.asarray(dig.ravel())
+    icnt = _jnp.asarray(
+        (1.0 / np.maximum(np.bincount(dig.ravel(), minlength=nseg),
+                          1))[1:].astype(np.float32))
+    return idc, icnt, nseg
+
+
 def _fwd_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
                 xre_ref, xim_ref, ore_ref, oim_ref, *, A, B, fast):
     FBre, FBim = FBre_ref[:], FBim_ref[:]

@@ -252,8 +252,11 @@ def _tiles(lmax):
 
 def _pack(lmax):
     """Maps packed per kernel launch for batched transforms: bounded by
-    the (nmaps, mtile, Lp) output blocks' VMEM share."""
-    return 4 if lmax < 1536 else 2
+    the (nmaps, mtile, Lp) output blocks' VMEM share. The drop to 2
+    happens at lmax 1024 — BEFORE the mtile drop at 1536 — because
+    nmaps=4 x mtile=128 x Lp~1536 blocks would overflow the 16 MB
+    scoped-vmem budget in the 1024..1535 window."""
+    return 4 if lmax < 1024 else 2
 
 
 def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0):
@@ -348,20 +351,30 @@ def _lambda_args(tabs):
             tabs["se"], tabs["l0"])
 
 
-def _batched(fn_one, fn_pack, x, ndim_core, lmax):
-    """Run over leading batch dims: single elements go through the
-    unbatched kernel; batches are chunked into groups of
-    :func:`_pack` maps, each group one packed-kernel launch (the
-    l-recurrence amortizes across the group)."""
-    bshape = x.shape[: x.ndim - ndim_core]
+def _batched(fn_one, fn_pack, xs, ndim_cores, lmax, empty):
+    """Run over leading batch dims shared by the arrays in ``xs``:
+    single elements go through the unbatched kernel; batches chunk
+    into groups of :func:`_pack` maps, each group one packed-kernel
+    launch (the l-recurrence amortizes across the group). ``fn_pack``
+    may return an array or a tuple (spin pairs); ``empty(bshape)``
+    supplies the zero-batch result."""
+    x0 = xs[0]
+    bshape = x0.shape[: x0.ndim - ndim_cores[0]]
     if bshape == ():
-        return fn_one(x)
-    flat = x.reshape((-1,) + x.shape[x.ndim - ndim_core:])
+        return fn_one(*xs)
+    flats = [x.reshape((-1,) + x.shape[x.ndim - nc:])
+             for x, nc in zip(xs, ndim_cores)]
+    if flats[0].shape[0] == 0:
+        return empty(bshape)
     P = _pack(lmax)
-    outs = [fn_pack(flat[i: i + P])
-            for i in range(0, flat.shape[0], P)]
-    out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
-    return out.reshape(bshape + out.shape[1:])
+    outs = [fn_pack(*[f[i: i + P] for f in flats])
+            for i in range(0, flats[0].shape[0], P)]
+
+    def cat(*parts):
+        out = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return out.reshape(bshape + out.shape[1:])
+
+    return jax.tree_util.tree_map(cat, *outs)
 
 
 def map2alm_pl(maps, rings, lmax: int, interpret: bool = False):
@@ -369,12 +382,14 @@ def map2alm_pl(maps, rings, lmax: int, interpret: bool = False):
     alm (parity with :func:`..sht.map2alm` in "full" mode)."""
     mtile, ttile = _tiles(lmax)
     tabs = _prep_dev(lmax, rings, mtile, ttile)
+    nalm = (lmax + 1) * (lmax + 2) // 2
     return _batched(
         lambda m: _map2alm_pl_impl(m, tabs, rings=rings, lmax=lmax,
                                    interpret=interpret),
         lambda m: _map2alm_pl_b_impl(m, tabs, rings=rings, lmax=lmax,
                                      interpret=interpret),
-        jnp.asarray(maps, jnp.float32), 2, lmax)
+        (jnp.asarray(maps, jnp.float32),), (2,), lmax,
+        lambda bshape: jnp.zeros(bshape + (nalm,), jnp.complex64))
 
 
 def _leg_ana(G, tabs, rings, lmax, interpret):
@@ -524,7 +539,9 @@ def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False):
                                    interpret=interpret),
         lambda a: _alm2map_pl_b_impl(a, tabs, rings=rings, lmax=lmax,
                                      interpret=interpret),
-        alm, 1, lmax)
+        (alm,), (1,), lmax,
+        lambda bshape: jnp.zeros(
+            bshape + (rings.ntheta, rings.nphi), jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
@@ -550,22 +567,16 @@ def map2alm_spin_pl(qmap, umap, rings, lmax: int, spin: int = 2,
     tabs_p = _prep_dev(lmax, rings, mtile, ttile, ns, 1)
     q = jnp.asarray(qmap, jnp.float32)
     u = jnp.asarray(umap, jnp.float32)
-    if q.ndim > 2:
-        bshape = q.shape[:-2]
-        qf = q.reshape((-1,) + q.shape[-2:])
-        uf = u.reshape((-1,) + u.shape[-2:])
-        P = _pack(lmax)
-        es, bs = zip(*[
-            _map2alm_spin_pl_b_impl(qf[i: i + P], uf[i: i + P], tabs_m,
-                                    tabs_p, rings=rings, lmax=lmax,
-                                    interpret=interpret)
-            for i in range(0, qf.shape[0], P)])
-        e = jnp.concatenate(es) if len(es) > 1 else es[0]
-        b = jnp.concatenate(bs) if len(bs) > 1 else bs[0]
-        return (e.reshape(bshape + e.shape[1:]),
-                b.reshape(bshape + b.shape[1:]))
-    return _map2alm_spin_pl_impl(q, u, tabs_m, tabs_p, rings=rings,
-                                 lmax=lmax, interpret=interpret)
+    nalm = (lmax + 1) * (lmax + 2) // 2
+    return _batched(
+        lambda qq, uu: _map2alm_spin_pl_impl(
+            qq, uu, tabs_m, tabs_p, rings=rings, lmax=lmax,
+            interpret=interpret),
+        lambda qq, uu: _map2alm_spin_pl_b_impl(
+            qq, uu, tabs_m, tabs_p, rings=rings, lmax=lmax,
+            interpret=interpret),
+        (q, u), (2, 2), lmax,
+        lambda bshape: (jnp.zeros(bshape + (nalm,), jnp.complex64),) * 2)
 
 
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
@@ -627,22 +638,16 @@ def alm2map_spin_pl(ealm, balm, rings, lmax: int = None, spin: int = 2,
     mtile, ttile = _tiles(lmax)
     tabs_m = _prep_dev(lmax, rings, mtile, ttile, ns, 0)
     tabs_p = _prep_dev(lmax, rings, mtile, ttile, ns, 1)
-    if ealm.ndim > 1:
-        bshape = ealm.shape[:-1]
-        ef = ealm.reshape((-1, ealm.shape[-1]))
-        bf = balm.reshape((-1, balm.shape[-1]))
-        P = _pack(lmax)
-        qs, us = zip(*[
-            _alm2map_spin_pl_b_impl(ef[i: i + P], bf[i: i + P], tabs_m,
-                                    tabs_p, rings=rings, lmax=lmax,
-                                    interpret=interpret)
-            for i in range(0, ef.shape[0], P)])
-        q = jnp.concatenate(qs) if len(qs) > 1 else qs[0]
-        u = jnp.concatenate(us) if len(us) > 1 else us[0]
-        return (q.reshape(bshape + q.shape[1:]),
-                u.reshape(bshape + u.shape[1:]))
-    return _alm2map_spin_pl_impl(ealm, balm, tabs_m, tabs_p, rings=rings,
-                                 lmax=lmax, interpret=interpret)
+    return _batched(
+        lambda ee, bb: _alm2map_spin_pl_impl(
+            ee, bb, tabs_m, tabs_p, rings=rings, lmax=lmax,
+            interpret=interpret),
+        lambda ee, bb: _alm2map_spin_pl_b_impl(
+            ee, bb, tabs_m, tabs_p, rings=rings, lmax=lmax,
+            interpret=interpret),
+        (ealm, balm), (1, 1), lmax,
+        lambda bshape: (jnp.zeros(
+            bshape + (rings.ntheta, rings.nphi), jnp.float32),) * 2)
 
 
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))

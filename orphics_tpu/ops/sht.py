@@ -737,7 +737,9 @@ def _pallas_ok(rings, lmax, real_dtype):
     scan, so CPU always keeps the scan path."""
     if os.environ.get("ORPHICS_TPU_SHT", "auto") == "scan":
         return False
-    if jax.default_backend() in ("cpu",):
+    # only TPU backends (incl. the axon remote client): the kernel is
+    # Mosaic/TPU-only (pltpu.VMEM blockspecs) — GPU keeps the scan
+    if jax.default_backend() not in ("tpu", "axon"):
         return False
     from . import pallas_sht
     return pallas_sht.supported(lmax, rings, real_dtype)

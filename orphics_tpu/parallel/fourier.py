@@ -30,7 +30,7 @@ sharded over ``sims`` *simultaneously* with rows over ``grid``.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -71,6 +71,19 @@ def _grid_specs(mesh: Mesh, axis: str, batch_axis, ndim: int):
     return P(*lead, axis, None)
 
 
+@lru_cache(maxsize=64)
+def _fft2_dist_fn(mesh: Mesh, axis: str, batch_axis, ndim: int,
+                  inverse: bool):
+    """Compiled-callable cache: jit keys on the callable object, so a
+    fresh shard_map wrapper per call would re-trace/compile every
+    invocation of a Monte-Carlo loop."""
+    spec = _grid_specs(mesh, axis, batch_axis, ndim)
+    fn = shard_map(
+        partial(_fft2_local, axis_name=axis, inverse=inverse, back=True),
+        mesh=mesh, in_specs=spec, out_specs=spec)
+    return jax.jit(fn)
+
+
 def fft2_dist(x, mesh: Mesh, axis: str = "grid", batch_axis=None,
               inverse: bool = False):
     """Distributed raw 2D FFT of row-sharded ``x`` (..., ny, nx).
@@ -80,11 +93,8 @@ def fft2_dist(x, mesh: Mesh, axis: str = "grid", batch_axis=None,
     shards a leading batch dimension over a second mesh axis.
     """
     x = jnp.asarray(x)
-    spec = _grid_specs(mesh, axis, batch_axis, x.ndim)
-    fn = shard_map(
-        partial(_fft2_local, axis_name=axis, inverse=inverse, back=True),
-        mesh=mesh, in_specs=spec, out_specs=spec)
-    return jax.jit(fn)(x.astype(jnp.result_type(x.dtype, jnp.complex64)))
+    fn = _fft2_dist_fn(mesh, axis, batch_axis, x.ndim, inverse)
+    return fn(x.astype(jnp.result_type(x.dtype, jnp.complex64)))
 
 
 def ifft2_dist(x, mesh: Mesh, axis: str = "grid", batch_axis=None):
@@ -115,15 +125,28 @@ def masked_bandpowers_dist(maps, window, dig, nbins: int, norm,
     the final (nbins,) psum.
     """
     maps = jnp.asarray(maps)
-    cdt = jnp.result_type(maps.dtype, jnp.complex64)
     rdt = jnp.finfo(maps.dtype).dtype if maps.dtype != jnp.float64 \
         else jnp.float64
+    fn = _masked_bp_fn(mesh, axis, batch_axis, maps.ndim, int(nbins),
+                       str(jnp.dtype(maps.dtype)))
+    return fn(maps, jnp.asarray(window, maps.dtype),
+              jnp.asarray(dig, jnp.int32), jnp.asarray(norm, rdt))
+
+
+@lru_cache(maxsize=64)
+def _masked_bp_fn(mesh: Mesh, axis: str, batch_axis, ndim: int,
+                  nbins: int, dtype_str: str):
+    """Compiled-callable cache for :func:`masked_bandpowers_dist`
+    (norm enters as a replicated scalar operand, not a closure)."""
+    mdt = jnp.dtype(dtype_str)
+    cdt = jnp.result_type(mdt, jnp.complex64)
+    rdt = jnp.finfo(mdt).dtype if mdt != jnp.float64 else jnp.float64
     nseg = nbins + 1
 
-    def body(m_l, w_l, dig_l):
+    def body(m_l, w_l, dig_l, norm_l):
         z = _fft2_local((m_l * w_l).astype(cdt), axis, False, True)
         p = ((z.real ** 2 + z.imag ** 2)
-             * jnp.asarray(norm, rdt))                     # (..., ny_l, nx)
+             * norm_l.astype(rdt))                         # (..., ny_l, nx)
         oh = (dig_l[..., None] == jnp.arange(nseg)).astype(rdt)
         flat = p.reshape(p.shape[:-2] + (-1,))
         sums = flat @ oh.reshape(-1, nseg)                 # (..., nseg)
@@ -132,15 +155,15 @@ def masked_bandpowers_dist(maps, window, dig, nbins: int, norm,
         cnts = jax.lax.psum(cnts, axis)
         return (sums[..., 1:] / jnp.maximum(cnts[1:], 1))
 
-    mspec = _grid_specs(mesh, axis, batch_axis, maps.ndim)
+    mspec = _grid_specs(mesh, axis, batch_axis, ndim)
     wspec = P(axis, None)
     # output drops (ny, nx) for (nbins,): keep the batch placement
     lead = list(mspec)[:-2]
     ospec = P(*lead, None)
-    fn = shard_map(body, mesh=mesh, in_specs=(mspec, wspec, wspec),
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(mspec, wspec, wspec, P()),
                    out_specs=ospec)
-    return jax.jit(fn)(maps, jnp.asarray(window, maps.dtype),
-                       jnp.asarray(dig, jnp.int32))
+    return jax.jit(fn)
 
 
 def lens_cov_dist(ucov, alpha, geom: Geometry, mesh: Mesh,
@@ -158,6 +181,21 @@ def lens_cov_dist(ucov, alpha, geom: Geometry, mesh: Mesh,
     """
     ucov = jnp.asarray(ucov)
     alpha = jnp.asarray(alpha)
+    one_side, beam_side, spec = _lens_cov_fns(mesh, tuple(row_axes),
+                                              geom)
+    cov = jax.device_put(ucov, spec)
+    cov = one_side(cov, alpha, lens_order)
+    cov = one_side(cov.T, alpha, lens_order)
+    if kbeam is not None:
+        kbeam = jnp.asarray(kbeam)
+        cov = beam_side(cov.T, kbeam)
+        cov = beam_side(cov.T, kbeam)
+    return cov
+
+
+@lru_cache(maxsize=32)
+def _lens_cov_fns(mesh: Mesh, row_axes, geom: Geometry):
+    """Compiled-callable cache for :func:`lens_cov_dist`."""
     spec = NamedSharding(mesh, P(row_axes, None))
 
     @partial(jax.jit, static_argnames=("order",), out_shardings=spec)
@@ -167,18 +205,10 @@ def lens_cov_dist(ucov, alpha, geom: Geometry, mesh: Mesh,
             lambda m: lens_map_spline(m, alpha, geom, order=order))(rows)
         return out.reshape(cov.shape)
 
-    cov = jax.device_put(ucov, spec)
-    cov = one_side(cov, alpha, lens_order)
-    cov = one_side(cov.T, alpha, lens_order)
-    if kbeam is not None:
-        kbeam = jnp.asarray(kbeam)
+    @partial(jax.jit, out_shardings=spec)
+    def beam_side(cov, kbeam):
+        rows = cov.reshape(-1, *geom.shape)
+        out = jax.vmap(lambda m: kfilter(m, kbeam, geom))(rows)
+        return out.reshape(cov.shape)
 
-        @partial(jax.jit, out_shardings=spec)
-        def beam_side(cov, kbeam):
-            rows = cov.reshape(-1, *geom.shape)
-            out = jax.vmap(lambda m: kfilter(m, kbeam, geom))(rows)
-            return out.reshape(cov.shape)
-
-        cov = beam_side(cov.T, kbeam)
-        cov = beam_side(cov.T, kbeam)
-    return cov
+    return one_side, beam_side, spec

@@ -492,8 +492,8 @@ def mollview(hp_map, filename=None, lim=None, coord="C", verbose=True,
     fig.colorbar(im, ax=ax, shrink=0.6)
     if filename is not None:
         fig.savefig(filename, dpi=dpi, bbox_inches="tight")
-        plt.close(fig)
         if verbose:
             print(f"Saved healpix plot to {filename}")
+    plt.close(fig)          # never leak figures (loops over many maps)
     if return_projected_map:
         return img

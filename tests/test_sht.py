@@ -327,6 +327,24 @@ class TestPallasSHT:
         assert a2.shape == alms.shape
         assert np.abs(np.asarray(a2) - np.asarray(alms)).max() < 3e-6
 
+    def test_empty_batch(self):
+        """Zero-length batches return empty results (scan-path parity)
+        instead of crashing in the chunk loop."""
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 31
+        rings = sht.gauss_legendre_rings(lmax)
+        nalm = (lmax + 1) * (lmax + 2) // 2
+        m = ps.alm2map_pl(jnp.zeros((0, nalm), jnp.complex64), rings,
+                          lmax, interpret=True)
+        assert m.shape == (0, rings.ntheta, rings.nphi)
+        a = ps.map2alm_pl(jnp.zeros((0,) + rings.shape, jnp.float32),
+                          rings, lmax, interpret=True)
+        assert a.shape == (0, nalm)
+        q, u = ps.alm2map_spin_pl(jnp.zeros((0, nalm), jnp.complex64),
+                                  jnp.zeros((0, nalm), jnp.complex64),
+                                  rings, lmax, interpret=True)
+        assert q.shape == u.shape == (0, rings.ntheta, rings.nphi)
+
     def test_spin2_batched_packed(self):
         """Batched spin-2 goes through the packed (multi-map) kernels;
         parity with the per-map path."""

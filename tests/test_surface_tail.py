@@ -137,6 +137,15 @@ class TestLensingTail:
         # bias grows with mass and with the critical-mass definition
         assert nfwfit.halo_bias(5e14, 0.7, cc) > b
         assert nfwfit.halo_bias(2e14, 0.7, cc, critical=True) > b
+        # general mass definitions convert before the bias fit: the
+        # same numerical mass read as M500c is a yet-bigger halo
+        b500c = nfwfit.halo_bias(2e14, 0.7, cc, critical=True,
+                                 overdensity=500)
+        assert b500c > nfwfit.halo_bias(2e14, 0.7, cc, critical=True)
+        # and the conversion is consistent at the 200m fixed point
+        m200m = nfwfit._mdelta_to_m200m(2e14 / cc.h, 0.7, cc, 200.0,
+                                        False)
+        assert m200m == 2e14 / cc.h
         th = np.geomspace(0.5, 30, 16) * np.pi / 180.0 / 60.0
         k2 = nfwfit.kappa_2h_profile(th, 2e14, 0.7, cc)
         assert np.all(np.isfinite(k2)) and np.all(k2 > 0)
@@ -569,6 +578,71 @@ class TestRound3Tail:
         np.testing.assert_allclose(cd, [0.0, 1000.0, 2000.0])
         zr = fg.dl_filler(ells, ls, cls, "zeros", silence=True)
         np.testing.assert_allclose(zr, [0.0, 1000.0, 0.0])
+        # descending tables are sorted before np.interp (interp1d
+        # parity), and 1-point tables clamp instead of IndexError
+        exd = fg.dl_filler(ells, ls[::-1], cls[::-1], "extrapolate",
+                           silence=True)
+        np.testing.assert_allclose(exd, ex)
+        one = fg.dl_filler(ells, np.array([500.0]), np.array([7.0]),
+                           "extrapolate", silence=True)
+        np.testing.assert_allclose(one, [7.0, 7.0, 7.0])
+
+    def test_model_vec_cross_noise_uses_both_legs(self):
+        """Cross-pair atmospheric noise carries (sig_i, sig_j), not
+        (sig_i, sig_i) — parity with evaluate_model_dict."""
+        from orphics_tpu.models import foregrounds as fg
+        ells = np.arange(2, 500.0)
+        freqs = [93.0, 145.0]
+        beams = [lambda l: np.ones_like(l)] * 2
+        p0 = fg._default_param_template(freqs)
+        p0["rN_93"] = 1.0
+        p0["rN_145"] = 3.0
+        p0["Aatm_corr"] = 1.0
+        names = list(p0.keys())
+        vals = [p0[n] for n in names]
+        clyy = fg.power_y_template(ells, silence=True)
+        cltt = 1e3 / (1 + ells) ** 2
+        kw = dict(lknees=[3000.0, 3000.0], alphas=[-4.0, -4.0])
+        vec = fg.model_vec(names, vals, ells, freqs, [10.0, 12.0],
+                           beams, kw["lknees"], kw["alphas"], cltt,
+                           clyy)
+        L = len(ells)
+        cross = vec[L: 2 * L]
+        # swapping the per-frequency noise ratios must change the
+        # cross block symmetrically (sig_i sig_j invariant), not by
+        # sig_i^2 -> sig_j^2
+        # the cross atm term is proportional to sig_i * sig_j, so
+        # swapping the per-frequency ratios leaves it INVARIANT
+        # ((10*1)(12*3) == (10*3)(12*1)); the old one-leg bug gave
+        # sig_i^2 (100 vs 900, a 9x error)
+        p1 = dict(p0)
+        p1["rN_93"], p1["rN_145"] = 3.0, 1.0
+        vec2 = fg.model_vec(names, [p1[n] for n in names], ells, freqs,
+                            [10.0, 12.0], beams, kw["lknees"],
+                            kw["alphas"], cltt, clyy)
+        cross2 = vec2[L: 2 * L]
+        np.testing.assert_allclose(cross, cross2, rtol=1e-10)
+        # and the autos DO move (rN_93 1 -> 3 scales the 93 auto)
+        assert not np.allclose(vec[:L], vec2[:L])
+
+    def test_fit_cross_leastsq_physical_ell_cuts(self):
+        """(lmin, lmax) ell_cuts select by PHYSICAL ell, so a grid not
+        starting at 0 still keeps the intended bins."""
+        from orphics_tpu.models import foregrounds as fg
+        L, nbin = 100, 5
+        ell = np.arange(500, 500 + L, dtype=float)
+        P = np.zeros((nbin, L))
+        for b in range(nbin):
+            P[b, b * 20:(b + 1) * 20] = 1.0 / 20
+        theory_func = lambda l, n1, n2, p: p["A"] * np.ones_like(l)
+        bp = P @ theory_func(ell, 0, 0, {"A": 2.0})
+        err = 0.01 * np.abs(bp) + 1e-8
+        data = {(0, 0): (bp, err)}
+        best, res = fg.fit_cross_leastsq(
+            data, [90.0], P, {(0, 0): [(520, 560)]}, theory_func,
+            {"A": 1.0}, ell=ell, bounds={"A": (0, 10)},
+            fixed={"Aps_0_0": 0.0})   # flat theory degenerate with Aps
+        assert res.success and abs(best["A"] - 2.0) < 0.05
 
     def test_get_planck_cutout_shape(self):
         from orphics_tpu.models import mapstools as M

@@ -316,6 +316,33 @@ class TestOnChipPallasSHT:
                   float(jnp.abs(b2 - b0).max()))
         assert err < 1e-4, err
 
+    def test_packed_batch_roundtrip(self, onchip):
+        """The packed (multi-map) kernels compile to the real chip and
+        match the unbatched path."""
+        from orphics_tpu.ops import sht
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 255
+        rings = sht.gauss_legendre_rings(lmax)
+        nalm = (lmax + 1) * (lmax + 2) // 2
+
+        @jax.jit
+        def mkalms(key):
+            kr, ki = jax.random.split(key)
+            a = (jax.random.normal(kr, (5, nalm), jnp.float32)
+                 + 1j * jax.random.normal(ki, (5, nalm), jnp.float32))
+            return a.at[:, : lmax + 1].set(
+                jnp.real(a[:, : lmax + 1]).astype(jnp.complex64))
+
+        a0 = mkalms(jax.random.PRNGKey(17))    # 5 = one pack of 4 + 1
+        maps = ps.alm2map_pl(a0, rings, lmax)
+        a2 = ps.map2alm_pl(maps, rings, lmax)
+        err = float(jnp.abs(a2 - a0).max())
+        assert err < 1e-4, err
+        m0 = ps.alm2map_pl(a0[0], rings, lmax)
+        d = float(jnp.abs(maps[0] - m0).max())
+        scale = float(jnp.abs(m0).max())
+        assert d < 1e-5 * scale, (d, scale)
+
     def test_dispatch_routes_to_pallas(self, onchip, monkeypatch):
         """sht.map2alm on a non-CPU backend routes through the kernel;
         ORPHICS_TPU_SHT=scan opts out — both give the same answer."""
@@ -333,8 +360,17 @@ class TestOnChipPallasSHT:
                 jnp.real(a[: lmax + 1]).astype(jnp.complex64))
 
         a0 = mkmap(jax.random.PRNGKey(3))
+        from orphics_tpu.ops import pallas_sht
+        calls = []
+        real = pallas_sht.alm2map_pl
+        monkeypatch.setattr(
+            pallas_sht, "alm2map_pl",
+            lambda *a, **k: (calls.append(1), real(*a, **k))[1])
         monkeypatch.setenv("ORPHICS_TPU_SHT", "auto")
         m_pl = sht.alm2map(a0, rings, lmax)
+        assert calls, ("dispatch did not route to the Pallas kernel — "
+                       f"backend {jax.default_backend()!r} missing from "
+                       "the _pallas_ok allowlist?")
         monkeypatch.setenv("ORPHICS_TPU_SHT", "scan")
         m_scan = sht.alm2map(a0, rings, lmax)
         scale = float(jnp.abs(m_scan).max())
