@@ -316,12 +316,29 @@ def _prep_shapes(lmax, rings, mtile, ttile):
 
 
 @functools.lru_cache(maxsize=8)
-def _prep_dev(lmax, rings, mtile, ttile, ns=(0,), ni=0):
-    """Device tables, cached OUTSIDE any trace (called from the non-jit
-    wrappers so the O(lmax^2) tables are program arguments, not
-    constants — and so no tracer ever enters the cache)."""
+def _prep_host(lmax, rings, mtile, ttile, ns=(0,), ni=0):
     host, *_ = _prep(lmax, rings, mtile, ttile, ns, ni)
-    return {k: jnp.asarray(v) for k, v in host.items()}
+    return host
+
+
+@functools.lru_cache(maxsize=8)
+def _prep_dev_cached(lmax, rings, mtile, ttile, ns, ni):
+    return {k: jnp.asarray(v)
+            for k, v in _prep_host(lmax, rings, mtile, ttile,
+                                   ns, ni).items()}
+
+
+def _prep_dev(lmax, rings, mtile, ttile, ns=(0,), ni=0):
+    """Device tables, cached so the O(lmax^2) transfer happens once and
+    the tables enter compiled programs as arguments, not constants.
+    Inside an active trace (the wrapper called under an outer jit),
+    jnp.asarray yields tracers — never cache those; rebuild from the
+    host cache as per-trace constants instead."""
+    if _sht._tracing_active():
+        return {k: jnp.asarray(v)
+                for k, v in _prep_host(lmax, rings, mtile, ttile,
+                                       ns, ni).items()}
+    return _prep_dev_cached(lmax, rings, mtile, ttile, ns, ni)
 
 
 def supported(lmax, rings, dtype):

@@ -428,12 +428,40 @@ def _scan_tables_host(lmax, ns, dtype_str, theta, mode, block):
     return out
 
 
+def _tracing_active() -> bool:
+    """True when called under an active jax trace (outer jit / scan /
+    shard_map) — jnp.asarray then returns tracers that must never be
+    cached. jax.core.trace_state_clean was removed in jax 0.9; probe
+    the private location with a conservative fallback."""
+    try:
+        from jax._src import core as _core
+        return not _core.trace_state_clean()
+    except Exception:
+        x = jnp.zeros((), jnp.float32)
+        return "Tracer" in type(x).__name__
+
+
 @lru_cache(maxsize=4)
-def _scan_tables_dev(lmax, ns, dtype_str, theta, mode, block=_LBLOCK):
-    """Device-resident copy of :func:`_scan_tables_host` (cached so the
-    transfer happens once per (lmax, rings, dtype, mode) working set)."""
+def _scan_tables_dev_cached(lmax, ns, dtype_str, theta, mode, block):
     host = _scan_tables_host(lmax, ns, dtype_str, theta, mode, block)
     return {k: jnp.asarray(v) for k, v in host.items()}
+
+
+def _scan_tables_dev(lmax, ns, dtype_str, theta, mode, block=_LBLOCK):
+    """Device-resident copy of :func:`_scan_tables_host` (cached so the
+    transfer happens once per (lmax, rings, dtype, mode) working set).
+
+    Inside an active trace (a transform called under an outer jit /
+    scan / shard_map), ``jnp.asarray`` yields TRACERS — caching those
+    would leak them into later traces (UnexpectedTracerError). There
+    the host cache still hits, but the device conversion is redone per
+    trace as in-program constants (the documented degraded mode)."""
+    if _tracing_active():
+        host = _scan_tables_host(lmax, ns, dtype_str, theta, mode,
+                                 block)
+        return {k: jnp.asarray(v) for k, v in host.items()}
+    return _scan_tables_dev_cached(lmax, ns, dtype_str, theta, mode,
+                                   block)
 
 
 def _mode_for(dtype, traced=False):

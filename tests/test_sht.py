@@ -153,6 +153,32 @@ class TestRoundtrip:
         assert errs["full"] < 0.05 * errs["off"], errs
         assert errs["lite"] <= errs["off"] * 1.05, errs
 
+    def test_outer_jit_no_tracer_leak(self):
+        """Transforms called under an OUTER jit must not poison the
+        device-table caches with tracers (regression: _scan_tables_dev /
+        pallas _prep_dev cached `jnp.asarray` results, which are tracers
+        inside a trace -> UnexpectedTracerError on the next call). Run
+        traced first, then eager, then traced again with a different
+        closure — all three must agree."""
+        lmax = 31
+        rings = sht.gauss_legendre_rings(lmax)
+        a0 = _random_alm(jax.random.PRNGKey(11), lmax)
+
+        @jax.jit
+        def traced(a):
+            return sht.map2alm(sht.alm2map(a, rings, lmax), rings, lmax)
+
+        r1 = traced(a0)
+        r2 = sht.map2alm(sht.alm2map(a0, rings, lmax), rings, lmax)
+        r3 = jax.jit(lambda a: sht.alm2map(a, rings, lmax))(a0)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(a0),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(r2), np.asarray(a0),
+                                   atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(r3), np.asarray(sht.alm2map(a0, rings, lmax)),
+            atol=1e-12)
+
     def test_batched(self):
         lmax = 31
         rings = sht.gauss_legendre_rings(lmax)
