@@ -234,7 +234,7 @@ def lens_map_pallas(imap, alpha, geom: Geometry, order: int = 5,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BH, BW), lambda b, c, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, BH, BW),
                                lambda b, c, i, j: (b, c, i, j),

@@ -82,6 +82,26 @@ def test_limber_clkk_vs_camb_table(lc, th):
     assert abs(np.median(ratio) - 1) < 0.15, ratio
 
 
+def test_limber_clkk_matched_params_ceiling(th):
+    """Pin the documented few-% EH98 ceiling: with the SAME parameters
+    the shipped table was generated with (data/Aug6_highAcc_CDM_params
+    .ini: H0 67.31, ombh2 0.0222, omch2 0.1197, ns 0.9655, As 2.2e-9),
+    Limber + EH98 clkk must track the CAMB high-accuracy lens-potential
+    table to <=6% pointwise over the linear regime (measured: smooth
+    +1.7%..+4.2% envelope, median +3.7% — EH98 transfer accuracy)."""
+    from orphics_tpu.models.cosmology import LimberCosmology
+    p2017 = {'H0': 67.31, 'ombh2': 0.0222, 'omch2': 0.1197,
+             'ns': 0.9655, 'As': 2.2e-9, 'mnu': 0.06,
+             'w0': -1.0, 'wa': 0.0, 'tau': 0.06}
+    lc = LimberCosmology(params=p2017)
+    ells = np.arange(30, 400, 20)
+    lc.generateCls(ells)
+    ratio = np.asarray(lc.getCl("cmb", "cmb")) \
+        / np.asarray(th.gCl("kk", ells))
+    assert np.all(np.abs(ratio - 1) < 0.06), ratio
+    assert abs(np.median(ratio) - 1) < 0.05, ratio
+
+
 def test_limber_cross_consistency(lc):
     zs = np.linspace(0.2, 1.6, 100)
     nz = np.exp(-0.5 * (zs - 0.8) ** 2 / 0.2 ** 2)
