@@ -34,6 +34,14 @@ import time
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # honor an explicit CPU request even on hosts whose sitecustomize
+    # re-registers an accelerator and rewrites jax_platforms after env
+    # parsing (same guard as examples/; a hung tunnel otherwise blocks
+    # the whole bench in TPU client init)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def _sync_scalar(x):
     """Force execution on axon (block_until_ready is a no-op there)."""
@@ -684,11 +692,69 @@ def bench_sht():
         "vs_baseline": round(rate, 3)}), flush=True)
 
 
+def bench_curved_mc():
+    """Config 8: curved-sky masked-spectrum Monte Carlo — the full-sky
+    analog of config 2 (reference: ``cs.rand_map`` + smoothing +
+    galactic mask + ``hp.anafast``/``map2alm`` loops,
+    ``orphics/maps.py:744,1009``). Per sim: on-the-fly synalm with a
+    Gaussian beam, synthesis to Gauss-Legendre rings, galactic-strip
+    masking, analysis back to alm, mask-debiased Cls — 2 SHTs per sim,
+    riding the dispatched (Pallas on accelerators) Legendre kernels,
+    batched through the packed multi-map kernels."""
+    import jax
+    import jax.numpy as jnp
+    from orphics_tpu.ops import sht
+    from orphics_tpu.ops import alm as almops
+    from orphics_tpu.models import curved, theory
+
+    lmax = int(os.environ.get("BENCH8_LMAX", 1023))
+    batch = int(os.environ.get("BENCH8_BATCH", 8))
+    rings = sht.gauss_legendre_rings(lmax)
+    th = theory.default_theory()
+    ells = np.arange(lmax + 1)
+    cltt = jnp.asarray(np.asarray(th.lCl("TT", ells)), jnp.float32)
+    fwhm = 10.0  # arcmin
+    sig = np.deg2rad(fwhm / 60.0) / np.sqrt(8.0 * np.log(2.0))
+    bl = jnp.asarray(np.exp(-0.5 * ells * (ells + 1.0) * sig * sig),
+                     jnp.float32)
+    mask = jnp.asarray(np.asarray(curved.galactic_mask_rings(
+        rings, np.deg2rad(76.0), np.deg2rad(104.0), coords="equ")),
+        jnp.float32)
+    w2 = float(curved.wfactor(2, mask, rings))
+
+    @jax.jit
+    def step(key):
+        keys = jax.random.split(key, batch)
+        alms = jax.vmap(lambda k: almops.synalm(k, cltt, lmax=lmax))(keys)
+        m = sht.alm2map(almops.almxfl(alms, bl), rings, lmax)
+        a2 = sht.map2alm(m * mask, rings, lmax)
+        return jax.vmap(almops.alm2cl)(a2) / w2
+
+    cls = step(jax.random.PRNGKey(0))         # warm + validate
+    _sync_scalar(jnp.abs(cls).max())
+    sel = (ells > 100) & (ells < lmax // 2)
+    ratio = np.asarray(cls).mean(0)[sel] \
+        / (np.asarray(cltt) * np.asarray(bl) ** 2)[sel]
+    assert abs(ratio.mean() - 1.0) < 0.2, ratio.mean()
+    nrep = int(os.environ.get("BENCH8_REPS", 10))
+    with _maybe_trace("config8"):
+        t0 = time.perf_counter()
+        for i in range(nrep):
+            cls = step(jax.random.PRNGKey(i + 1))
+        _sync_scalar(jnp.abs(cls).max())
+        dt = time.perf_counter() - t0
+    rate = nrep * batch / dt
+    print(json.dumps({
+        "metric": f"curved_masked_cl_sims_per_sec_lmax{lmax}_batch{batch}",
+        "value": round(rate, 3), "unit": "sims/s",
+        "vs_baseline": round(rate, 3)}), flush=True)
+
+
 def main():
-    configs = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7").split(",")
+    configs = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8").split(",")
     fns = {"1": bench_headline, "2": bench_masked_cross,
            "3": bench_qe_recon, "4": bench_ilc, "5": bench_stack,
-           "6": bench_lensed_e2e, "7": bench_sht}
+           "6": bench_lensed_e2e, "7": bench_sht, "8": bench_curved_mc}
     for c in configs:
         c = c.strip()
         if not c:
