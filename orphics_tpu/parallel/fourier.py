@@ -120,9 +120,12 @@ def masked_bandpowers_dist(maps, window, dig, nbins: int, norm,
     Returns (..., nbins) bandpower sums / counts, replicated.
 
     The whole pipeline — window, FFT rows, all_to_all, FFT cols,
-    all_to_all, |Z|^2, one-hot bin matmul — is ONE shard_map program;
-    the only cross-device data motions are the two shard transposes and
-    the final (nbins,) psum.
+    |Z|^2, one-hot bin matmul — is ONE shard_map program; the only
+    cross-device data motions are ONE complex shard transpose and the
+    final (nbins,) psum: the power is consumed in the column-sharded
+    layout the distributed FFT naturally ends in (``dig`` enters
+    column-sharded), so the transpose back to row sharding — half the
+    collective traffic — is skipped entirely.
     """
     maps = jnp.asarray(maps)
     rdt = jnp.finfo(maps.dtype).dtype if maps.dtype != jnp.float64 \
@@ -144,9 +147,12 @@ def _masked_bp_fn(mesh: Mesh, axis: str, batch_axis, ndim: int,
     nseg = nbins + 1
 
     def body(m_l, w_l, dig_l, norm_l):
-        z = _fft2_local((m_l * w_l).astype(cdt), axis, False, True)
+        # back=False: consume the power in the column-sharded layout
+        # (..., ny, nx_l) the distributed FFT ends in — dig enters
+        # column-sharded, and the second all_to_all never happens.
+        z = _fft2_local((m_l * w_l).astype(cdt), axis, False, False)
         p = ((z.real ** 2 + z.imag ** 2)
-             * norm_l.astype(rdt))                         # (..., ny_l, nx)
+             * norm_l.astype(rdt))                         # (..., ny, nx_l)
         oh = (dig_l[..., None] == jnp.arange(nseg)).astype(rdt)
         flat = p.reshape(p.shape[:-2] + (-1,))
         sums = flat @ oh.reshape(-1, nseg)                 # (..., nseg)
@@ -157,11 +163,12 @@ def _masked_bp_fn(mesh: Mesh, axis: str, batch_axis, ndim: int,
 
     mspec = _grid_specs(mesh, axis, batch_axis, ndim)
     wspec = P(axis, None)
+    digspec = P(None, axis)                # column shard, matches back=False
     # output drops (ny, nx) for (nbins,): keep the batch placement
     lead = list(mspec)[:-2]
     ospec = P(*lead, None)
     fn = shard_map(body, mesh=mesh,
-                   in_specs=(mspec, wspec, wspec, P()),
+                   in_specs=(mspec, wspec, digspec, P()),
                    out_specs=ospec)
     return jax.jit(fn)
 
