@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .statistics import SuffStats
 
 __all__ = ["get_mesh", "distribute", "mpi_distribute", "ensemble",
-           "ensemble_stats"]
+           "ensemble_stats", "ensemble_stats_checkpointed"]
 
 
 def get_mesh(shape=None, axis_names=("sims", "grid"), devices=None) -> Mesh:
@@ -168,6 +168,92 @@ def ensemble(fn: Callable, nsims: int, key=None, mesh: Optional[Mesh] = None,
                             check_vma=False)
     out = jax.jit(sharded)(keys)
     return jax.tree_util.tree_map(lambda v: v[:nsims], out)
+
+
+def ensemble_stats_checkpointed(fn: Callable, nsims: int, path: str,
+                                every: int = None, key=None,
+                                mesh: Optional[Mesh] = None,
+                                chunk: int = 1, do_cov: bool = True,
+                                stack_fn: Optional[Callable] = None,
+                                _interrupt_after: int = None):
+    """Preemption-safe :func:`ensemble_stats`: run the Monte Carlo in
+    rounds of ``every`` sims, persisting the accumulated sufficient
+    statistics and a round cursor to ``path`` (atomic ``os.replace``)
+    after each round. Re-invoking with the same arguments loads the
+    completed rounds and computes only the remainder — the TPU-native
+    version of the reference's long MPI loops that dump
+    ``Statistics`` periodically so a killed job can resume
+    (``orphics/stats.py`` dump/load usage).
+
+    Determinism across interruptions: round ``r`` always draws its keys
+    from ``fold_in(key, r)``, so the result is bitwise identical to an
+    uninterrupted run with the same ``every``. A fingerprint of
+    ``(nsims, every, chunk, key)`` guards against resuming with
+    different arguments (raises ``ValueError``).
+
+    ``_interrupt_after`` is a testing hook: stop (returning ``None``)
+    after that many newly-computed rounds, as a stand-in for
+    preemption.
+    """
+    import os
+    if mesh is None:
+        mesh = get_mesh()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if every is None:
+        every = max(int(mesh.shape["sims"]) * chunk, 1)
+    nrounds = math.ceil(nsims / every)
+    fhash = repr((int(nsims), int(every), int(chunk), bool(do_cov),
+                  np.asarray(key).tolist(), stack_fn is not None))
+
+    def _save(state, rounds_done):
+        flat = {"__fingerprint__": np.asarray(fhash),
+                "__rounds_done__": np.asarray(rounds_done)}
+        for label, st in state.items():
+            for fname_, v in zip(("n", "s", "ss", "stack", "nstack"),
+                                 st.tree_flatten()[0]):
+                if v is not None:
+                    flat[f"{label}::{fname_}"] = np.asarray(v)
+        tmp = path + ".tmp"
+        np.savez(tmp, **flat)
+        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp,
+                   path)
+
+    def _load():
+        if not os.path.exists(path):
+            return None, 0
+        with np.load(path, allow_pickle=False) as z:
+            if str(z["__fingerprint__"]) != fhash:
+                raise ValueError(
+                    f"checkpoint {path} was written with different "
+                    "arguments (nsims/every/chunk/key); refusing to mix")
+            rounds_done = int(z["__rounds_done__"])
+            labels = sorted({k.split("::")[0] for k in z.files
+                             if "::" in k})
+            state = {}
+            for label in labels:
+                leaves = [jnp.asarray(z[f"{label}::{f_}"])
+                          if f"{label}::{f_}" in z.files else None
+                          for f_ in ("n", "s", "ss", "stack", "nstack")]
+                state[label] = SuffStats.tree_unflatten(None, leaves)
+        return state, rounds_done
+
+    state, r0 = _load()
+    done = 0
+    for r in range(r0, nrounds):
+        count = min(every, nsims - r * every)
+        st = ensemble_stats(fn, count, key=jax.random.fold_in(key, r),
+                            mesh=mesh, chunk=chunk, do_cov=do_cov,
+                            stack_fn=stack_fn)
+        st = jax.tree_util.tree_map(np.asarray, st)  # off-device
+        state = st if state is None else \
+            {k: state[k].merge(st[k]) for k in state}
+        _save(state, r + 1)
+        done += 1
+        if _interrupt_after is not None and done >= _interrupt_after \
+                and r + 1 < nrounds:
+            return None
+    return state
 
 
 import contextlib as _contextlib

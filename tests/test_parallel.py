@@ -167,6 +167,44 @@ class TestCurvedEnsemble:
         assert np.all(np.isfinite(np.asarray(st["cl"].cov())))
 
 
+class TestCheckpointedEnsemble:
+    """Preemption-safe ensembles: interrupted + resumed must equal the
+    uninterrupted run bitwise, and resumes with different arguments
+    must be refused."""
+
+    def test_resume_bitwise(self, mesh8, tmp_path):
+        from orphics_tpu.parallel import ensemble_stats_checkpointed
+
+        def sim(key):
+            return {"v": jax.random.normal(key, (5,))}
+
+        key = jax.random.PRNGKey(3)
+        full = ensemble_stats_checkpointed(
+            sim, 24, str(tmp_path / "full.npz"), every=8, key=key,
+            mesh=mesh8)
+        assert int(np.asarray(full["v"].n)) == 24
+        assert np.all(np.isfinite(np.asarray(full["v"].cov())))
+
+        path = str(tmp_path / "ck.npz")
+        out = ensemble_stats_checkpointed(sim, 24, path, every=8,
+                                          key=key, mesh=mesh8,
+                                          _interrupt_after=1)
+        assert out is None                      # "preempted"
+        import numpy as _np
+        with _np.load(path) as z:
+            assert int(z["__rounds_done__"]) == 1
+        res = ensemble_stats_checkpointed(sim, 24, path, every=8,
+                                          key=key, mesh=mesh8)
+        for leaf in ("n", "s", "ss"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(res["v"], leaf)),
+                np.asarray(getattr(full["v"], leaf)))
+
+        with pytest.raises(ValueError):
+            ensemble_stats_checkpointed(sim, 25, path, every=8,
+                                        key=key, mesh=mesh8)
+
+
 class TestDistributedSHT:
     """Ring-distributed SHT (parallel/sht.py): shard_map + psum over the
     ring axis must match the serial transforms exactly."""
