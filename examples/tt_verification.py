@@ -11,6 +11,13 @@ Run: python examples/tt_verification.py [nsims]
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
     _os.path.abspath(__file__))))  # run from anywhere
+
+# honor JAX_PLATFORMS=cpu even on hosts whose sitecustomize re-registers
+# an accelerator and rewrites jax_platforms after env parsing
+import os as _os_g
+if _os_g.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax as _jax_g
+    _jax_g.config.update("jax_platforms", "cpu")
 import sys
 
 import numpy as np

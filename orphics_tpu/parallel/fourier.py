@@ -115,7 +115,9 @@ def masked_bandpowers_dist(maps, window, dig, nbins: int, norm,
     window : (ny, nx) apodization, row-sharded the same way.
     dig : (ny, nx) int32 bin index per Fourier cell (0 = out of range,
         1..nbins in range — ``np.digitize`` against the bin edges of
-        the *unshifted* fft2 modulus map), row-sharded.
+        the *unshifted* fft2 modulus map), COLUMN-sharded (P(None,
+        axis)): the power is consumed in the column-sharded layout the
+        distributed FFT ends in.
     nbins : number of bins; norm : area/npix^2 power normalization.
     Returns (..., nbins) bandpower sums / counts, replicated.
 

@@ -77,28 +77,18 @@ def distribute(nsims: int, key=None, mesh: Optional[Mesh] = None):
     return mesh, keys
 
 
-def ensemble_stats(fn: Callable, nsims: int, key=None, mesh: Optional[Mesh] = None,
-                   chunk: int = 1, do_cov: bool = True,
-                   stack_fn: Optional[Callable] = None):
-    """Run ``fn(key) -> dict[str, 1D vector]`` for ``nsims`` independent
-    seeds across the mesh and return fully-reduced :class:`SuffStats` per
-    label (the ``Statistics.allreduce`` pattern of ``orphics/stats.py:1184``
-    compiled into one program).
+from functools import lru_cache as _lru_cache
 
-    ``chunk``: how many sims to vmap together per scan step on each device
-    (trades VMEM/HBM for dispatch overhead).
-    ``stack_fn``: optional ``fn(key) -> dict[str, array]`` of map-like
-    outputs to be stack-summed (``add_to_stack`` analog).
-    """
-    if mesh is None:
-        mesh = get_mesh()
-    ndev = mesh.shape["sims"]
-    per = math.ceil(nsims / ndev / chunk) * chunk
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, ndev * per)
-    keys = keys.reshape(ndev * per, -1)
 
+@_lru_cache(maxsize=32)
+def _ensemble_stats_prog(fn, stack_fn, mesh: Mesh, per: int, chunk: int,
+                         do_cov: bool):
+    """Compiled-program cache for :func:`ensemble_stats`: jit keys on
+    callable identity, so building a fresh shard_map wrapper per call
+    would re-trace/compile every round of a Monte-Carlo loop (the
+    checkpointed ensemble calls this once per round). ``nsims`` enters
+    as a traced operand so every equal-``per`` round shares one
+    executable."""
     probe = jax.eval_shape(fn, jax.random.PRNGKey(0))
     zeros = {k: SuffStats.zeros(int(np.prod(v.shape)), do_cov, v.dtype)
              for k, v in probe.items()}
@@ -109,8 +99,8 @@ def ensemble_stats(fn: Callable, nsims: int, key=None, mesh: Optional[Mesh] = No
     else:
         szeros = {}
 
-    def device_body(dev_keys):
-        # dev_keys: (per, 2) on each device
+    def device_body(dev_keys, nsims):
+        # dev_keys: (per, 2) on each device; nsims: replicated scalar
         nchunks = per // chunk
         dev = jax.lax.axis_index("sims")
 
@@ -137,10 +127,37 @@ def ensemble_stats(fn: Callable, nsims: int, key=None, mesh: Optional[Mesh] = No
         return st, sst
 
     sharded = jax.shard_map(device_body, mesh=mesh,
-                            in_specs=P("sims"),
+                            in_specs=(P("sims"), P()),
                             out_specs=jax.tree_util.tree_map(lambda _: P(), (zeros, szeros)),
                             check_vma=False)
-    st, sst = jax.jit(sharded)(keys)
+    return jax.jit(sharded)
+
+
+def ensemble_stats(fn: Callable, nsims: int, key=None, mesh: Optional[Mesh] = None,
+                   chunk: int = 1, do_cov: bool = True,
+                   stack_fn: Optional[Callable] = None):
+    """Run ``fn(key) -> dict[str, 1D vector]`` for ``nsims`` independent
+    seeds across the mesh and return fully-reduced :class:`SuffStats` per
+    label (the ``Statistics.allreduce`` pattern of ``orphics/stats.py:1184``
+    compiled into one program).
+
+    ``chunk``: how many sims to vmap together per scan step on each device
+    (trades VMEM/HBM for dispatch overhead).
+    ``stack_fn``: optional ``fn(key) -> dict[str, array]`` of map-like
+    outputs to be stack-summed (``add_to_stack`` analog).
+    """
+    if mesh is None:
+        mesh = get_mesh()
+    ndev = mesh.shape["sims"]
+    per = math.ceil(nsims / ndev / chunk) * chunk
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, ndev * per)
+    keys = keys.reshape(ndev * per, -1)
+    prog = _ensemble_stats_prog(fn, stack_fn, mesh, per, int(chunk),
+                                bool(do_cov))
+    st, sst = prog(keys, jnp.asarray(nsims, jnp.int32))
+    st = dict(st)
     st.update(sst)
     return st
 
@@ -188,14 +205,18 @@ def ensemble_stats_checkpointed(fn: Callable, nsims: int, path: str,
     Determinism across interruptions: round ``r`` always draws its keys
     from ``fold_in(key, r)``, so the result is bitwise identical to an
     uninterrupted run with the same ``every``. A fingerprint of
-    ``(nsims, every, chunk, key)`` guards against resuming with
-    different arguments (raises ``ValueError``).
+    ``(nsims, every, chunk, key, mesh sims size)`` guards against
+    resuming with different arguments (raises ``ValueError``) — the
+    sims-axis size matters because :func:`ensemble_stats` splits keys
+    per device, so a resumed pod of a different size would draw a
+    different stream.
 
     ``_interrupt_after`` is a testing hook: stop (returning ``None``)
     after that many newly-computed rounds, as a stand-in for
     preemption.
     """
     import os
+    from .statistics import state_to_arrays, state_from_arrays
     if mesh is None:
         mesh = get_mesh()
     if key is None:
@@ -204,38 +225,30 @@ def ensemble_stats_checkpointed(fn: Callable, nsims: int, path: str,
         every = max(int(mesh.shape["sims"]) * chunk, 1)
     nrounds = math.ceil(nsims / every)
     fhash = repr((int(nsims), int(every), int(chunk), bool(do_cov),
+                  int(mesh.shape["sims"]),
                   np.asarray(key).tolist(), stack_fn is not None))
+    _META = ("fingerprint", "rounds_done")
 
     def _save(state, rounds_done):
-        flat = {"__fingerprint__": np.asarray(fhash),
-                "__rounds_done__": np.asarray(rounds_done)}
-        for label, st in state.items():
-            for fname_, v in zip(("n", "s", "ss", "stack", "nstack"),
-                                 st.tree_flatten()[0]):
-                if v is not None:
-                    flat[f"{label}::{fname_}"] = np.asarray(v)
-        tmp = path + ".tmp"
+        flat = state_to_arrays(state)
+        flat["fingerprint"] = np.asarray(fhash)
+        flat["rounds_done"] = np.asarray(rounds_done)
+        tmp = path + ".tmp.npz"          # np.savez keeps an .npz suffix
         np.savez(tmp, **flat)
-        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp,
-                   path)
+        os.replace(tmp, path)
 
     def _load():
         if not os.path.exists(path):
             return None, 0
         with np.load(path, allow_pickle=False) as z:
-            if str(z["__fingerprint__"]) != fhash:
+            if str(z["fingerprint"]) != fhash:
                 raise ValueError(
                     f"checkpoint {path} was written with different "
-                    "arguments (nsims/every/chunk/key); refusing to mix")
-            rounds_done = int(z["__rounds_done__"])
-            labels = sorted({k.split("::")[0] for k in z.files
-                             if "::" in k})
-            state = {}
-            for label in labels:
-                leaves = [jnp.asarray(z[f"{label}::{f_}"])
-                          if f"{label}::{f_}" in z.files else None
-                          for f_ in ("n", "s", "ss", "stack", "nstack")]
-                state[label] = SuffStats.tree_unflatten(None, leaves)
+                    "arguments (nsims/every/chunk/key/mesh); refusing "
+                    "to mix")
+            rounds_done = int(z["rounds_done"])
+            state = state_from_arrays({k: z[k] for k in z.files
+                                       if k not in _META})
         return state, rounds_done
 
     state, r0 = _load()

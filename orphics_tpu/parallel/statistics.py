@@ -136,6 +136,33 @@ class SuffStats:
         return self.stack / self.nstack
 
 
+_SUFF_FIELDS = ("n", "s", "ss", "stack", "nstack")
+
+
+def state_to_arrays(state: Dict[str, SuffStats]) -> Dict[str, np.ndarray]:
+    """Flatten a {label: SuffStats} dict to npz-ready arrays keyed
+    ``{label}__{field}`` (the on-disk format of ``save_reduced`` and of
+    the checkpointed-ensemble cursor files). Parsing is rsplit-based,
+    so labels may themselves contain ``__``; field names never do."""
+    out = {}
+    for label, st in state.items():
+        for field in _SUFF_FIELDS:
+            v = getattr(st, field)
+            if v is not None:
+                out[f"{label}__{field}"] = np.asarray(v)
+    return out
+
+
+def state_from_arrays(data: Dict[str, np.ndarray]) -> Dict[str, SuffStats]:
+    """Inverse of :func:`state_to_arrays`."""
+    labels: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for k, v in data.items():
+        label, field = k.rsplit("__", 1)
+        labels.setdefault(label, {})[field] = jnp.asarray(v)
+    return {label: SuffStats(**{f: fields.get(f) for f in _SUFF_FIELDS})
+            for label, fields in labels.items()}
+
+
 class Statistics:
     """Label-keyed accumulator with the reference's ``Statistics`` surface
     (``orphics/stats.py:918``): ``add``/``extend``/``add_stack`` then
@@ -191,26 +218,14 @@ class Statistics:
     # ---- persistence (reference save_reduced/load_reduced,
     #      stats.py:1455-1530) -----------------------------------------
     def save_reduced(self, fname: str):
-        out = {}
-        for label, st in self.state.items():
-            for field in ("n", "s", "ss", "stack", "nstack"):
-                v = getattr(st, field)
-                if v is not None:
-                    out[f"{label}__{field}"] = np.asarray(v)
-        np.savez(fname, **out)
+        np.savez(fname, **state_to_arrays(self.state))
 
     @classmethod
     def load_reduced(cls, fname: str) -> "Statistics":
         data = np.load(fname)
         obj = cls()
-        labels = {}
-        for k in data.files:
-            label, field = k.rsplit("__", 1)
-            labels.setdefault(label, {})[field] = jnp.asarray(data[k])
-        for label, fields in labels.items():
-            obj.state[label] = SuffStats(
-                n=fields.get("n"), s=fields.get("s"), ss=fields.get("ss"),
-                stack=fields.get("stack"), nstack=fields.get("nstack"))
+        obj.state.update(state_from_arrays(
+            {k: data[k] for k in data.files}))
         return obj
 
 

@@ -192,7 +192,7 @@ class TestCheckpointedEnsemble:
         assert out is None                      # "preempted"
         import numpy as _np
         with _np.load(path) as z:
-            assert int(z["__rounds_done__"]) == 1
+            assert int(z["rounds_done"]) == 1
         res = ensemble_stats_checkpointed(sim, 24, path, every=8,
                                           key=key, mesh=mesh8)
         for leaf in ("n", "s", "ss"):
@@ -296,13 +296,18 @@ class TestGridSharding:
                                  batch_axis="sims")
         np.testing.assert_allclose(np.asarray(xi.real), x, atol=2e-6)
 
-    def test_masked_bandpowers_4096_grid_sharded(self, mesh8):
+    def test_masked_bandpowers_4096_grid_sharded(self):
         """4096^2 masked-spectra pipeline sharded over the grid axis:
         window -> distributed FFT -> power -> binned bandpowers, one
-        shard_map program, vs the identical serial computation."""
+        shard_map program, vs the identical serial computation. All 8
+        devices on 'grid' so the all_to_all and the column-sharded bin
+        table really move data (a (ndev,1) mesh would make both
+        no-ops and prove nothing)."""
         from orphics_tpu.parallel import fourier as pfourier
+        from orphics_tpu.parallel.runtime import get_mesh
         from orphics_tpu import rect_geometry
         from orphics_tpu.ops.windows import get_taper
+        mesh8 = get_mesh(shape=(1, 8))
         n = 4096
         geom = rect_geometry(width_arcmin=n * 0.5, px_res_arcmin=0.5)
         rng = np.random.default_rng(1)
