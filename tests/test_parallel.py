@@ -204,6 +204,32 @@ class TestCheckpointedEnsemble:
             ensemble_stats_checkpointed(sim, 25, path, every=8,
                                         key=key, mesh=mesh8)
 
+    def test_resume_with_stacks(self, mesh8, tmp_path):
+        """Stack sums (the add_to_stack analog) survive the
+        interrupt/resume cycle too."""
+        from orphics_tpu.parallel import ensemble_stats_checkpointed
+
+        def sim(key):
+            return {"v": jax.random.normal(key, (3,))}
+
+        def stack(key):
+            return {"m": jax.random.normal(key, (4, 4))}
+
+        key = jax.random.PRNGKey(5)
+        kw = dict(every=8, key=key, mesh=mesh8, stack_fn=stack)
+        full = ensemble_stats_checkpointed(
+            sim, 20, str(tmp_path / "full.npz"), **kw)
+        path = str(tmp_path / "ck.npz")
+        assert ensemble_stats_checkpointed(sim, 20, path,
+                                           _interrupt_after=1,
+                                           **kw) is None
+        res = ensemble_stats_checkpointed(sim, 20, path, **kw)
+        assert int(np.asarray(res["m"].nstack)) == 20
+        np.testing.assert_array_equal(np.asarray(res["m"].stack),
+                                      np.asarray(full["m"].stack))
+        np.testing.assert_array_equal(np.asarray(res["v"].ss),
+                                      np.asarray(full["v"].ss))
+
 
 class TestDistributedSHT:
     """Ring-distributed SHT (parallel/sht.py): shard_map + psum over the
