@@ -66,6 +66,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
+import warnings
 from functools import lru_cache, partial
 
 import numpy as np
@@ -758,19 +759,57 @@ def _tables_for(rings: RingGeom, lmax, ns, real_dtype):
     return _scan_tables_dev(lmax, tuple(ns), rdt.str, rings.theta, mode)
 
 
+_PALLAS_PROBE = {"done": False, "ok": True}
+
+
+def _pallas_probe_ok():
+    """One-time canary before the first accelerator dispatch: compile
+    and run a tiny Pallas roundtrip; on ANY failure (Mosaic compile
+    error, execute error, non-finite output) permanently fall back to
+    the scan path for this process with a warning instead of crashing
+    user pipelines — the Pallas kernel is a fast path, never a
+    correctness requirement. ``ORPHICS_TPU_SHT=pallas`` skips the
+    probe (debugging: surface the real error)."""
+    if _PALLAS_PROBE["done"]:
+        return _PALLAS_PROBE["ok"]
+    _PALLAS_PROBE["done"] = True
+    try:
+        from . import pallas_sht
+        lmax = 31
+        rings = gauss_legendre_rings(lmax)
+        nalm = (lmax + 1) * (lmax + 2) // 2
+        a0 = jnp.zeros((nalm,), jnp.complex64)
+        a0 = a0.at[lmax + 1].set(1.0 + 0j)       # (l=1, m=1)
+        a1 = pallas_sht.map2alm_pl(
+            pallas_sht.alm2map_pl(a0, rings, lmax), rings, lmax)
+        err = float(np.abs(np.asarray(a1 - a0)).max())
+        _PALLAS_PROBE["ok"] = bool(np.isfinite(err) and err < 1e-3)
+        if not _PALLAS_PROBE["ok"]:
+            warnings.warn("Pallas SHT canary roundtrip failed "
+                          f"(err={err}); using the scan path")
+    except Exception as e:                        # noqa: BLE001
+        warnings.warn("Pallas SHT kernel unavailable on this backend "
+                      f"({type(e).__name__}: {e}); using the scan path")
+        _PALLAS_PROBE["ok"] = False
+    return _PALLAS_PROBE["ok"]
+
+
 def _pallas_ok(rings, lmax, real_dtype):
     """Route through the Pallas Legendre kernel (ops/pallas_sht.py)?
     On-accelerator fp32 with host-known rings; ``ORPHICS_TPU_SHT=scan``
     opts out. Interpret-mode Pallas on CPU is orders slower than the
     scan, so CPU always keeps the scan path."""
-    if os.environ.get("ORPHICS_TPU_SHT", "auto") == "scan":
+    mode = os.environ.get("ORPHICS_TPU_SHT", "auto")
+    if mode == "scan":
         return False
     # only TPU backends (incl. the axon remote client): the kernel is
     # Mosaic/TPU-only (pltpu.VMEM blockspecs) — GPU keeps the scan
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     from . import pallas_sht
-    return pallas_sht.supported(lmax, rings, real_dtype)
+    if not pallas_sht.supported(lmax, rings, real_dtype):
+        return False
+    return True if mode == "pallas" else _pallas_probe_ok()
 
 
 def map2alm(maps, rings: RingGeom, lmax: int):

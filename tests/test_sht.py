@@ -323,6 +323,32 @@ class TestPallasSHT:
             interpret=True))
         assert np.abs(a2 - np.asarray(a0)).max() < 3e-6
 
+    def test_probe_degrades_gracefully(self, monkeypatch):
+        """If the kernel canary fails (e.g. the accelerator's compile
+        helper rejects Mosaic), dispatch must permanently fall back to
+        the scan path with a warning — never crash user pipelines."""
+        from orphics_tpu.ops import pallas_sht as ps
+        monkeypatch.setitem(sht._PALLAS_PROBE, "done", False)
+        monkeypatch.setitem(sht._PALLAS_PROBE, "ok", True)
+
+        def boom(*a, **k):
+            raise RuntimeError("mosaic compile helper crashed")
+
+        monkeypatch.setattr(ps, "alm2map_pl", boom)
+        with pytest.warns(UserWarning, match="scan path"):
+            assert sht._pallas_probe_ok() is False
+        assert sht._pallas_probe_ok() is False   # cached, no re-probe
+        # and a canary that produced garbage instead of raising
+        monkeypatch.setitem(sht._PALLAS_PROBE, "done", False)
+        monkeypatch.setattr(ps, "alm2map_pl",
+                            lambda a, r, l, **k: jnp.full(r.shape, jnp.nan))
+        monkeypatch.setattr(
+            ps, "map2alm_pl",
+            lambda m, r, l, **k: jnp.full(((l + 1) * (l + 2) // 2,),
+                                          jnp.nan, jnp.complex64))
+        with pytest.warns(UserWarning, match="canary"):
+            assert sht._pallas_probe_ok() is False
+
     def test_non_multiple_lmax(self):
         """lmax + 1 not divisible by the unroll/tile sizes: padding
         (zero tables, l0 = -1 columns) must be exact."""
