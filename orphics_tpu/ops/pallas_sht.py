@@ -28,6 +28,17 @@ the scan). Synthesis (:func:`alm2map_pl`) and analysis
 l-recurrence, amortizing the ~40-VPU-flop double-single step per
 (m, ring, l) that dominates single-map transforms.
 
+The single-map kernels (``_ana/_syn_kernel``) are kept separate from
+the packed ones (``_ana/_syn_kernel_b``) deliberately: a packed launch
+with ``nmaps=1`` would carry a leading dim-1 block axis through every
+BlockSpec and output write (a 3-D Mosaic tile for the latency-critical
+single-map case), and collapsing the two paths is an on-chip
+measurement away — do not unify without timing both at lmax >= 1023
+on real hardware. The shared dd-recurrence itself lives in ONE place
+(:func:`_dd_step`), so the duplication is confined to the
+I/O/accumulation scaffolding; parity between the two is pinned by
+``test_batched_wrapper``/``test_spin2_batched_packed``.
+
 Spin-2 rides the SAME kernel: the spin transform pair splits into two
 independent n = -s / n = +s Legendre transforms (``a_pm = -(E ± iB)``;
 ``q_m = (Sp + Sm)/2``, ``u_m = -i (Sp - Sm)/2`` where ``Sp/Sm`` are
@@ -54,25 +65,28 @@ __all__ = ["map2alm_pl", "alm2map_pl", "map2alm_spin_pl",
 _RB = _sht._RESCALE_BITS
 _INV = float(2.0 ** -_RB)
 _TH = float(2.0 ** (_RB // 2))
-_SPLIT = float(2.0 ** 12 + 1.0)
 _UNROLL = 8
 
+# the dd algebra is shared with the scan path (sht._lambda_scan) at
+# module level so the two implementations can never drift — the
+# kernel's accuracy contract is "identical to the scan's full mode"
+_twosum = _sht._dd_twosum
+_twoprod = _sht._dd_twoprod
 
-def _twosum(a, b):
-    s = a + b
-    z = s - a
-    return s, (a - (s - z)) + (b - z)
 
-
-def _twoprod(a, b):
-    p = a * b
-    t = _SPLIT * a
-    ah = t - (t - a)
-    al = a - ah
-    t = _SPLIT * b
-    bh = t - (t - b)
-    bl = b - bh
-    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+def _check_f32(x, what):
+    """The kernel is fp32-only (dd-compensated to ~10 ulp of fp32). A
+    64-bit input signals the caller wanted the scan path's ~1e-12 —
+    refuse the silent downcast (the sht.py dispatcher never routes
+    64-bit dtypes here; this guards DIRECT kernel calls)."""
+    if jnp.dtype(x.dtype) in (jnp.dtype(jnp.float64),
+                              jnp.dtype(jnp.complex128)):
+        raise TypeError(
+            f"{what} is {x.dtype}: the Pallas SHT kernel computes in "
+            "fp32 (dd-compensated). Cast to float32/complex64, or use "
+            "sht.map2alm/alm2map which keep 64-bit inputs on the scan "
+            "path.")
+    return x
 
 
 def _dd_step(l, tabs, vals, carry):
@@ -259,16 +273,25 @@ def _pack(lmax):
     return 4 if lmax < 1024 else 2
 
 
+@functools.lru_cache(maxsize=4)
+def _prep_raw(lmax, rings, ns):
+    """The O(lmax^2) host computations shared by every Wigner n column
+    of a spin transform: recurrence tables and seed mantissa/exponent
+    for ALL ``ns`` at once (the per-column _prep calls then just
+    select + pad — without this cache a spin transform would run the
+    whole gammaln/exp seed computation twice, once per n)."""
+    tab = _sht._wigner_tables_np(lmax, ns)
+    theta = np.asarray(rings.theta_array(), np.float64)
+    mant, e_np = _sht._seed_mantissa_exp(tab, theta, np.float64)
+    return tab, theta, mant, e_np
+
+
 def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0):
     """Host tables in the kernel layout: l-tables transposed (Mp, Lp),
     ring/seed tiles (Mp, Tp), x as a (1, Tp) row. ``ns``/``ni`` select
     the Wigner n column (spin-s uses ns=(-s, s) with ni = 0 / 1)."""
-    tab = _sht._wigner_tables_np(lmax, ns)
-    L1 = M1 = lmax + 1
-    Lp = -(-L1 // _UNROLL) * _UNROLL
-    Mp = -(-M1 // mtile) * mtile
-    T = rings.ntheta
-    Tp = -(-T // ttile) * ttile
+    tab, theta, mant, e_np = _prep_raw(lmax, rings, ns)
+    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
 
     def padml(A):                           # (L1, M1) -> (Mp, Lp)
         return np.pad(A.T, ((0, Mp - M1), (0, Lp - L1))) \
@@ -277,9 +300,7 @@ def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0):
     A64 = np.asarray(tab["A"][ni], np.float64)
     B64 = np.asarray(tab["B"][ni], np.float64)
     C64 = np.asarray(tab["C"][ni], np.float64)
-    theta = np.asarray(rings.theta_array(), np.float64)
     x64 = np.cos(theta)
-    mant, e_np = _sht._seed_mantissa_exp(tab, theta, np.float64)
     sm = mant[ni]                           # (M1, T)
     se = e_np[ni]
 
@@ -405,7 +426,8 @@ def map2alm_pl(maps, rings, lmax: int, interpret: bool = False):
                                    interpret=interpret),
         lambda m: _map2alm_pl_b_impl(m, tabs, rings=rings, lmax=lmax,
                                      interpret=interpret),
-        (jnp.asarray(maps, jnp.float32),), (2,), lmax,
+        (_check_f32(jnp.asarray(maps), "maps").astype(jnp.float32),),
+        (2,), lmax,
         lambda bshape: jnp.zeros(bshape + (nalm,), jnp.complex64))
 
 
@@ -546,7 +568,7 @@ def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False):
     """Pallas synthesis: healpy-packed alm (leading batch dims ok) ->
     (..., ntheta, nphi) fp32 map."""
     from . import alm as almops
-    alm = jnp.asarray(alm)
+    alm = _check_f32(jnp.asarray(alm), "alm")
     if lmax is None:
         lmax = almops.getlmax(alm.shape[-1])
     mtile, ttile = _tiles(lmax)
@@ -599,16 +621,7 @@ def map2alm_spin_pl(qmap, umap, rings, lmax: int, spin: int = 2,
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
 def _map2alm_spin_pl_impl(qmap, umap, tabs_m, tabs_p, *, rings,
                           lmax: int, interpret: bool = False):
-    if rings.nphi < 2 * lmax + 1:
-        raise ValueError("nphi too small for requested lmax")
-    w = jnp.asarray(rings.weights_array(), jnp.float32) \
-        * jnp.float32(2.0 * np.pi / rings.nphi)
-    p_plus = qmap.astype(jnp.complex64) + 1j * umap.astype(jnp.complex64)
-    p_minus = qmap.astype(jnp.complex64) - 1j * umap.astype(jnp.complex64)
-    m = jnp.arange(lmax + 1)
-    phase = jnp.exp(-1j * m * rings.phi0).astype(jnp.complex64)
-    Fp = jnp.fft.fft(p_plus, axis=-1)[..., : lmax + 1] * phase
-    Fm = jnp.fft.fft(p_minus, axis=-1)[..., : lmax + 1] * phase
+    Fp, Fm, w = _sht._spin_ring_analysis(qmap, umap, rings, lmax)
     Gp = (Fp * w[:, None]).T                         # (M+1, T)
     Gm = (Fm * w[:, None]).T
     ap = _leg_ana(Gp, tabs_m, rings, lmax, interpret)  # (L+1, M+1)
@@ -622,16 +635,7 @@ def _map2alm_spin_pl_impl(qmap, umap, tabs_m, tabs_p, *, rings,
 def _map2alm_spin_pl_b_impl(qmap, umap, tabs_m, tabs_p, *, rings,
                             lmax: int, interpret: bool = False):
     """Packed spin-s analysis of (nmaps, ntheta, nphi) Q/U maps."""
-    if rings.nphi < 2 * lmax + 1:
-        raise ValueError("nphi too small for requested lmax")
-    w = jnp.asarray(rings.weights_array(), jnp.float32) \
-        * jnp.float32(2.0 * np.pi / rings.nphi)
-    p_plus = qmap.astype(jnp.complex64) + 1j * umap.astype(jnp.complex64)
-    p_minus = qmap.astype(jnp.complex64) - 1j * umap.astype(jnp.complex64)
-    m = jnp.arange(lmax + 1)
-    phase = jnp.exp(-1j * m * rings.phi0).astype(jnp.complex64)
-    Fp = jnp.fft.fft(p_plus, axis=-1)[..., : lmax + 1] * phase
-    Fm = jnp.fft.fft(p_minus, axis=-1)[..., : lmax + 1] * phase
+    Fp, Fm, w = _sht._spin_ring_analysis(qmap, umap, rings, lmax)
     Gp = jnp.swapaxes(Fp * w[None, :, None], -2, -1)   # (nmaps, M+1, T)
     Gm = jnp.swapaxes(Fm * w[None, :, None], -2, -1)
     ap = _leg_ana_b(Gp, tabs_m, rings, lmax, interpret)

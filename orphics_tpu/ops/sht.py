@@ -313,6 +313,33 @@ def _wigner_tables_np(lmax: int, ns: tuple):
     )
 
 
+_DD_SPLIT = 2.0 ** 12 + 1.0      # Dekker split constant for fp32
+
+
+def _dd_twosum(a, b):
+    """fl(a+b) and its exact fp32 rounding error (Knuth TwoSum).
+    Shared by the scan recurrence below and the Pallas kernel
+    (ops/pallas_sht.py) — the two implementations' accuracy contract
+    is that this algebra is identical."""
+    s = a + b
+    z = s - a
+    return s, (a - (s - z)) + (b - z)
+
+
+def _dd_twoprod(a, b):
+    """fl(a*b) and its exact fp32 rounding error (Dekker TwoProd;
+    valid for the bounded magnitudes the rescaled recurrence
+    guarantees). Shared with ops/pallas_sht.py — see _dd_twosum."""
+    p = a * b
+    t = _DD_SPLIT * a
+    ah = t - (t - a)
+    al = a - ah
+    t = _DD_SPLIT * b
+    bh = t - (t - b)
+    bl = b - bh
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
 def _seed_mantissa_exp(tab, theta, dtype):
     """Seed values at l = l0(m) for every (n, m, ring), in extended-exponent
     form: value = mant * 2**(-30 e)."""
@@ -561,25 +588,10 @@ def _lambda_scan(lmax, theta_np, ns, dtype, contract, init_out, xs=None,
     inv_r = jnp.asarray(_INV_RESCALE, dtype)
     thresh = jnp.asarray(_RESCALE_THRESH, dtype)
 
-    def _twosum(aa, bb):
-        s = aa + bb
-        z = s - aa
-        return s, (aa - (s - z)) + (bb - z)
-
-    _SPLIT = jnp.asarray(2.0 ** 12 + 1.0, dtype)  # Dekker split, fp32
-
-    def _twoprod(aa, bb):
-        """fl(aa*bb) and its exact fp32 rounding error (Dekker; valid
-        for the bounded magnitudes the rescaled recurrence guarantees)."""
-        p = aa * bb
-        t = _SPLIT * aa
-        ah = t - (t - aa)
-        al = aa - ah
-        t = _SPLIT * bb
-        bh = t - (t - bb)
-        bl = bb - bh
-        err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-        return p, err
+    # the dd algebra is shared module-level with the Pallas kernel so
+    # the two paths can never drift (python-float split constant stays
+    # fp32 under jnp weak typing; comp modes only run on fp32)
+    _twosum, _twoprod = _dd_twosum, _dd_twoprod
 
     def step(carry, scanned):
         Ab, Bb, Cb, Alb, Blb, Clb, lsb, xb = scanned
@@ -954,24 +966,36 @@ def map2alm_spin(qmap, umap, rings: RingGeom, lmax: int, spin: int = 2):
                               spin=spin)
 
 
+def _spin_ring_analysis(qmap, umap, rings: RingGeom, lmax: int):
+    """Ring-FFT preamble shared by ALL spin analyses (this scan path
+    and both Pallas entry points): F± = FFT(Q ± iU) truncated to the
+    +m frequencies with the phi0 phase applied, and the quadrature
+    weights w = ring_weights * 2pi/nphi in the input's real dtype.
+    One implementation so a phase/weight convention change can never
+    desynchronize the paths. Returns (Fp, Fm, w)."""
+    rdt = qmap.dtype
+    cdt = jnp.result_type(rdt, jnp.complex64)
+    if rings.nphi < 2 * lmax + 1:
+        raise ValueError("nphi too small for requested lmax")
+    w = jnp.asarray(rings.weights_array(), rdt) * (2.0 * np.pi / rings.nphi)
+    p_plus = qmap.astype(cdt) + 1j * umap.astype(cdt)
+    p_minus = qmap.astype(cdt) - 1j * umap.astype(cdt)
+    m = jnp.arange(lmax + 1)
+    phase = jnp.exp(-1j * m * rings.phi0).astype(cdt)
+    Fp = jnp.fft.fft(p_plus, axis=-1)[..., : lmax + 1] * phase
+    Fm = jnp.fft.fft(p_minus, axis=-1)[..., : lmax + 1] * phase
+    return Fp, Fm, w
+
+
 @partial(jax.jit, static_argnames=("rings", "lmax", "spin"))
 def _map2alm_spin_impl(qmap, umap, tables, *, rings: RingGeom, lmax: int,
                        spin: int):
     rdt = qmap.dtype
     cdt = jnp.result_type(rdt, jnp.complex64)
     theta = rings.theta_array()
-    w = jnp.asarray(rings.weights_array(), rdt) * (2.0 * np.pi / rings.nphi)
     # a+_lm = sum w Lambda^{m,-s} Fp_m ; a-_lm = sum w Lambda^{m,+s} Fm_m
     # with Fp = fft(Q + iU), Fm = fft(Q - iU) at +m frequencies.
-    p_plus = qmap.astype(cdt) + 1j * umap.astype(cdt)
-    p_minus = qmap.astype(cdt) - 1j * umap.astype(cdt)
-    nphi = rings.nphi
-    if nphi < 2 * lmax + 1:
-        raise ValueError("nphi too small for requested lmax")
-    m = jnp.arange(lmax + 1)
-    phase = jnp.exp(-1j * m * rings.phi0).astype(cdt)
-    Fp = jnp.fft.fft(p_plus, axis=-1)[..., : lmax + 1] * phase
-    Fm = jnp.fft.fft(p_minus, axis=-1)[..., : lmax + 1] * phase
+    Fp, Fm, w = _spin_ring_analysis(qmap, umap, rings, lmax)
     Gp = Fp * w[..., :, None]
     Gm = Fm * w[..., :, None]
 

@@ -323,6 +323,48 @@ class TestPallasSHT:
             interpret=True))
         assert np.abs(a2 - np.asarray(a0)).max() < 3e-6
 
+    def test_multi_tile_revisit(self, monkeypatch):
+        """Exercise the multi-tile grid — cross-ring-tile (jt > 0)
+        output accumulation and multiple m tiles — in interpret mode.
+        The default tiles give a (1, 1) grid at every CPU-testable
+        lmax, which would leave the revisit init/accumulate logic
+        covered only by the opt-in on-chip tests."""
+        from orphics_tpu.ops import pallas_sht as ps
+        monkeypatch.setattr(ps, "_tiles", lambda lmax: (8, 8))
+        lmax = 31
+        rings = sht.gauss_legendre_rings(lmax)
+        a0 = _random_alm(jax.random.PRNGKey(17), lmax,
+                         dtype=jnp.complex64)
+        m = ps.alm2map_pl(a0, rings, lmax, interpret=True)
+        a2 = ps.map2alm_pl(m, rings, lmax, interpret=True)
+        assert np.abs(np.asarray(a2 - a0)).max() < 3e-6
+        # spin-2 through the same tiny-tile grid
+        def spin_alm(s):
+            a = _random_alm(jax.random.PRNGKey(s), lmax,
+                            dtype=jnp.complex64)
+            mat = sht._alm2mat(a, lmax).at[:2, :].set(0)
+            return sht._mat2alm(mat, lmax)
+        e0, b0 = spin_alm(41), spin_alm(42)
+        q, u = ps.alm2map_spin_pl(e0, b0, rings, lmax, interpret=True)
+        e2, b2 = ps.map2alm_spin_pl(q, u, rings, lmax, interpret=True)
+        assert float(jnp.abs(e2 - e0).max()) < 3e-6
+        assert float(jnp.abs(b2 - b0).max()) < 3e-6
+
+    def test_f64_inputs_rejected(self):
+        """Direct kernel calls must refuse 64-bit inputs instead of
+        silently downcasting (the dispatcher keeps them on the scan
+        path, which delivers ~1e-12)."""
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 31
+        rings = sht.gauss_legendre_rings(lmax)
+        nalm = (lmax + 1) * (lmax + 2) // 2
+        with pytest.raises(TypeError, match="float32"):
+            ps.map2alm_pl(jnp.zeros(rings.shape, jnp.float64), rings,
+                          lmax, interpret=True)
+        with pytest.raises(TypeError, match="float32"):
+            ps.alm2map_pl(jnp.zeros((nalm,), jnp.complex128), rings,
+                          lmax, interpret=True)
+
     def test_probe_degrades_gracefully(self, monkeypatch):
         """If the kernel canary fails (e.g. the accelerator's compile
         helper rejects Mosaic), dispatch must permanently fall back to
