@@ -89,44 +89,12 @@ def alpha_from_kappa(kappa, geom: Geometry):
 # ------------------------------------------------------------------
 # Spline-interpolated displacement (displace_map equivalent)
 # ------------------------------------------------------------------
-
-_BSPLINE_TAPS = {
-    3: np.array([1.0, 4.0, 1.0]) / 6.0,
-    5: np.array([1.0, 26.0, 66.0, 26.0, 1.0]) / 120.0,
-}
-
-
-def _bspline_freq_response(n, d_taps):
-    """Frequency response of the centered B-spline sampling kernel."""
-    w = 2 * np.pi * np.fft.fftfreq(n)
-    half = (len(d_taps) - 1) // 2
-    resp = np.full(n, d_taps[half])
-    for j in range(1, half + 1):
-        resp = resp + 2.0 * d_taps[half + j] * np.cos(j * w)
-    return resp
-
-
-def _bspline3_weights(t):
-    """Cubic B-spline weights at offsets (-1, 0, 1, 2) for fraction t."""
-    w0 = (1.0 - t) ** 3 / 6.0
-    w1 = 2.0 / 3.0 - t * t + 0.5 * t ** 3
-    w2 = 2.0 / 3.0 - (1 - t) ** 2 + 0.5 * (1 - t) ** 3
-    w3 = t ** 3 / 6.0
-    return [w0, w1, w2, w3]
-
-
-def _bspline5_weights(t):
-    """Quintic B-spline weights at offsets (-2..3) for fraction t."""
-    def b5(x):
-        ax = jnp.abs(x)
-        r = jnp.where(ax < 1, (33.0 - 30 * ax ** 2 + 15 * ax ** 4 - 5 * ax ** 5) / 60.0
-                      + ax * 0, 0.0)
-        r = jnp.where((ax >= 1) & (ax < 2),
-                      (51.0 + 75 * ax - 210 * ax ** 2 + 150 * ax ** 3
-                       - 45 * ax ** 4 + 5 * ax ** 5) / 120.0, r)
-        r = jnp.where((ax >= 2) & (ax < 3), (3.0 - ax) ** 5 / 120.0, r)
-        return r
-    return [b5(t - m) for m in (-2, -1, 0, 1, 2, 3)]
+# The B-spline basis/prefilter math lives ONCE in ops/pallas_lens.py
+# (the kernel and this XLA path must agree to float32 roundoff; two
+# copies drifted once and must not exist again).
+from ..ops.pallas_lens import (_bspline3_weights, _bspline5_weights,
+                               _bspline_freq_response,
+                               spline_coeffs as _spline_coeffs)
 
 
 @partial(jax.jit, static_argnames=("geom", "order"))
@@ -139,14 +107,18 @@ def lens_map_spline(imap, alpha, geom: Geometry, order: int = 5):
     periodic prefilter applied in Fourier space. ``imap`` may carry leading
     component axes.
     """
-    if order not in _BSPLINE_TAPS:
+    if order not in (3, 5):
         raise ValueError("order must be 3 or 5")
-    taps = _BSPLINE_TAPS[order]
-    ry = jnp.asarray(_bspline_freq_response(geom.ny, taps), dtype=jnp.float32)
-    rx = jnp.asarray(_bspline_freq_response(geom.nx, taps), dtype=jnp.float32)
-    k = F.fft2(imap, geom, "raw")
-    coeffs = F.ifft2(k / (ry[:, None] * rx[None, :]), geom, "raw").real
+    coeffs = _spline_coeffs(imap, geom, order)
+    return _eval_spline_coeffs(coeffs, alpha, geom, order)
 
+
+@partial(jax.jit, static_argnames=("geom", "order"))
+def _eval_spline_coeffs(coeffs, alpha, geom: Geometry, order: int):
+    """Evaluate prefiltered spline coefficients at displaced positions
+    (the gather half of :func:`lens_map_spline`; fused pipelines that
+    synthesize coefficients directly call this without the prefilter —
+    e.g. LensedQEPipeline's XLA fallback on kernel-untileable grids)."""
     py = alpha[0] / geom.dy
     px = alpha[1] / geom.dx
     iy = jnp.arange(geom.ny, dtype=jnp.float32)[:, None] + py
@@ -181,8 +153,8 @@ def lens_map_spline(imap, alpha, geom: Geometry, order: int = 5):
     ntap = shifted.shape[0]
     sflat = shifted.reshape((ntap,) + coeffs.shape[:-2] + (-1,))
     vals = jnp.take(sflat, base_idx, axis=-1)           # shared indices
-    vals = vals.reshape((ntap,) + imap.shape)
-    out = jnp.zeros_like(imap)
+    vals = vals.reshape((ntap,) + coeffs.shape)
+    out = jnp.zeros_like(coeffs)
     t = 0
     for mi in range(len(offs)):
         for ni in range(len(offs)):

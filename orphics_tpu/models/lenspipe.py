@@ -39,6 +39,15 @@ from . import qe as _qe
 __all__ = ["LensedQEPipeline"]
 
 
+def _fphi(modl):
+    """kappa -> phi multiplier 2/(l(l+1)) with the l < 2 modes cut —
+    the ONE definition shared by the half-plane and full-plane plans."""
+    denom = modl * (modl + 1.0)
+    fphi = np.where(denom > 0, 2.0 / np.where(denom > 0, denom, 1.0),
+                    0.0)
+    return np.where(modl < 2.0, 0.0, fphi)
+
+
 class LensedQEPipeline:
     """Batched lensed-sim + TT-QE reconstruction pipeline (see module
     docstring).  ``step(key, batch)`` returns the binned
@@ -82,9 +91,7 @@ class LensedQEPipeline:
         lmap = np.asarray(geom.lmap(jnp.float32), np.float64)
         ly_h = lmap[0][:, :nxr]
         lx_h = lmap[1][:, :nxr]
-        denom = modl_h * (modl_h + 1.0)
-        fphi = np.where(denom > 0, 2.0 / np.where(denom > 0, denom, 1.0), 0.0)
-        fphi = np.where(modl_h < 2.0, 0.0, fphi)
+        fphi = _fphi(modl_h)
         # kept as HOST numpy: an eager complex device conversion hangs
         # some TPU clients; inside the jitted step it becomes a constant
         self.alpha_filt = np.stack(
@@ -119,15 +126,23 @@ class LensedQEPipeline:
         self.binner = RfftBin2D(geom, edges)
         self.norm = float(geom.area) / float(geom.npix) ** 2
 
+        # the displacement step itself: the Pallas lens kernel where its
+        # tiling admits the geometry, else the XLA spline path — BOTH
+        # impls need this choice (the "xla" impl still prefers the
+        # Pallas displacement kernel when available)
+        self._lens_pallas = pallas_lens.supported(geom)
+
         # --- Pallas full-plane plan (see pp_step): everything the fused
         # MXU path needs as doubly-permuted static planes
         ny_, nx_ = geom.shape
-        pallas_ok = ny_ == nx_ and nx_ % 128 == 0 and nx_ >= 256
+        pallas_ok = (ny_ == nx_ and nx_ % 128 == 0 and nx_ >= 256
+                     and self._lens_pallas)
         if impl == "pallas" and not pallas_ok:
             raise ValueError(
-                f"impl='pallas' requires a square grid, n % 128 == 0 "
-                f"and n >= 256; got {geom.shape}. Use impl='auto' for "
-                "silent fallback to the XLA path.")
+                f"impl='pallas' requires a square grid with n % 128 == "
+                f"0, n >= 256 and a valid lens-kernel tiling; got "
+                f"{geom.shape}. Use impl='auto' for silent fallback to "
+                "the XLA path.")
         self.impl = "pallas" if (impl in ("auto", "pallas")
                                  and pallas_ok) else "xla"
         if self.impl == "pallas":
@@ -155,10 +170,7 @@ class LensedQEPipeline:
             self.csq_kk_pp = pp(np.sqrt(np.maximum(ckk2d, 0.0)) * sig)
             # kappa -> deflection multipliers c_i = l_i * 2/(l(l+1))
             lmap_f = np.asarray(geom.lmap(jnp.float32), np.float64)
-            denom = ml * (ml + 1.0)
-            fphi_f = np.where(denom > 0, 2.0 / np.where(denom > 0, denom,
-                                                        1.0), 0.0)
-            fphi_f = np.where(ml < 2.0, 0.0, fphi_f)
+            fphi_f = _fphi(ml)
             self.cy_pp = pp(lmap_f[0] * fphi_f)
             self.cx_pp = pp(lmap_f[1] * fphi_f)
             kbeam_f = np.exp(-((beam_arcmin * arcmin) ** 2) * ml ** 2
@@ -247,14 +259,20 @@ class LensedQEPipeline:
             outs = []
             for c in range(batch // chunk):
                 P = chunk // 2
-                seed = jax.random.randint(
-                    jax.random.fold_in(key, c), (), 0,
-                    jnp.iinfo(jnp.int32).max // 4)
-                zk = pfft.noise_planes(self.csq_kk_pp, 4 * seed, P,
+                # full 64-bit key words per (chunk, stream) — a 31-bit
+                # scalar seed birthday-collides over long MC campaigns
+                kc = jax.random.fold_in(key, c)
+
+                def words(s):
+                    kd = jax.random.key_data(jax.random.fold_in(kc, s))
+                    return jax.lax.bitcast_convert_type(
+                        kd.reshape(2), jnp.int32)
+
+                zk = pfft.noise_planes(self.csq_kk_pp, words(0), P,
                                        interpret=self.interpret)
-                zc = pfft.noise_planes(self.csq_coeff_pp, 4 * seed + 1,
+                zc = pfft.noise_planes(self.csq_coeff_pp, words(1),
                                        P, interpret=self.interpret)
-                w = pfft.noise_planes(self.nscale_pp, 4 * seed + 2, P,
+                w = pfft.noise_planes(self.nscale_pp, words(2), P,
                                       interpret=self.interpret)
                 outs.append(self._pp_core(zk, zc, w, chunk,
                                           interpret=self.interpret))
@@ -273,10 +291,18 @@ class LensedQEPipeline:
         kin_h = self.csq_kk * eta_k                        # input kappa
         alpha = F.irfft2(self.alpha_filt[None] * kin_h[:, None], geom)
 
-        lensed = pallas_lens.lens_map_pallas(
-            coeffs[:, None], alpha, geom, order=self.lens_order,
-            maxdisp_px=self.maxdisp_px, prefiltered=True,
-            interpret=self.interpret)[:, 0]
+        if self._lens_pallas:
+            lensed = pallas_lens.lens_map_pallas(
+                coeffs[:, None], alpha, geom, order=self.lens_order,
+                maxdisp_px=self.maxdisp_px, prefiltered=True,
+                interpret=self.interpret)[:, 0]
+        else:
+            # geometry the kernel can't tile: XLA spline displacement
+            # (coeffs are already prefiltered — evaluate directly)
+            from .lensing import _eval_spline_coeffs
+            lensed = jax.vmap(
+                lambda cc, aa: _eval_spline_coeffs(
+                    cc, aa, geom, self.lens_order))(coeffs, alpha)
 
         kobs_h = (self.kbeam_h * F.rfft2(lensed, geom)
                   + self.ncov_h * eta_n)

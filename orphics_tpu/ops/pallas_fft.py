@@ -129,10 +129,13 @@ def permuted_bin_tables(modlmap, perm, edges):
     folded into the out-of-range segment 0. Returns (idc, icnt, nseg):
     flat int32 segment ids, per-bin inverse counts (skipping segment
     0), and the segment count. Shared by the bench config-3 plan and
-    LensedQEPipeline — keep the convention in ONE place."""
+    LensedQEPipeline — keep the convention in ONE place.
+    digitize(right=True) — (lo, hi] bins — matching Bin2D/RfftBin2D
+    (the reference's stats.bin2D convention), so a mode exactly on an
+    edge bins identically on the Pallas and XLA paths."""
     import jax.numpy as _jnp
     dig = np.digitize(np.asarray(modlmap, np.float64)[perm][:, perm],
-                      np.asarray(edges)).astype(np.int32)
+                      np.asarray(edges), right=True).astype(np.int32)
     dig[dig == len(edges)] = 0
     nseg = len(edges)
     idc = _jnp.asarray(dig.ravel())
@@ -661,7 +664,7 @@ def _noise_planes_kernel(sc_ref, seed_ref, ore_ref, oim_ref, *, rtile, n):
     cell = i * pl.num_programs(1) + j
 
     def normals(stream):
-        pltpu.prng_seed(seed_ref[0], 2 * cell + stream)
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], 2 * cell + stream)
         bits = pltpu.prng_random_bits((rtile, n))
         ib = jnp.bitwise_and(pltpu.bitcast(bits, jnp.int32), (1 << 23) - 1)
         u = (ib.astype(jnp.float32) + 0.5) * (1.0 / (1 << 23))
@@ -681,10 +684,23 @@ def noise_planes(scale, seed, batch: int, rtile: int = 64,
     seed x block; reproducible, never in HBM unscaled). ``scale`` in
     whatever static layout the consumer uses (typically doubly-permuted
     covsqrt). On CPU/interpret falls back to jax.random (different
-    stream, same law)."""
+    stream, same law).
+
+    ``seed``: a scalar int32 stream id, OR a (2,) int32 word pair
+    (e.g. the raw words of a jax PRNG key) — the two-word form seeds
+    the on-chip generator with the FULL 64 bits, so long Monte-Carlo
+    campaigns don't birthday-collide in a 31-bit space."""
     n = scale.shape[-1]
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    if seed_arr.shape != (1,) and seed_arr.shape != (2,):
+        raise ValueError(f"seed must be a scalar or (2,) words; got "
+                         f"shape {seed_arr.shape}")
+    if seed_arr.shape == (1,):
+        seed_arr = jnp.concatenate([seed_arr,
+                                    jnp.zeros((1,), jnp.int32)])
     if interpret:
-        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+        key = jax.random.fold_in(jax.random.PRNGKey(seed_arr[0]),
+                                 seed_arr[1].astype(jnp.uint32))
         kr, ki = jax.random.split(key)
         er = jax.random.normal(kr, (batch, n, n), jnp.float32)
         ei = jax.random.normal(ki, (batch, n, n), jnp.float32)
@@ -700,7 +716,7 @@ def noise_planes(scale, seed, batch: int, rtile: int = 64,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[dblk, dblk],
         out_shape=[jax.ShapeDtypeStruct((batch, n, n), jnp.float32)] * 2,
-    )(scale.astype(jnp.float32), jnp.asarray(seed, jnp.int32).reshape(1))
+    )(scale.astype(jnp.float32), seed_arr)
 
 
 def _row_call(xre, xim, inverse, rtile, interpret, scale=None):

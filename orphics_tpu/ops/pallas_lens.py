@@ -148,6 +148,30 @@ def _lens_kernel(py_ref, px_ref, cref, oref, win, sem, *,
     oref[0, 0] = acc
 
 
+def blocks(ny, nx):
+    """The kernel tiling for an (ny, nx) map, or (None, None) when no
+    valid tiling exists. Rows: the largest multiple-of-8 divisor of ny
+    up to 64 (ny itself when ny <= 64 — sublane granularity 8). Cols:
+    256 or 128 for nx > 256 (lane starts j*BW must stay 128-aligned),
+    nx itself otherwise (single column tile, start 0)."""
+    if ny <= 64:
+        bh = ny
+    else:
+        bh = next((b for b in range(64, 7, -8) if ny % b == 0), None)
+    if nx <= 256:
+        bw = nx
+    else:
+        bw = next((b for b in (256, 128) if nx % b == 0), None)
+    return bh, bw
+
+
+def supported(geom: Geometry) -> bool:
+    """Can :func:`lens_map_pallas` tile this geometry? (Callers that
+    must accept any shape fall back to ``lens_map_spline``.)"""
+    bh, bw = blocks(*geom.shape)
+    return bh is not None and bw is not None
+
+
 @functools.partial(jax.jit,
                    static_argnames=("geom", "order", "maxdisp_px",
                                     "prefiltered", "interpret"))
@@ -170,6 +194,14 @@ def lens_map_pallas(imap, alpha, geom: Geometry, order: int = 5,
         raise it for very high-resolution geometries.
     prefiltered : if True, ``imap`` already holds spline coefficients
         (skip the Fourier prefilter) - used by fused pipelines.
+
+    Shape constraint (see :func:`blocks`/:func:`supported`): the map
+    must tile into (BH, BW) blocks with BH a multiple-of-8 divisor of
+    ny (<= 64; or ny itself when ny <= 64) and BW in {256, 128} for
+    nx > 256 (or nx itself when nx <= 256, lane alignment via j = 0).
+    Unsupported shapes raise ValueError — callers that must accept any
+    geometry fall back to :func:`..models.lensing.lens_map_spline`
+    (``LensedQEPipeline`` does this automatically).
     """
     if order not in _OFFS:
         raise ValueError("order must be 3 or 5")
@@ -201,11 +233,13 @@ def lens_map_pallas(imap, alpha, geom: Geometry, order: int = 5,
     py = jnp.clip(alpha4[:, 0] / geom.dy, -D, D).astype(jnp.float32)
     px = jnp.clip(alpha4[:, 1] / geom.dx, -D, D).astype(jnp.float32)
 
-    BH = min(64, ny)
-    BW = min(256, nx)
-    if ny % BH or nx % BW:
-        raise ValueError(f"map shape {(ny, nx)} not divisible by "
-                         f"block {(BH, BW)}")
+    BH, BW = blocks(ny, nx)
+    if BH is None or BW is None:
+        raise ValueError(
+            f"map shape {(ny, nx)} has no valid kernel tiling (need a "
+            "multiple-of-8 row divisor <= 64 and a column divisor in "
+            "{256, 128} for nx > 256); use lens_map_spline for this "
+            "geometry")
     # window row 0 holds absolute map row (i*BH - D + offs[0]), i.e.
     # padded row i*BH + ROW0 with ROW0 = PAD - D + offs[0]; Mosaic
     # requires DMA slices tile-aligned, so align the start down to the

@@ -313,3 +313,58 @@ def test_lenspipe_matches_unfused(geom, th):
     ref = np.stack(rows)
     scale = np.abs(ref).max(axis=(0, 2), keepdims=True)
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-4)
+
+
+def test_lens_kernel_blocks_and_fallback():
+    """Block selection admits n % 256 == 128 grids (BW=128) and odd row
+    counts with multiple-of-8 divisors; unsupported shapes report
+    supported()=False and LensedQEPipeline falls back instead of
+    crashing inside step (review regression: the old gate admitted
+    384^2 which then died in lens_map_pallas)."""
+    from orphics_tpu.ops import pallas_lens
+    assert pallas_lens.blocks(384, 384) == (64, 128)
+    assert pallas_lens.blocks(600, 600)[0] == 40
+    assert pallas_lens.blocks(600, 600)[1] is None      # 600 % 128 != 0
+    assert pallas_lens.blocks(320, 320) == (64, None)   # 320 % 128 != 0
+    assert pallas_lens.blocks(256, 256) == (64, 256)
+    assert pallas_lens.blocks(48, 48) == (48, 48)
+    g384 = rect_geometry(width_arcmin=384 * 2.0, px_res_arcmin=2.0)
+    assert pallas_lens.supported(g384)
+    g320 = rect_geometry(width_arcmin=320 * 2.0, px_res_arcmin=2.0)
+    assert not pallas_lens.supported(g320)
+
+
+def test_lens_map_pallas_nonsquare_tiling(th):
+    """Kernel parity on a grid that exercises the NEW tilings: ny=80
+    (row block 40 < 64, two row tiles) x nx=384 (column block 128,
+    three column tiles)."""
+    from orphics_tpu.ops import pallas_lens
+    from orphics_tpu import rect_geometry as rg
+    geom = rg(width_arcmin=384 * 2.0, height_arcmin=80 * 2.0,
+              px_res_arcmin=2.0)
+    assert pallas_lens.blocks(*geom.shape) == (40, 128)
+    fls = lensing.FlatLensingSims(geom, th, beam_arcmin=1.5,
+                                  noise_uk_arcmin=7.0)
+    kc, kk = jax.random.split(jax.random.PRNGKey(3))
+    unl = fls.get_unlensed(kc).astype(jnp.float32)
+    alpha = lensing.alpha_from_kappa(fls.get_kappa(kk),
+                                     geom).astype(jnp.float32)
+    ref = np.asarray(lensing.lens_map_spline(unl, alpha, geom, order=3))
+    out = np.asarray(pallas_lens.lens_map_pallas(
+        unl, alpha, geom, order=3, interpret=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=2e-5)
+
+
+def test_lenspipe_unsupported_grid_falls_back(th):
+    """A geometry the lens kernel can't tile (320: nx % 128 != 0) must
+    construct with impl='auto', run step() via the XLA spline fallback,
+    and reject impl='pallas' with a clear error."""
+    from orphics_tpu.models.lenspipe import LensedQEPipeline
+    geom = rect_geometry(width_arcmin=320 * 2.0, px_res_arcmin=2.0)
+    with pytest.raises(ValueError, match="impl='pallas'"):
+        LensedQEPipeline(geom, th, impl="pallas")
+    pipe = LensedQEPipeline(geom, th, impl="auto")
+    assert pipe.impl == "xla" and not pipe._lens_pallas
+    out = np.asarray(pipe.step(jax.random.PRNGKey(0), 2))
+    assert out.shape[0] == 2 and np.all(np.isfinite(out))

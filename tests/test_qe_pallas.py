@@ -175,3 +175,37 @@ class TestLensPipePallas:
         scale = np.abs(refs).max()
         assert np.max(np.abs(got - refs)) < 5e-4 * scale, \
             np.max(np.abs(got - refs)) / scale
+
+
+class TestNoisePlanesSeeding:
+    def test_word_pair_seeds(self):
+        """noise_planes accepts a (2,) int32 word pair (full 64-bit key
+        space — a 31-bit scalar seed birthday-collides over long MC
+        campaigns); scalar seeds keep working, distinct pairs give
+        distinct streams."""
+        from orphics_tpu.ops import pallas_fft as pf
+        scale = jnp.ones((8, 8), jnp.float32)
+        r1, i1 = pf.noise_planes(scale, jnp.array([5, 9], jnp.int32), 1,
+                                 interpret=True)
+        r2, i2 = pf.noise_planes(scale, jnp.array([5, 10], jnp.int32),
+                                 1, interpret=True)
+        r3, _ = pf.noise_planes(scale, 5, 1, interpret=True)
+        assert np.isfinite(np.asarray(r1)).all()
+        assert np.abs(np.asarray(r1) - np.asarray(r2)).max() > 0
+        assert np.abs(np.asarray(r1) - np.asarray(r3)).max() > 0
+        with pytest.raises(ValueError, match="scalar or"):
+            pf.noise_planes(scale, jnp.zeros(3, jnp.int32), 1,
+                            interpret=True)
+
+    def test_permuted_bin_tables_edge_convention(self):
+        """digitize(right=True): a mode exactly ON an edge bins the
+        same way as Bin2D/RfftBin2D (review regression: the Pallas
+        tables used right=False, disagreeing with the XLA path)."""
+        from orphics_tpu.ops import pallas_fft as pf
+        ml = np.array([[40.0, 80.0], [120.0, 200.0]])
+        perm = np.arange(2)
+        idc, icnt, nseg = pf.permuted_bin_tables(ml, perm,
+                                                 [40.0, 120.0])
+        # 40 == edges[0] -> below range (segment 0); 120 == edges[-1]
+        # -> top bin; 200 -> overflow folded to 0
+        assert list(np.asarray(idc)) == [0, 1, 1, 0]
