@@ -66,23 +66,32 @@ def NFWkappa(cc, mass_msun_overh, concentration, zL, theta_arcmin,
     return kappa, rdel
 
 
-def _mdelta_to_m200m(m_msun, z, cc, delta, critical):
-    """Convert M_delta (Msun, at ``delta`` x rho_{crit|mean}(z)) to the
+def _mdelta_to_m200m(m_msun, z, cc, delta, critical, at_cluster_z=True):
+    """Convert M_delta (Msun, at ``delta`` x rho_{crit|mean}) to the
     200-mean definition, assuming an NFW profile with Duffy c200c(M):
     outer bisection on M200c such that the NFW mass enclosed at the
     delta-overdensity radius equals ``m_msun``; then the existing
-    M200c -> M200m conversion."""
+    M200c -> M200m conversion. ``at_cluster_z`` selects whether the
+    input definition's reference density is evaluated at ``z`` or at
+    z = 0 — it must match the 1-halo profile's convention
+    (``nfw_kappa``'s ``at_cluster_z``).
+
+    The inner enclosed-mass solve parallels ``szhalo.m200c_to_m200m``
+    generalized to (delta, rho_ref); the wider 0.05-20 r200c bracket
+    covers low overdensities (delta ~ 100 mean) whose radii exceed
+    10 r200c."""
     from .szhalo import (m200c_to_m200m, duffy_c200c, _nfw_mu,
                          _RHO_CRIT0_H2)
     if delta == 200 and not critical:
         return m_msun
-    if delta == 200 and critical:
+    if delta == 200 and critical and at_cluster_z:
         m200m, _ = m200c_to_m200m(np.atleast_1d(m_msun), z, cc)
         return float(np.asarray(m200m).reshape(-1)[0])
     h = cc.h
+    zden = z if at_cluster_z else 0.0
     rho_c = _RHO_CRIT0_H2 * h ** 2 * cc.Ez(z) ** 2       # Msun/Mpc^3
-    rho_ref = rho_c if critical \
-        else _RHO_CRIT0_H2 * h ** 2 * cc.om * (1 + z) ** 3
+    rho_ref = (_RHO_CRIT0_H2 * h ** 2 * cc.Ez(zden) ** 2) if critical \
+        else _RHO_CRIT0_H2 * h ** 2 * cc.om * (1 + zden) ** 3
 
     def mass_at_delta(m200c):
         r200c = (3 * m200c / (4 * np.pi * 200.0 * rho_c)) ** (1 / 3.0)
@@ -113,14 +122,18 @@ def _mdelta_to_m200m(m_msun, z, cc, delta, critical):
     return float(np.asarray(m200m).reshape(-1)[0])
 
 
-def halo_bias(mass_msun_overh, z, cc, critical=False, overdensity=200.0):
+def halo_bias(mass_msun_overh, z, cc, critical=False, overdensity=200.0,
+              at_cluster_z=True):
     """Tinker et al. 2010 linear bias for a halo of the given mass
-    (Msun/h) in the (``overdensity``, ``critical``) definition; the
-    mass is converted to the 200-mean definition the bias fit is
-    calibrated at (NFW + Duffy concentration, :func:`_mdelta_to_m200m`)
-    before forming the peak height."""
-    m_msun = _mdelta_to_m200m(float(mass_msun_overh) / cc.h, z, cc,
-                              float(overdensity), bool(critical))
+    (|Msun/h|; the sign convention of signed-template fits is applied
+    by the caller) in the (``overdensity``, ``critical``,
+    ``at_cluster_z``) definition; the mass is converted to the 200-mean
+    definition the bias fit is calibrated at (NFW + Duffy
+    concentration, :func:`_mdelta_to_m200m`) before forming the peak
+    height."""
+    m_msun = _mdelta_to_m200m(abs(float(mass_msun_overh)) / cc.h, z, cc,
+                              float(overdensity), bool(critical),
+                              at_cluster_z=bool(at_cluster_z))
     from .szhalo import tinker_bias
     rho_m0 = cc.rho_crit0_h2() * cc.h ** 2 * cc.om       # Msun/Mpc^3
     R_mpc = (3.0 * m_msun / (4.0 * np.pi * rho_m0)) ** (1.0 / 3.0)
@@ -130,7 +143,7 @@ def halo_bias(mass_msun_overh, z, cc, critical=False, overdensity=200.0):
 
 def kappa_2h_profile(thetas_rad, mass_msun_overh, z, cc, z_s=1100.0,
                      critical=False, overdensity=200.0, bias=None,
-                     lmin=2, lmax=10000, nl=2048):
+                     lmin=2, lmax=10000, nl=2048, at_cluster_z=True):
     """Two-halo convergence profile of a halo at ``z`` (reference
     ``binned_nfw``'s ``hm.kappa_2h_profiles``, ``orphics/lensing.py:300``
     — the hmvec optional dependency made native).
@@ -148,7 +161,8 @@ def kappa_2h_profile(thetas_rad, mass_msun_overh, z, cc, z_s=1100.0,
     from scipy.special import j0
     if bias is None:
         bias = halo_bias(mass_msun_overh, z, cc, critical=critical,
-                         overdensity=overdensity)
+                         overdensity=overdensity,
+                         at_cluster_z=at_cluster_z)
     chiL = float(cc.comoving_radial_distance(z))         # Mpc
     chiS = float(cc.comoving_radial_distance(z_s))
     H0_invmpc = cc.H0 / 299792.458                       # 1/Mpc
@@ -165,6 +179,25 @@ def kappa_2h_profile(thetas_rad, mass_msun_overh, z, cc, z_s=1100.0,
     return np.trapezoid(integ, ls, axis=-1)
 
 
+def kappa_2h_map(geom: Geometry, mass, z, cc, z_s=1100.0,
+                 critical=False, overdensity=200.0, at_cluster_z=True,
+                 bias=None):
+    """Paint :func:`kappa_2h_profile` on a geometry's distance map.
+    Signed-mass templates (``fit_nfw_profile``'s null-test scans):
+    the bias is evaluated at |M| and the 2-halo term carries the sign
+    of the mass, mirroring ``nfw_kappa``'s convention."""
+    modr = np.asarray(geom.modrmap(jnp.float64))
+    ths = np.geomspace(max(modr[modr > 0].min() * 0.5, 1e-7),
+                       modr.max() * 1.05, 128)
+    sgn = -1.0 if float(mass) < 0 else 1.0
+    k2h = kappa_2h_profile(ths, abs(float(mass)), z, cc, z_s=z_s,
+                           critical=critical, overdensity=overdensity,
+                           at_cluster_z=at_cluster_z, bias=bias)
+    return sgn * jnp.interp(
+        jnp.asarray(modr).reshape(-1), jnp.asarray(ths),
+        jnp.asarray(k2h)).reshape(geom.shape)
+
+
 def binned_nfw(mass, z, conc, cc, geom: Geometry, bin_edges_arcmin,
                lmax=None, lmin=None, overdensity=200.0, critical=False,
                at_cluster_z=True, kmask=None, include_2h=False,
@@ -177,33 +210,23 @@ def binned_nfw(mass, z, conc, cc, geom: Geometry, bin_edges_arcmin,
     ``improved=True`` path via hmvec, natively."""
     modrmap = geom.modrmap(jnp.float64)
     binner = Bin2D(np.asarray(modrmap), np.asarray(bin_edges_arcmin) * arcmin)
-    if sigma_mis is not None:
-        modr = np.asarray(modrmap)
-        ths = jnp.asarray(np.geomspace(
-            max(modr[modr > 0].min() * 0.5, 1e-7), modr.max() * 1.05,
-            192))
+    if sigma_mis is not None and float(sigma_mis) > 0:
+        # zero/None width means centered: rayleigh(., 0) is 0/0 NaN
         com_mpc = float(cc.comoving_radial_distance(z))
         R_off = float(sigma_mis) * arcmin * com_mpc   # comoving Mpc
-        koff, _ = kappa_nfw_profiley1d(
-            ths, mass=mass, conc=conc, z=z, z_s=z_s,
+        k = kappa_nfw_profiley(
+            geom, mass=mass, conc=conc, z=z, z_s=z_s,
             delta=overdensity, critical=critical, R_off_Mpc=R_off,
             R_off_Mpc_max=max(4.0 * R_off, 1.0),
             at_cluster_z=at_cluster_z, cc=cc)
-        k = jnp.interp(modrmap.reshape(-1), ths,
-                       koff).reshape(geom.shape)
     else:
         k = nfw_kappa(mass, modrmap, cc, zL=z, concentration=conc,
                       overdensity=overdensity, critical=critical,
                       at_cluster_z=at_cluster_z, z_s=z_s)
     if include_2h:
-        modr = np.asarray(modrmap)
-        ths = np.geomspace(max(modr[modr > 0].min() * 0.5, 1e-7),
-                           modr.max() * 1.05, 128)
-        k2h = kappa_2h_profile(ths, mass, z, cc, z_s=z_s,
-                               critical=critical,
-                               overdensity=overdensity)
-        k = k + jnp.interp(modrmap.reshape(-1), jnp.asarray(ths),
-                           jnp.asarray(k2h)).reshape(geom.shape)
+        k = k + kappa_2h_map(geom, mass, z, cc, z_s=z_s,
+                             critical=critical, overdensity=overdensity,
+                             at_cluster_z=at_cluster_z)
     if kmask is None:
         kmask = F.mask_kspace(geom, lmin=lmin, lmax=lmax)
     kf = F.kfilter(k, kmask, geom)
@@ -221,14 +244,34 @@ def fit_nfw_profile(profile_data, profile_cov, masses, z, conc, cc,
     reference's ``improved=True`` model)."""
     from ..utils.fitting import fit_gauss
     cinv = np.linalg.inv(np.asarray(profile_cov))
+    p2h_unit = None
+    if include_2h:
+        # the 2-halo term is exactly linear in the scalar bias b(M):
+        # bin the unit-bias profile ONCE and scale per scanned mass
+        # (the Limber + Hankel quadrature is mass-independent)
+        kmask_eff = kmask if kmask is not None \
+            else F.mask_kspace(geom, lmin=lmin, lmax=lmax)
+        k2h_unit = kappa_2h_map(geom, 1.0, z, cc, critical=critical,
+                                overdensity=overdensity,
+                                at_cluster_z=at_cluster_z, bias=1.0)
+        modrmap = geom.modrmap(jnp.float64)
+        b2 = Bin2D(np.asarray(modrmap),
+                   np.asarray(bin_edges_arcmin) * arcmin)
+        _, p2h = b2.bin(F.kfilter(k2h_unit, kmask_eff, geom))
+        p2h_unit = np.asarray(p2h)
     lnlikes = []
     fprofiles = []
     for mass in masses:
         _, prof = binned_nfw(mass, z, conc, cc, geom, bin_edges_arcmin,
                              lmax, lmin, overdensity, critical,
                              at_cluster_z, kmask=kmask,
-                             include_2h=include_2h, sigma_mis=sigma_mis)
+                             include_2h=False, sigma_mis=sigma_mis)
         prof = np.asarray(prof)
+        if include_2h:
+            b = halo_bias(abs(float(mass)), z, cc, critical=critical,
+                          overdensity=overdensity,
+                          at_cluster_z=at_cluster_z)
+            prof = prof + np.sign(float(mass)) * b * p2h_unit
         diff = np.asarray(profile_data) - prof
         fprofiles.append(prof)
         lnlikes.append(-0.5 * diff @ cinv @ diff)
@@ -427,13 +470,19 @@ def kappa_nfw_profiley1d(thetas, mass=2e14, conc=3.0, z=0.7, z_s=1100.0,
     win = (comS - comL) / comS
     thetas = jnp.atleast_1d(jnp.asarray(thetas))
     zdensity = z if at_cluster_z else 0.0
-    rdel = (cc.rdel_c(mass, zdensity, delta) if critical
-            else cc.rdel_m(mass, zdensity, delta))
+    # |M| for the radius (signed-mass templates scale the amplitude
+    # only — same convention as nfw_kappa)
+    rdel = (cc.rdel_c(abs(mass), zdensity, delta) if critical
+            else cc.rdel_m(abs(mass), zdensity, delta))
     kap = lambda th: nfw_kappa_profile(
         th, mass, comL, win, z, conc, rdel_mpc_overh=float(rdel))
     k1 = kap(thetas)
     if R_off_Mpc is None:
         return k1
+    if R_off_Mpc <= 0:
+        # zero offset width = centered (rayleigh(., 0) is 0/0 NaN);
+        # keep the two-element return contract of the offset branch
+        return k1, k1
     # offsets in angle: R_off [Mpc/h] -> theta_off = R_off / comL
     roffs = jnp.linspace(1e-4, R_off_Mpc_max, N_off) * cc.h   # Mpc/h
     toffs = roffs / comL

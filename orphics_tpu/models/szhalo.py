@@ -356,6 +356,10 @@ def _u_nfw(k_invmpc, m200c, z, cc):
     return np.clip(u, 0.0, 1.0)
 
 
+# sentinel: "inherit leg 1's flux cut" — distinct from None ("no cut")
+_SAME_CUT = object()
+
+
 class CIBHaloModel(HaloModelYY):
     """Shang/WebSky CIB emissivity on the same Tinker/Limber machinery
     as the tSZ halo model, plus the y x CIB cross.
@@ -440,19 +444,20 @@ class CIBHaloModel(HaloModelYY):
         return chi, dvdz
 
     def cib_cl(self, ells, nu1_ghz, nu2_ghz=None, flux_cut_mJy=None,
-               flux_cut2_mJy=None, in_uk2=False):
+               flux_cut2_mJy=_SAME_CUT, in_uk2=False):
         """Clustered CIB power (1h cen-sat + sat-sat, 2h) at a
         frequency pair. Returns dict with '1h', '2h', 'total' in
         Jy^2/sr, or thermodynamic uK^2 with ``in_uk2``. The pure
         Poisson (cen-cen shot noise) term is intentionally excluded —
         the reference covers it with the separate ``power_cibp``
-        template. ``flux_cut2_mJy`` sets the second leg's flux limit
-        (defaults to the first's) — per-frequency cuts differ in any
-        real survey."""
+        template. ``flux_cut2_mJy`` sets the second leg's flux limit;
+        when omitted it inherits the first's — pass ``None`` EXPLICITLY
+        for "no cut on leg 2" (per-frequency cuts differ in any real
+        survey, including mixed cut/uncut pairs)."""
         from .foregrounds import ItoDeltaT
         if nu2_ghz is None:
             nu2_ghz = nu1_ghz
-        if flux_cut2_mJy is None:
+        if flux_cut2_mJy is _SAME_CUT:
             flux_cut2_mJy = flux_cut_mJy
         ells = np.asarray(ells, np.float64)
         chi, dvdz = self._limber_weights()

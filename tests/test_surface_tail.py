@@ -189,6 +189,80 @@ class TestLensingTail:
         assert float(pm[0]) < 0.5 * float(p0[0])
         assert float(pm[2]) > float(p0[2])
 
+    def test_binned_nfw_zero_sigma_mis_is_centered(self, cc):
+        """sigma_mis=0 (the natural no-miscentering scan point) must
+        reproduce the centered profile, not NaN (regression:
+        rayleigh(., 0) is 0/0)."""
+        from orphics_tpu.models import nfwfit
+        geom = rect_geometry(width_arcmin=64.0, px_res_arcmin=0.5)
+        edges = np.arange(0.5, 12, 1.0)
+        kw = dict(lmax=6000, lmin=200, overdensity=500, critical=True)
+        _, p0 = nfwfit.binned_nfw(2e14, 0.7, 3.0, cc, geom, edges, **kw)
+        _, pz = nfwfit.binned_nfw(2e14, 0.7, 3.0, cc, geom, edges,
+                                  sigma_mis=0.0, **kw)
+        assert np.all(np.isfinite(np.asarray(pz)))
+        np.testing.assert_allclose(np.asarray(pz), np.asarray(p0),
+                                   rtol=1e-6)
+
+    def test_binned_nfw_signed_mass_templates(self, cc):
+        """Negative masses (null-test template scans) stay finite and
+        flip sign through BOTH the miscentering and 2-halo paths
+        (regression: rdel/bias took cube roots of negative masses)."""
+        from orphics_tpu.models import nfwfit
+        geom = rect_geometry(width_arcmin=64.0, px_res_arcmin=0.5)
+        edges = np.arange(0.5, 12, 1.0)
+        kw = dict(lmax=6000, lmin=200)
+        for extra in (dict(sigma_mis=1.0), dict(include_2h=True)):
+            _, pp = nfwfit.binned_nfw(2e14, 0.7, 3.0, cc, geom, edges,
+                                      **kw, **extra)
+            _, pn = nfwfit.binned_nfw(-2e14, 0.7, 3.0, cc, geom, edges,
+                                      **kw, **extra)
+            assert np.all(np.isfinite(np.asarray(pn))), extra
+            np.testing.assert_allclose(np.asarray(pn),
+                                       -np.asarray(pp), rtol=1e-5,
+                                       err_msg=str(extra))
+
+    def test_fit_nfw_2h_linear_in_bias_scan(self, cc):
+        """fit_nfw_profile's hoisted unit-bias 2h profile must equal
+        the per-mass binned_nfw include_2h path it replaced."""
+        from orphics_tpu.models import nfwfit
+        geom = rect_geometry(width_arcmin=64.0, px_res_arcmin=0.5)
+        edges = np.arange(0.5, 12, 1.0)
+        m = 3e14
+        _, full = nfwfit.binned_nfw(m, 0.7, 3.0, cc, geom, edges,
+                                    lmax=6000, lmin=200,
+                                    include_2h=True)
+        _, oneh = nfwfit.binned_nfw(m, 0.7, 3.0, cc, geom, edges,
+                                    lmax=6000, lmin=200)
+        b = nfwfit.halo_bias(m, 0.7, cc)
+        k2h_unit = nfwfit.kappa_2h_map(geom, 1.0, 0.7, cc, bias=1.0)
+        from orphics_tpu.ops import fourier as F
+        from orphics_tpu.ops.binning import Bin2D
+        from orphics_tpu.geometry import arcmin
+        b2 = Bin2D(np.asarray(geom.modrmap(jnp.float64)),
+                   np.asarray(edges) * arcmin)
+        _, p2h = b2.bin(F.kfilter(
+            k2h_unit, F.mask_kspace(geom, lmin=200, lmax=6000), geom))
+        np.testing.assert_allclose(
+            np.asarray(oneh) + b * np.asarray(p2h), np.asarray(full),
+            rtol=1e-5)
+
+    def test_cib_explicit_none_cut_on_leg2(self, cc):
+        """flux_cut2_mJy=None must mean NO cut on leg 2 (not 'inherit
+        leg 1's cut'): the mixed cut/uncut cross must differ from the
+        both-cut cross and match the symmetric uncut/cut call."""
+        from orphics_tpu.models.szhalo import CIBHaloModel
+        hm = CIBHaloModel(cc=cc, nz=24, nm=24)
+        ells = np.geomspace(100, 2000, 8)
+        both = hm.cib_cl(ells, 143.0, 353.0, flux_cut_mJy=5.0,
+                         flux_cut2_mJy=5.0)["total"]
+        mixed = hm.cib_cl(ells, 143.0, 353.0, flux_cut_mJy=5.0,
+                          flux_cut2_mJy=None)["total"]
+        inherit = hm.cib_cl(ells, 143.0, 353.0,
+                            flux_cut_mJy=5.0)["total"]
+        np.testing.assert_allclose(inherit, both, rtol=1e-12)
+        assert np.all(mixed > both)   # uncut leg has more flux
+
     def test_rayleigh_normalized_peak(self):
         from orphics_tpu.models.nfwfit import rayleigh
         th = np.linspace(0, 10, 4001)
