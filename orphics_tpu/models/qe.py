@@ -67,6 +67,12 @@ def _fft(a):
 class QE:
     """Quadratic estimator engine for one (geometry, theory, noise) config.
 
+    Lifetime note: the reconstruction methods are jitted with ``self``
+    static, so every instance whose methods were called under jit is
+    retained by jax's global jit cache (with its cached A_L/N0/plan
+    grids). Long parameter scans that construct many engines should
+    call ``jax.clear_caches()`` between configs to release them.
+
     Parameters
     ----------
     geom : Geometry
@@ -76,6 +82,11 @@ class QE:
         :func:`lensing_noise_2d`.
     xmask, ymask : 2D Fourier masks applied to the input legs (CMB
         multipole cuts); kmask : mask on the output L plane.
+    field_masks : optional dict {'T': mask, 'E': mask, 'B': mask} of
+        PER-FIELD leg masks (the cross-N0 machinery uses these so a
+        T leg and a P leg carry their own cuts). MUTUALLY EXCLUSIVE
+        with xmask/ymask/grad_cut: when given, it replaces all three
+        for every estimator (a ValueError guards the combination).
     """
 
     def __init__(self, geom: Geometry, theory, ctot2d: Dict[str, jnp.ndarray],
@@ -86,6 +97,13 @@ class QE:
         self.dtype = dtype
         self.te_filter = te_filter
         self.te_series_order = int(te_series_order)
+        if field_masks is not None and (
+                xmask is not None or ymask is not None
+                or grad_cut is not None):
+            raise ValueError(
+                "field_masks replaces xmask/ymask/grad_cut entirely — "
+                "pass one or the other, not both (the leg cuts you "
+                "passed would be silently ignored otherwise)")
         self.field_masks = None if field_masks is None else {
             k: jnp.asarray(v, dtype) for k, v in field_masks.items()}
         modlmap = geom.modlmap(jnp.float64)
@@ -215,6 +233,13 @@ class QE:
             m2 = self.field_masks[f2]
         else:
             m1, m2 = self.gmask, self.ymask
+        # zero-guarded inverse filters: ctot vanishes beyond the theory
+        # table (interp right=0) and everywhere for noiseless configs —
+        # the same guard the fused TT plans apply (an unguarded 0/0
+        # would NaN-poison every L after the convolution)
+        def _inv(ct):
+            return jnp.where(ct > 0, 1.0 / jnp.where(ct > 0, ct, 1.0),
+                             0.0)
         ct1 = self.ctot[f1 + f1]
         ct2 = self.ctot[f2 + f2]
         if est in ("TT", "EE"):
@@ -223,10 +248,12 @@ class QE:
             norm = 1.0
         if est != "TE" or self.te_filter == "hdv":
             return self._scale_terms(self._f_terms(est),
-                                     m1 / (norm * ct1), m2 / ct2)
+                                     m1 * _inv(norm * ct1),
+                                     m2 * _inv(ct2))
         # full Hu-Okamoto TE
         ctt, cee, cte = self.ctot["TT"], self.ctot["EE"], self.cl2d["TE"]
-        r2 = cte ** 2 / (ctt * cee)
+        ictt, icee = _inv(ctt), _inv(cee)
+        r2 = cte ** 2 * ictt * icee
         fterms = self._f_terms(est)
         fswap = self._swap_terms(fterms)
         out = []
@@ -234,11 +261,12 @@ class QE:
             xk1 = r2 ** k
             xk2 = r2 ** k
             # + x^k f(l1,l2) / (Ctt1 Cee2)
-            out += self._scale_terms(fterms, xk1 * m1 / ctt, xk2 * m2 / cee)
+            out += self._scale_terms(fterms, xk1 * m1 * ictt,
+                                     xk2 * m2 * icee)
             # - x^k f(l2,l1) Cte1 Cte2 / (Ctt1 Cee1 Ctt2 Cee2)
             out += self._scale_terms(
-                fswap, -xk1 * cte / (ctt * cee) * m1,
-                xk2 * cte / (ctt * cee) * m2)
+                fswap, -xk1 * cte * ictt * icee * m1,
+                xk2 * cte * ictt * icee * m2)
         return out
 
     def _angle_pairs(self, a):
@@ -275,19 +303,48 @@ class QE:
                         W1 = w1A * w1B * u1a * u1b
                         W2 = w2A * w2B * u2a * u2b
                         coef = ca * cb
-                        for i in range(2):
-                            for j in range(2):
-                                X1, X2 = W1, W2
-                                if dA == 1:
-                                    X1 = X1 * Li[i]
-                                else:
-                                    X2 = X2 * Li[i]
-                                if dB == 1:
-                                    X1 = X1 * Li[j]
-                                else:
-                                    X2 = X2 * Li[j]
-                                out = out + (coef * Li[i] * Li[j]) \
-                                    * self._conv(X1, X2)
+                        # hoist the iffts out of the (i, j) loop: this
+                        # runs EAGERLY (ensure_compile_time_eval), so
+                        # there is no XLA CSE to save us — the naive
+                        # loop redoes identical full-grid transforms
+                        # (thousands per HO-TE N0). Each leg carries at
+                        # most one Li factor per side; precompute the
+                        # three ifft variants per leg and combine.
+                        i1, i2 = {}, {}
+                        if dA == 2 and dB == 2:
+                            i1[()] = _ifft(W1)
+                        if dA == 1 and dB == 1:
+                            i2[()] = _ifft(W2)
+                        if dA != dB:
+                            for i in range(2):
+                                i1[(i,)] = _ifft(W1 * Li[i])
+                                i2[(i,)] = _ifft(W2 * Li[i])
+                        if dA == 1 and dB == 1:
+                            for i in range(2):
+                                for j in range(i, 2):
+                                    sym = 1.0 if i == j else 2.0
+                                    x1 = _ifft(W1 * Li[i] * Li[j])
+                                    out = out + (sym * coef * Li[i]
+                                                 * Li[j] * self._conv_fac) \
+                                        * _fft(x1 * i2[()])
+                        elif dA == 2 and dB == 2:
+                            for i in range(2):
+                                for j in range(i, 2):
+                                    sym = 1.0 if i == j else 2.0
+                                    x2 = _ifft(W2 * Li[i] * Li[j])
+                                    out = out + (sym * coef * Li[i]
+                                                 * Li[j] * self._conv_fac) \
+                                        * _fft(i1[()] * x2)
+                        else:
+                            # one derivative on each leg: Li[i] on the
+                            # dA side, Li[j] on the dB side
+                            for i in range(2):
+                                for j in range(2):
+                                    a1 = i1[(i,)] if dA == 1 else i1[(j,)]
+                                    a2 = i2[(i,)] if dA == 2 else i2[(j,)]
+                                    out = out + (coef * Li[i] * Li[j]
+                                                 * self._conv_fac) \
+                                        * _fft(a1 * a2)
         return out
 
     def _fF_integral(self, est):
@@ -315,7 +372,9 @@ class QE:
         For A == B with exact MV filters this reduces to A_L. Cached;
         concrete at trace time like A_L.
         """
-        key = ("n0", estA, estB)
+        estA, estB = estA.upper(), estB.upper()
+        # N_AB is symmetric in (A, B): one cache entry per pair
+        key = ("n0",) + tuple(sorted((estA, estB)))
         if key not in self._al_cache:
             with jax.ensure_compile_time_eval():
                 FA = self._filter_terms(estA)
@@ -339,7 +398,7 @@ class QE:
                     alA = self.A_L(estA)
                     alB = self.A_L(estB)
                     n0 = (alA * alB * total.real).astype(self.dtype)
-                self._al_cache[key] = n0 * _safe_mask(self.kmask)
+                self._al_cache[key] = n0 * self.kmask
         return self._al_cache[key]
 
     def N_L_kk_cross(self, estA, estB):
@@ -439,15 +498,25 @@ class QE:
             # All plan arrays stay real (the axon TPU backend has no eager
             # complex ops); the -1j that turns the anti-Hermitian gradient
             # leg Hermitian is applied to the traced input instead.
+            # zero the gradient leg on the Nyquist row/column: there
+            # the leg is self-conjugate (real), so the -1j Hermitian
+            # fold below would mis-decompose it — with the zeroing the
+            # fused identity vs kappa_from_map holds for ANY leg mask
+            # (incl. the default all-ones), at the cost of modes any
+            # sane xmask excludes anyway
+            nyq = np.ones(self.geom.shape, np.float32)
+            nyq[self.geom.ny // 2, :] = 0.0
+            nyq[:, self.geom.nx // 2] = 0.0
+            nyq = jnp.asarray(nyq)
             wa0 = half(w1 * phys)
-            wag = jnp.stack([half(self.ly * C * w1 * phys),
-                             half(self.lx * C * w1 * phys)])
+            wag = jnp.stack([half(self.ly * C * w1 * nyq * phys),
+                             half(self.lx * C * w1 * nyq * phys)])
             if sym:
                 wb0 = wbg = None
             else:
                 wb0 = half(w2 * phys)
-                wbg = jnp.stack([half(self.ly * C * w2 * phys),
-                                 half(self.lx * C * w2 * phys)])
+                wbg = jnp.stack([half(self.ly * C * w2 * nyq * phys),
+                                 half(self.lx * C * w2 * nyq * phys)])
             L2 = self.modlmap ** 2
             post = half(self.A_L("TT") * self.kmask * 0.5 * L2
                         * (float(self.geom.area) ** 0.5 / self._phys)
@@ -488,6 +557,11 @@ class QE:
             wa0 = np.asarray(w1 * phys, np.float64)
             wagy = np.asarray(self.ly * C * w1 * phys, np.float64)
             wagx = np.asarray(self.lx * C * w1 * phys, np.float64)
+            # Nyquist zeroing on the gradient leg (see _tt_half_plans)
+            wagy[n // 2, :] = 0.0
+            wagy[:, n // 2] = 0.0
+            wagx[n // 2, :] = 0.0
+            wagx[:, n // 2] = 0.0
             postf = np.asarray(
                 self.A_L("TT") * self.kmask * 0.5 * self.modlmap ** 2
                 * (float(self.geom.area) ** 0.5 / self._phys)
@@ -559,14 +633,17 @@ class QE:
         transforms per map instead of ~12 full-plane ones. Power spectra of
         the output bin exactly with :class:`~orphics_tpu.ops.binning.RfftBin2D`.
 
-        Requires the leg masks (xmask/ymask/gmask) to vanish on unpaired
-        Nyquist modes (any mask with ``lmax`` strictly below the grid
-        Nyquist modulus qualifies): on the Nyquist row/column the gradient
-        leg ``l_i C X`` has no ``-k`` mirror partner, so its purely-
-        imaginary decomposition — and hence the half-plane equivalence —
-        breaks there. Production lmax cuts always satisfy this.
+        On the Nyquist row/column the gradient leg ``l_i C X`` is
+        self-conjugate (real), so its ``-1j`` fold has no valid
+        decomposition — the plan builders therefore ZERO the gradient
+        filter there. With leg masks whose ``lmax`` is strictly below
+        the grid Nyquist modulus (every production cut), this is a
+        no-op and the fused path is bit-identical to
+        ``kappa_from_map("TT", ...)``; with masks touching Nyquist
+        (e.g. the default all-ones), the fused estimator is
+        well-defined but EXCLUDES those self-conjugate gradient modes,
+        which the generic full-plane path includes.
         """
-        from ..ops import fourier as F
         geom = self.geom
         wa0, wag, wb0, wbg, post, Lh, sym = self._tt_half_plans()
         if yh is None:
@@ -637,16 +714,20 @@ class NlGenerator:
         # T-leg and a P-leg estimator then carries each field's own cuts
         qe = QE(self.geom, self.theory, ctot, kmask=kmask, dtype=self.dtype,
                 field_masks={"T": xt, "E": xp, "B": xp})
-        self._qe_t = qe
-        self._qe_p = qe
+        self._qe = qe
         return self
 
     updateNoise = update_noise
 
+    def _engine(self):
+        if self._qe is None:
+            raise RuntimeError("call update_noise(...) before querying "
+                               "NlGenerator noise curves")
+        return self._qe
+
     def get_nl(self, est="TT"):
         est = est.upper()
-        qe = self._qe_t if est == "TT" else self._qe_p
-        n2d = qe.N_L_kk(est)
+        n2d = self._engine().N_L_kk(est)
         cents, n1d = self.binner.bin(n2d)
         return cents, np.asarray(n1d)
 
@@ -654,9 +735,8 @@ class NlGenerator:
 
     def get_nl_cross(self, estA, estB):
         """Binned cross-N0 between two estimators (kappa convention)."""
-        qe = self._qe_t if (estA == estB == "TT") else self._qe_p
-        cents, n1d = self.binner.bin(qe.N_L_kk_cross(estA.upper(),
-                                                     estB.upper()))
+        cents, n1d = self.binner.bin(
+            self._engine().N_L_kk_cross(estA.upper(), estB.upper()))
         return cents, np.asarray(n1d)
 
     def get_nl_matrix(self, ests=("TT", "TE", "EE", "EB", "TB")):
@@ -665,7 +745,7 @@ class NlGenerator:
         no total cross-spectrum (e.g. TTxEB)."""
         ests = [e.upper() for e in ests]
         n = len(ests)
-        qe = self._qe_p
+        qe = self._engine()
         cents = None
         mat = None
         for i in range(n):
@@ -689,8 +769,8 @@ class NlGenerator:
         if naive:
             invs = []
             for est in ests:
-                qe = self._qe_t if est == "TT" else self._qe_p
-                n2d = np.asarray(qe.N_L_kk(est), dtype=np.float64)
+                n2d = np.asarray(self._engine().N_L_kk(est),
+                                 dtype=np.float64)
                 invs.append(1.0 / np.where(n2d > 0, n2d, np.inf))
             tot = np.sum(invs, axis=0)
             n_mv = 1.0 / np.where(tot > 0, tot, np.inf)
@@ -698,7 +778,9 @@ class NlGenerator:
             return cents, np.asarray(n1d)
         cents, mat = self.get_nl_matrix(ests)
         nb = mat.shape[-1]
-        out = np.zeros(nb)
+        # unusable bins are INFINITE noise (matching the naive branch);
+        # 0 would read as infinite signal-to-noise downstream
+        out = np.full(nb, np.inf)
         for b in range(nb):
             N = mat[:, :, b]
             good = np.diag(N) > 0
@@ -710,9 +792,5 @@ class NlGenerator:
             except np.linalg.LinAlgError:
                 inv = np.linalg.pinv(Ng)
             s = inv.sum()
-            out[b] = 1.0 / s if s > 0 else 0.0
+            out[b] = 1.0 / s if s > 0 else np.inf
         return cents, out
-
-
-def _safe_mask(m):
-    return m

@@ -4,6 +4,7 @@ lensing-noise curve (data/planck_2018_mv_nlkk.dat)."""
 import os
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from orphics_tpu import rect_geometry
@@ -58,7 +59,7 @@ class TestCrossN0:
 
     def test_diagonal_matches_al_for_mv_filters(self, nlgen):
         """For exact MV filters the true N0 equals (L^4/4) A_L."""
-        q = nlgen._qe_t
+        q = nlgen._qe
         n0 = np.asarray(q.N_L_kk("TT"))
         al = np.asarray((q.modlmap ** 4 / 4.0) * q.A_L("TT") * q.kmask)
         sel = al > 0
@@ -204,3 +205,62 @@ class TestFusedTTHalfPlane:
                                           jnp.fft.rfft2(other)))
         scale = np.abs(full[:, :nxr]).max()
         np.testing.assert_allclose(half, full[:, :nxr], atol=2e-10 * scale)
+
+
+class TestQERobustness:
+    """Review regressions: zero-guards, case handling, plan Nyquist
+    zeroing, field_masks exclusivity."""
+
+    def _geom_th(self):
+        geom = rect_geometry(width_arcmin=64 * 8.0, px_res_arcmin=8.0)
+        return geom, theory.default_theory()
+
+    def test_noiseless_config_is_finite(self):
+        """Zero noise -> ctot = C (zero beyond the theory table): the
+        inverse filters must zero-guard, not NaN-poison every L."""
+        geom, th = self._geom_th()
+        ctot = qe.lensing_noise_2d(geom, th, 7.0, 0.0)
+        q = qe.QE(geom, th, ctot)
+        al = np.asarray(q.A_L("TT"))
+        nl = np.asarray(q.N_L_kk("TT"))
+        assert np.all(np.isfinite(al)) and np.all(np.isfinite(nl))
+        imap = jax.random.normal(jax.random.PRNGKey(2), geom.shape)
+        fk = np.asarray(q.kappa_from_map("TT", jnp.fft.fft2(imap)))
+        assert np.all(np.isfinite(fk))
+
+    def test_lowercase_estimator_names(self):
+        """N_L_kk('tt') must work wherever A_L('tt') does, and the
+        symmetric cross-N0 cache must serve both argument orders."""
+        geom, th = self._geom_th()
+        ctot = qe.lensing_noise_2d(geom, th, 7.0, 30.0)
+        q = qe.QE(geom, th, ctot)
+        np.testing.assert_array_equal(np.asarray(q.N_L_kk("tt")),
+                                      np.asarray(q.N_L_kk("TT")))
+        a = np.asarray(q.N0_phi_cross("TT", "TE"))
+        b = np.asarray(q.N0_phi_cross("te", "tt"))
+        np.testing.assert_array_equal(a, b)
+
+    def test_fused_plans_zero_nyquist_gradient(self):
+        """With default all-ones masks the fused TT plan builders must
+        zero the self-conjugate Nyquist gradient modes (the -1j fold
+        has no valid decomposition there — the old plans silently
+        corrupted kappa instead)."""
+        geom, th = self._geom_th()
+        ctot = qe.lensing_noise_2d(geom, th, 7.0, 30.0)
+        q = qe.QE(geom, th, ctot)
+        _, wag, _, _, _, _, _ = q._tt_half_plans()
+        wag = np.asarray(wag)
+        assert np.all(wag[:, geom.ny // 2, :] == 0)
+        assert np.all(wag[:, :, geom.nx // 2] == 0)
+        imap = jax.random.normal(jax.random.PRNGKey(4), geom.shape)
+        half = np.asarray(q.kappa_tt_rfft(jnp.fft.rfft2(imap)))
+        assert np.all(np.isfinite(half))
+
+    def test_field_masks_exclusive(self):
+        from orphics_tpu.ops import fourier as F
+        geom, th = self._geom_th()
+        ctot = qe.lensing_noise_2d(geom, th, 7.0, 30.0)
+        m = F.mask_kspace(geom, lmin=100, lmax=1000)
+        with pytest.raises(ValueError, match="field_masks"):
+            qe.QE(geom, th, ctot, xmask=m,
+                  field_masks={"T": m, "E": m, "B": m})
