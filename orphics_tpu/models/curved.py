@@ -67,7 +67,10 @@ def synalm_matrix(key, ps, lmax: int):
     else:
         root = root[: lmax + 1]
     keys = jax.random.split(key, nc)
-    unit = jnp.stack([almops.synalm(keys[i], jnp.ones(lmax + 1), lmax=lmax)
+    cdt = jnp.result_type(ps.dtype, jnp.complex64)
+    unit = jnp.stack([almops.synalm(keys[i],
+                                    jnp.ones(lmax + 1, ps.dtype),
+                                    lmax=lmax, dtype=cdt)
                       for i in range(nc)])    # (nc, nalm), unit variance
     ls, _ = almops.lm_indices(lmax)
     mix = root[jnp.asarray(ls)]               # (nalm, nc, nc)
@@ -87,6 +90,11 @@ def rand_map(key, rings: RingGeom, ps, lmax: int, pol: bool = None,
     backends (several maps per l-recurrence).
     """
     ps = jnp.asarray(ps)
+    if pol is not None and bool(pol) != (ps.ndim == 3 and ps.shape[0] == 3):
+        raise ValueError(
+            f"pol={pol} inconsistent with ps shape {ps.shape}: "
+            "polarized synthesis needs a (3, 3, nl) T/E/B spectra "
+            "matrix, spin-0 a 1D (or (1,1,nl)) spectrum")
     if nsims is not None:
         keys = jax.random.split(key, nsims)
         if ps.ndim == 1:
@@ -270,9 +278,10 @@ _R_GAL = np.array([
 
 
 def gal2equ_rotation(inverse=False):
-    """3x3 rotation matrix taking equatorial unit vectors to galactic
-    (or back with ``inverse``)."""
-    return _R_GAL.T if inverse else _R_GAL
+    """3x3 rotation matrix taking GALACTIC unit vectors to equatorial,
+    as the name says (``inverse=True`` gives equatorial -> galactic,
+    i.e. the raw ``_R_GAL``)."""
+    return _R_GAL if inverse else _R_GAL.T
 
 
 def _ang2vec(dec, ra):
@@ -315,26 +324,41 @@ def _geom_posang(geom: Geometry, dtype=jnp.float64):
     return jnp.meshgrid(dec, ix, indexing="ij")
 
 
-@partial(jax.jit, static_argnames=("geom_source", "geom_target", "order"))
+@partial(jax.jit, static_argnames=("geom_source", "geom_target", "order",
+                                   "source_ra0"))
 def rotate_map(imap, geom_source: Geometry, geom_target: Geometry,
-               rot=None, order=1):
+               rot=None, order=1, source_ra0=0.0):
     """Resample ``imap`` (on ``geom_source``) onto ``geom_target`` through
     a real spherical rotation (reference ``rotate_map``/``MapRotator``,
     ``maps.py:1780,1681``). ``rot`` is a 3x3 rotation matrix taking target
     coordinates to source coordinates; by default the recentering rotation
-    between the two patch centers."""
+    between the two patch centers. ``source_ra0`` is the absolute RA of
+    the source patch center (``Geometry`` encodes the dec center as
+    ``y0`` but has no RA origin) — required whenever ``rot`` lands
+    vectors at a nonzero source RA, e.g. ``MapRotatorEquator``.
+    ``order``: 0 (nearest) or 1 (bilinear)."""
     from .mapstools import _bilinear_at
+    if order not in (0, 1):
+        raise NotImplementedError(
+            "rotate_map implements order 0 (nearest) and 1 (bilinear); "
+            "higher-order spline resampling is not available")
     if rot is None:
-        rot = pointing_rotation((geom_source.y0, 0.0), (geom_target.y0, 0.0))
+        rot = pointing_rotation((geom_source.y0, source_ra0),
+                                (geom_target.y0, 0.0))
     rot = jnp.asarray(rot, jnp.float64)
     dec_t, ra_t = _geom_posang(geom_target)
     v = _ang2vec(dec_t, ra_t)
     vs = jnp.einsum("ij,...j->...i", rot, v)
     dec_s, ra_s = _vec2ang(vs)
-    # source fractional pixel coordinates
-    ra_s = jnp.arctan2(jnp.sin(ra_s), jnp.cos(ra_s))  # wrap to (-pi, pi]
+    # source fractional pixel coordinates, RA relative to the source
+    # patch center (wrap to (-pi, pi])
+    ra_s = ra_s - source_ra0
+    ra_s = jnp.arctan2(jnp.sin(ra_s), jnp.cos(ra_s))
     py = (dec_s - geom_source.y0) / geom_source.dy + (geom_source.ny - 1) / 2
     px = ra_s / geom_source.dx + (geom_source.nx - 1) / 2
+    if order == 0:
+        py = jnp.round(py)
+        px = jnp.round(px)
     return _bilinear_at(jnp.asarray(imap), py, px)
 
 
@@ -344,14 +368,15 @@ class MapRotator:
     ``maps.py:1681``)."""
 
     def __init__(self, geom_source: Geometry, geom_target: Geometry,
-                 rot=None):
+                 rot=None, source_ra0=0.0):
         self.geom_source = geom_source
         self.geom_target = geom_target
         self.rot = rot
+        self.source_ra0 = float(source_ra0)
 
     def rotate(self, imap):
         return rotate_map(imap, self.geom_source, self.geom_target,
-                          rot=self.rot)
+                          rot=self.rot, source_ra0=self.source_ra0)
 
 
 def galactic_mask(geom: Geometry, theta1, theta2, coords="equ"):
@@ -396,15 +421,16 @@ def galactic_mask_equ(geom, theta1, theta2):
 
 
 def north_galactic_mask(geom):
-    """Mask keeping the northern galactic hemisphere (reference
-    ``maps.py:1197``)."""
-    return galactic_mask(geom, 0.0, np.deg2rad(90.0))
+    """Mask KEEPING the northern galactic hemisphere (reference
+    ``maps.py:1197``): galactic_mask zeroes the given strip, so the
+    strip to zero is the SOUTHERN colatitudes [90, 180] deg."""
+    return galactic_mask(geom, np.deg2rad(90.0), np.deg2rad(180.0))
 
 
 def south_galactic_mask(geom):
-    """Mask keeping the southern galactic hemisphere (reference
+    """Mask KEEPING the southern galactic hemisphere (reference
     ``maps.py:1200``)."""
-    return galactic_mask(geom, np.deg2rad(90.0), np.deg2rad(180.0))
+    return galactic_mask(geom, 0.0, np.deg2rad(90.0))
 
 
 class MapRotatorEquator(MapRotator):
@@ -434,7 +460,10 @@ class MapRotatorEquator(MapRotator):
             height_arcmin=patch_height_deg * 60.0 * height_multiplier,
             px_res_arcmin=pix)
         rot = pointing_rotation(center_source, (0.0, 0.0))
-        super().__init__(geom_source, geom_target, rot=rot)
+        # the rotation lands target vectors at the source's ABSOLUTE
+        # RA; rotate_map must know that origin to form source pixels
+        super().__init__(geom_source, geom_target, rot=rot,
+                         source_ra0=center_source[1])
         self.downsample_pix_arcmin = downsample_pix_arcmin
 
     def rotate(self, imap):

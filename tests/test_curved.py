@@ -191,12 +191,54 @@ class TestRotation:
     def test_gal2equ_orthogonal(self):
         R = curved.gal2equ_rotation()
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
-        # north galactic pole: dec ~ 27.13 deg, ra ~ 192.86 deg
-        ngp = R.T @ np.array([0.0, 0.0, 1.0])
+        # the NAME's direction: galactic z (NGP) -> equatorial
+        # dec ~ 27.13 deg, ra ~ 192.86 deg (regression: the function
+        # used to return the equ->gal matrix under this name)
+        ngp = R @ np.array([0.0, 0.0, 1.0])
         dec = np.rad2deg(np.arcsin(ngp[2]))
         ra = np.rad2deg(np.arctan2(ngp[1], ngp[0])) % 360
         assert abs(dec - 27.128) < 0.01
         assert abs(ra - 192.859) < 0.01
+        np.testing.assert_allclose(curved.gal2equ_rotation(inverse=True),
+                                   R.T, atol=0)
+
+    def test_rotator_equator_nonzero_source_ra(self):
+        """MapRotatorEquator with a source patch at nonzero RA must
+        actually sample the source (regression: the rotated absolute
+        RA was converted to pixels as if the source were at RA 0,
+        landing thousands of pixels outside and returning all zeros)."""
+        gs = rect_geometry(width_arcmin=8 * 60.0, px_res_arcmin=4.0,
+                           y0_deg=20.0)
+        rot = curved.MapRotatorEquator(gs, (np.deg2rad(20.0), 0.7),
+                                       4.0, 4.0)
+        out = np.asarray(rot.rotate(jnp.ones(gs.shape)))
+        ny, nx = out.shape
+        inner = out[ny // 4: -ny // 4, nx // 4: -nx // 4]
+        assert np.all(np.abs(inner - 1.0) < 1e-6), inner.mean()
+
+    def test_hemisphere_mask_orientation(self):
+        """north_galactic_mask keeps pixels whose galactic colatitude
+        is < 90 deg (regression: the strip arguments were swapped, so
+        each function kept the hemisphere it claimed to cut)."""
+        geom = rect_geometry(width_arcmin=64 * 8.0, px_res_arcmin=8.0,
+                             y0_deg=30.0)
+        n = np.asarray(curved.north_galactic_mask(geom))
+        dec, ra = curved._geom_posang(geom)
+        v = np.asarray(curved._ang2vec(dec, ra))
+        zg = np.einsum("j,...j->...", np.asarray(curved._R_GAL)[2], v)
+        expect = (zg > 0).astype(float)       # galactic north: b > 0
+        np.testing.assert_array_equal(n, expect)
+
+    def test_rand_map_pol_validation(self):
+        cl = jnp.ones(8)
+        with pytest.raises(ValueError, match="pol"):
+            curved.rand_map(jax.random.PRNGKey(0), RINGS, cl, 7,
+                            pol=True)
+
+    def test_rotate_map_order_validation(self):
+        gs = rect_geometry(width_arcmin=64 * 2.0, px_res_arcmin=2.0)
+        with pytest.raises(NotImplementedError):
+            curved.rotate_map(jnp.ones(gs.shape), gs, gs, order=3)
 
 
 class TestGalacticMask:
