@@ -26,7 +26,8 @@ def nalm(lmax: int) -> int:
 def getlmax(size: int) -> int:
     """Invert nalm (healpy ``Alm.getlmax``)."""
     lmax = int((np.sqrt(1 + 8 * size) - 3) // 2)
-    if nalm(lmax) != size:
+    if size <= 0 or nalm(lmax) != size:
+        # size 0 would "validate" as lmax -1 (nalm(-1) == 0)
         raise ValueError(f"size {size} is not a valid alm length")
     return lmax
 
@@ -65,7 +66,14 @@ def alm2cl(alm1, alm2=None):
     ls, ms = lm_indices(lmax)
     w = jnp.where(jnp.asarray(ms) == 0, 1.0, 2.0)
     prod = (alm1 * alm2.conj()).real * w
-    sums = jax.ops.segment_sum(prod, jnp.asarray(ls), num_segments=lmax + 1)
+    # support stacked (..., nalm) alm (the healpy alm2cl array
+    # contract): segment over the LAST axis
+    lead = prod.shape[:-1]
+    flat = prod.reshape((-1, prod.shape[-1]))
+    ids = jnp.asarray(ls)
+    sums = jax.vmap(lambda p: jax.ops.segment_sum(
+        p, ids, num_segments=lmax + 1))(flat)
+    sums = sums.reshape(lead + (lmax + 1,))
     return sums / (2.0 * jnp.arange(lmax + 1) + 1.0)
 
 

@@ -201,7 +201,7 @@ def clenshaw_curtis_rings(ntheta: int, nphi: int = None, phi0: float = 0.0):
     w[0] *= 0.5
     w[-1] *= 0.5
     # Verify the moment conditions (cheap, catches any scaling slip).
-    chk = ext_check = np.cos(np.outer(k[: min(8, ntheta)], theta)) @ w
+    chk = np.cos(np.outer(k[: min(8, ntheta)], theta)) @ w
     ref = I[: min(8, ntheta)]
     if not np.allclose(chk, ref, atol=1e-10):
         raise AssertionError("CC quadrature weights failed moment check")
@@ -724,6 +724,10 @@ def _ring_analysis(maps, rings: RingGeom, mmax: int):
     if nphi < 2 * mmax + 1:
         raise ValueError(
             f"nphi={nphi} < 2*mmax+1={2*mmax+1}: ring FFT would alias")
+    if maps.shape[-1] != nphi:
+        raise ValueError(
+            f"map phi axis {maps.shape[-1]} != rings.nphi {nphi}: the "
+            "quadrature normalization and sample phases would be wrong")
     F = jnp.fft.rfft(maps, axis=-1)[..., : mmax + 1]
     m = jnp.arange(mmax + 1)
     phase = jnp.exp(-1j * m * rings.phi0).astype(F.dtype)
@@ -741,9 +745,13 @@ def _ring_synthesis(Fm, rings: RingGeom, real: bool):
     m = jnp.arange(mmax + 1)
     phase = jnp.exp(1j * m * rings.phi0).astype(Fm.dtype)
     X = Fm * phase
+    if nphi < 2 * mmax + 1:
+        # mmax == nphi/2 (even nphi) would land the top mode on the
+        # irfft Nyquist bin: silently halved, imaginary part dropped —
+        # mirror the analysis direction's hard error instead
+        raise ValueError("nphi too small for mmax (synthesis would "
+                         "alias the top m onto the Nyquist bin)")
     pad = nphi // 2 + 1 - (mmax + 1)
-    if pad < 0:
-        raise ValueError("mmax exceeds nphi/2")
     X = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(0, pad)])
     return jnp.fft.irfft(X, n=nphi, axis=-1) * nphi
 
@@ -784,7 +792,6 @@ def _pallas_probe_ok():
     probe (debugging: surface the real error)."""
     if _PALLAS_PROBE["done"]:
         return _PALLAS_PROBE["ok"]
-    _PALLAS_PROBE["done"] = True
     try:
         from . import pallas_sht
         lmax = 31
@@ -910,6 +917,10 @@ def alm2map_spin(ealm, balm, rings: RingGeom, lmax: int = None, spin: int = 2):
     Convention: ``a_{±s} = -(E ± iB)``, ``(Q ± iU) = sum a_{±s} {}_{±s}Y``
     (healpy / Zaldarriaga-Seljak for s = 2).
     """
+    if spin % 2:
+        raise NotImplementedError(
+            "odd spins: the real-pair convention (Q -+ iU Hermitian "
+            "reconstruction) is only valid for even spin")
     ealm = jnp.asarray(ealm); balm = jnp.asarray(balm)
     if lmax is None:
         lmax = almops.getlmax(ealm.shape[-1])
@@ -955,7 +966,12 @@ def _alm2map_spin_impl(ealm, balm, tables, *, rings: RingGeom, lmax: int,
 
 
 def map2alm_spin(qmap, umap, rings: RingGeom, lmax: int, spin: int = 2):
-    """Analysis of a spin-``s`` field: (Q, U)-like maps -> (E, B) alms."""
+    """Analysis of a spin-``s`` field: (Q, U)-like maps -> (E, B) alms.
+    Even spins only (see :func:`alm2map_spin`)."""
+    if spin % 2:
+        raise NotImplementedError(
+            "odd spins: the real-pair convention (Q -+ iU Hermitian "
+            "reconstruction) is only valid for even spin")
     qmap = jnp.asarray(qmap); umap = jnp.asarray(umap)
     if _pallas_ok(rings, lmax, qmap.dtype):
         from . import pallas_sht
@@ -979,11 +995,14 @@ def _spin_ring_analysis(qmap, umap, rings: RingGeom, lmax: int):
         raise ValueError("nphi too small for requested lmax")
     w = jnp.asarray(rings.weights_array(), rdt) * (2.0 * np.pi / rings.nphi)
     p_plus = qmap.astype(cdt) + 1j * umap.astype(cdt)
-    p_minus = qmap.astype(cdt) - 1j * umap.astype(cdt)
-    m = jnp.arange(lmax + 1)
-    phase = jnp.exp(-1j * m * rings.phi0).astype(cdt)
-    Fp = jnp.fft.fft(p_plus, axis=-1)[..., : lmax + 1] * phase
-    Fm = jnp.fft.fft(p_minus, axis=-1)[..., : lmax + 1] * phase
+    m = np.arange(lmax + 1)
+    phase = jnp.exp(-1j * jnp.asarray(m) * rings.phi0).astype(cdt)
+    # ONE complex FFT serves both: P- = conj(P+), so
+    # fft(P-)[m] = conj(fft(P+)[-m]) — the second full FFT is a
+    # conjugated negative-frequency gather of the first (exact)
+    F = jnp.fft.fft(p_plus, axis=-1)
+    Fp = F[..., : lmax + 1] * phase
+    Fm = jnp.conj(F[..., jnp.asarray((-m) % rings.nphi)]) * phase
     return Fp, Fm, w
 
 

@@ -503,3 +503,49 @@ class TestPallasSHT:
                                     interpret=True)
         assert np.abs(np.asarray(e2) - np.asarray(e0)).max() < 3e-6
         assert np.abs(np.asarray(b2) - np.asarray(b0)).max() < 3e-6
+
+
+class TestValidation:
+    """Review regressions: silent-wrong-output paths now raise."""
+
+    def test_odd_spin_rejected(self):
+        lmax = 15
+        rings = sht.gauss_legendre_rings(lmax)
+        a = _random_alm(jax.random.PRNGKey(0), lmax, lmin=1)
+        with pytest.raises(NotImplementedError, match="even spin"):
+            sht.alm2map_spin(a, a, rings, lmax, spin=1)
+        m = jnp.zeros(rings.shape)
+        with pytest.raises(NotImplementedError, match="even spin"):
+            sht.map2alm_spin(m, m, rings, lmax, spin=3)
+
+    def test_synthesis_nyquist_guard(self):
+        """nphi == 2*mmax (even) used to silently halve the top-m mode
+        on the irfft Nyquist bin; now mirrors the analysis error."""
+        lmax = 4
+        rings = sht.gauss_legendre_rings(lmax, nphi=8)  # 8 == 2*lmax
+        a = _random_alm(jax.random.PRNGKey(1), lmax)
+        with pytest.raises(ValueError, match="alias"):
+            sht.alm2map(a, rings, lmax)
+
+    def test_map_nphi_mismatch_rejected(self):
+        lmax = 15
+        rings = sht.gauss_legendre_rings(lmax)
+        bad = jnp.zeros((rings.ntheta, rings.nphi + 4))
+        with pytest.raises(ValueError, match="nphi"):
+            sht.map2alm(bad, rings, lmax)
+
+    def test_getlmax_zero_rejected(self):
+        with pytest.raises(ValueError, match="alm length"):
+            almops.getlmax(0)
+
+    def test_alm2cl_stacked(self):
+        """alm2cl on a (B, nalm) stack (the healpy array contract)
+        equals per-row alm2cl."""
+        lmax = 15
+        alms = jnp.stack([_random_alm(jax.random.PRNGKey(i), lmax)
+                          for i in range(3)])
+        cls = np.asarray(almops.alm2cl(alms))
+        assert cls.shape == (3, lmax + 1)
+        for i in range(3):
+            np.testing.assert_allclose(
+                cls[i], np.asarray(almops.alm2cl(alms[i])), rtol=1e-12)
