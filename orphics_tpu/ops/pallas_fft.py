@@ -36,8 +36,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["colfft", "colifft", "row_perm", "natural_rows", "fft2p",
-           "ifft2p", "mirror_pp"]
+__all__ = [
+    # layout
+    "row_perm", "natural_rows", "half_rows", "permuted_bin_tables",
+    # 1D passes
+    "colfft", "colifft", "colfft_scaled", "rowfft", "rowifft",
+    "rowfft_blk0", "rowifft_noise_y", "ifft2pp_noise_y",
+    # 2D transforms (permuted and natural order)
+    "fft2p", "ifft2p", "fft2pp", "ifft2pp", "ifft2pp_scaled",
+    "ifft2pp_noise", "pfft2", "pifft2",
+    # fused mirror / power / combine passes
+    "mirror_pp", "qc_pp_half", "s_pp_half", "rowqc_pp", "rows_pp",
+    "fft2pp_qc", "fft2pp_s", "rowcombine_pp",
+    # on-chip noise producers
+    "noise_planes",
+]
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -80,17 +93,25 @@ def _mxu_dot(a, b, fast, sa=None, sb=None):
 
 
 def _perm_dot(a, J, fast):
-    """a @ J where J is a 0/1 permutation matrix: two bf16 passes are
-    EXACT (J is exactly representable, each output is one input value),
-    vs 6 HIGHEST passes. Packed as one dot over a 2K axis."""
+    """a @ J where J is a 0/1 permutation matrix: THREE bf16 passes are
+    exact (J is exactly representable and each output is one input
+    value, so exactness only needs a == a1+a2+a3 — fp32's 24 significand
+    bits split exactly into 3x8 bf16 terms), vs 6 HIGHEST passes.
+    Packed as one dot over a 3K axis. (A 2-term split is NOT exact:
+    bf16(a - bf16(a)) drops fp32 bits 17-24, ~1e-5 relative — measured;
+    the mirror must be a bit-exact copy for the Hermitian splits
+    downstream.)"""
     if not fast:
         return jnp.dot(a, J, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-    ah, al = _bsplit(a)
+    a1 = a.astype(jnp.bfloat16)
+    r1 = a - a1.astype(jnp.float32)     # exact in fp32 (<= 16 bits)
+    a2 = r1.astype(jnp.bfloat16)
+    a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)  # <= 8 bits
     Jh = J.astype(jnp.bfloat16)
-    a2 = jnp.concatenate([ah, al], axis=-1)
-    J2 = jnp.concatenate([Jh, Jh], axis=-2)
-    return jnp.dot(a2, J2, preferred_element_type=jnp.float32)
+    a3k = jnp.concatenate([a1, a2, a3], axis=-1)
+    J3 = jnp.concatenate([Jh, Jh, Jh], axis=-2)
+    return jnp.dot(a3k, J3, preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=8)
@@ -145,9 +166,8 @@ def permuted_bin_tables(modlmap, perm, edges):
     return idc, icnt, nseg
 
 
-def _fwd_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
+def _fwd_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref,
                 xre_ref, xim_ref, ore_ref, oim_ref, *, A, B, fast):
-    FBre, FBim = FBre_ref[:], FBim_ref[:]
     FAre, FAim = FAre_ref[:], FAim_ref[:]
     TWre, TWim = TWre_ref[:], TWim_ref[:]
     sFre = _bsplit(FAre) if fast else None
@@ -163,13 +183,12 @@ def _fwd_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
                 ore_ref, oim_ref, A=A, B=B, fast=fast)
 
 
-def _fwd_scaled_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref,
+def _fwd_scaled_kernel(FAre_ref, FAim_ref, TWre_ref,
                        TWim_ref, sc_ref, xre_ref, xim_ref, ore_ref,
                        oim_ref, *, A, B, fast):
     """Forward column DFT with an elementwise pre-multiplier fused onto
     the load (the usual use: an apodization taper — the masked maps
     never materialize in HBM)."""
-    FBre, FBim = FBre_ref[:], FBim_ref[:]
     FAre, FAim = FAre_ref[:], FAim_ref[:]
     TWre, TWim = TWre_ref[:], TWim_ref[:]
     sFre = _bsplit(FAre) if fast else None
@@ -201,10 +220,9 @@ def _fwd_stage2(FAre, FAim, TWre, TWim, sFre, sFim, gr, gi,
         oim_ref[0, k2 * A:(k2 + 1) * A, :] = oii
 
 
-def _inv_kernel(FBre_ref, FBim_ref, FAre_ref, FAim_ref, TWre_ref, TWim_ref,
+def _inv_kernel(FAre_ref, FAim_ref, TWre_ref, TWim_ref,
                 xre_ref, xim_ref, ore_ref, oim_ref, *, A, B, fast):
     """Inverse with P-permuted input rows -> natural-order output."""
-    FBre, FBim = FBre_ref[:], FBim_ref[:]
     FAre, FAim = FAre_ref[:], FAim_ref[:]
     TWre, TWim = TWre_ref[:], TWim_ref[:]
     sFre = _bsplit(FAre) if fast else None
@@ -248,7 +266,6 @@ def _call(kernel, xre, xim, A, B, consts, ctile, interpret):
     grid_spec = pl.GridSpec(
         grid=(b, nt),
         in_specs=[
-            const_spec((B, B)), const_spec((B, B)),
             const_spec((A, A)), const_spec((A, A)),
             const_spec((B, A)), const_spec((B, A)),
             pl.BlockSpec((1, n, ctile), lambda i, j: (i, 0, j),
@@ -264,7 +281,10 @@ def _call(kernel, xre, xim, A, B, consts, ctile, interpret):
         ],
     )
     flops_mm = b * ncols * n * (128 + B) * 8
-    cj = [jnp.asarray(c) for c in consts]
+    # consts = (FBre, FBim, FAre, FAim, TWre, TWim) from _plan; the
+    # stage-1 B-point DFT uses _fft_static's baked twiddles, so the FB
+    # matrices are dead — ship only FA/TW to the kernels
+    cj = [jnp.asarray(c) for c in consts[2:]]
     return pl.pallas_call(
         functools.partial(kernel, A=A, B=B, fast=_FAST and not interpret),
         grid_spec=grid_spec,
@@ -301,13 +321,12 @@ def colfft_scaled(xre, xim, scale, ctile: int = 128,
         return pl.BlockSpec(shape, lambda i, j: tuple([0] * len(shape)),
                             memory_space=pltpu.VMEM)
 
-    cj = [jnp.asarray(c) for c in consts]
+    cj = [jnp.asarray(c) for c in consts[2:]]   # skip dead FB
     return pl.pallas_call(
         functools.partial(_fwd_scaled_kernel, A=A, B=B,
                           fast=_FAST and not interpret),
         grid=(nt, b),  # batch innermost: scale tile resident across it
         in_specs=[
-            const_spec((B, B)), const_spec((B, B)),
             const_spec((A, A)), const_spec((A, A)),
             const_spec((B, A)), const_spec((B, A)),
             pl.BlockSpec((n, ctile), lambda j, i: (0, j),
@@ -423,8 +442,6 @@ def _fft16_static(re, im, sign):
                 if j == 0:  # w = 1
                     tr, ti = xr[b], xi[b]
                 elif abs(wr) < 1e-12:  # w = +-i
-                    tr = -wi * xi[b]
-                    ti = wi * xr[b]
                     tr, ti = -wi * xi[b], wi * xr[b]
                 else:
                     tr = wr * xr[b] - wi * xi[b]
@@ -629,6 +646,7 @@ def rowifft_noise_y(scale, seed, batch: int, rtile: int = 64,
         return _row_call(er, ei, True, rtile, True,
                          scale=scale.astype(jnp.float32))
     A, B, FBre, FBim, FAre, FAim, TWre, TWim = _plan(n, True)
+    assert n % rtile == 0, f"rtile {rtile} must divide n {n}"
     nt = n // rtile
 
     def const_spec(shape):
@@ -705,6 +723,7 @@ def noise_planes(scale, seed, batch: int, rtile: int = 64,
         er = jax.random.normal(kr, (batch, n, n), jnp.float32)
         ei = jax.random.normal(ki, (batch, n, n), jnp.float32)
         return er * scale[None], ei * scale[None]
+    assert n % rtile == 0, f"rtile {rtile} must divide n {n}"
     nt = n // rtile
     dblk = pl.BlockSpec((1, rtile, n), lambda i, j: (i, j, 0),
                         memory_space=pltpu.VMEM)
@@ -769,7 +788,7 @@ def _row_call(xre, xim, inverse, rtile, interpret, scale=None):
                    jax.ShapeDtypeStruct(xre.shape, jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=b * nrows * n * (128 + 8) * 8,
+            flops=b * nrows * n * (128 + B) * 8,
             bytes_accessed=4 * 4 * b * nrows * n, transcendentals=0),
     )(*args)
 
@@ -817,31 +836,34 @@ def _mirror_tables(n):
     return mrow, J
 
 
-def _mirror_kernel(jm_ref, ar_ref, ai_ref, or_ref, oi_ref, *, ncc, fast):
-    def rev(z):
-        # sublane reversal of 8 via three swap levels (lax.rev is not
-        # lowered on TPU Pallas), then per-128-chunk lane reversal as an
-        # exact fp32 (HIGHEST) matmul against the anti-identity, with the
-        # chunk order itself reversed in the output concat (chunk b ->
-        # chunk (B-b) % B; chunk 0 is garbage here, patched by the strips)
-        z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
-        z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
-                             z[:, 6:8, :], z[:, 4:6, :]], axis=1)
-        z = jnp.concatenate([z[:, 1:2, :], z[:, 0:1, :],
-                             z[:, 3:4, :], z[:, 2:3, :],
-                             z[:, 5:6, :], z[:, 4:5, :],
-                             z[:, 7:8, :], z[:, 6:7, :]], axis=1)
-        bs8 = z.shape[0] * 8
-        chunks = []
-        for q in range(ncc):
-            c = (ncc - q) % ncc
-            piece = z[:, :, 128 * c:128 * (c + 1)].reshape(bs8, 128)
-            piece = _perm_dot(piece, jm_ref[:], fast)
-            chunks.append(piece.reshape(z.shape[0], 8, 128))
-        return jnp.concatenate(chunks, axis=-1)
+def _rev_block(z, jm, ncc, fast):
+    """In-register mirror of an (nb, 8, ncc*128) block: sublane reversal
+    of 8 via three swap levels (lax.rev is not lowered on TPU Pallas),
+    then per-128-chunk lane reversal as an exact _perm_dot against the
+    anti-identity ``jm``, with the chunk order itself reversed in the
+    output concat (chunk b -> chunk (B-b) % B; chunk 0 is garbage here,
+    patched by the wrapper strips). THE one mirror convention — shared
+    by every mirror/power kernel."""
+    z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
+    z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
+                         z[:, 6:8, :], z[:, 4:6, :]], axis=1)
+    z = jnp.concatenate([z[:, 1:2, :], z[:, 0:1, :],
+                         z[:, 3:4, :], z[:, 2:3, :],
+                         z[:, 5:6, :], z[:, 4:5, :],
+                         z[:, 7:8, :], z[:, 6:7, :]], axis=1)
+    nb = z.shape[0]
+    chunks = []
+    for q in range(ncc):
+        c = (ncc - q) % ncc
+        piece = z[:, :, 128 * c:128 * (c + 1)].reshape(nb * 8, 128)
+        piece = _perm_dot(piece, jm, fast)
+        chunks.append(piece.reshape(nb, 8, 128))
+    return jnp.concatenate(chunks, axis=-1)
 
-    or_ref[:] = rev(ar_ref[:])
-    oi_ref[:] = rev(ai_ref[:])
+
+def _mirror_kernel(jm_ref, ar_ref, ai_ref, or_ref, oi_ref, *, ncc, fast):
+    or_ref[:] = _rev_block(ar_ref[:], jm_ref[:], ncc, fast)
+    oi_ref[:] = _rev_block(ai_ref[:], jm_ref[:], ncc, fast)
 
 
 def half_rows(n: int):
@@ -858,124 +880,10 @@ def half_rows(n: int):
     return p_of_h, 64
 
 
-def _mirror_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref,
-                        cr_ref, ci_ref, omr_ref, omi_ref, *, ncc, fast):
-    def rev(z):
-        z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
-        z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
-                             z[:, 6:8, :], z[:, 4:6, :]], axis=1)
-        z = jnp.concatenate([z[:, 1:2, :], z[:, 0:1, :],
-                             z[:, 3:4, :], z[:, 2:3, :],
-                             z[:, 5:6, :], z[:, 4:5, :],
-                             z[:, 7:8, :], z[:, 6:7, :]], axis=1)
-        chunks = []
-        for q in range(ncc):
-            c = (ncc - q) % ncc
-            piece = z[:, :, 128 * c:128 * (c + 1)].reshape(z.shape[0] * 8,
-                                                           128)
-            piece = _perm_dot(piece, jm_ref[:], fast)
-            chunks.append(piece.reshape(z.shape[0], 8, 128))
-        return jnp.concatenate(chunks, axis=-1)
-
-    cr_ref[:] = dr_ref[:]          # pass-through compact copies of Z
-    ci_ref[:] = di_ref[:]
-    omr_ref[:] = rev(ar_ref[:])    # compact mirrors from upper-half blocks
-    omi_ref[:] = rev(ai_ref[:])
-
-
-@functools.partial(jax.jit, static_argnames=("bb", "interpret"))
-def mirror_pp_half(zr, zi, bb: int = 8, interpret: bool = False):
-    """Compact Hermitian-half-plane views (Z, Zm) in one kernel pass.
-
-    Returns ``(zr_c, zi_c, zmr_c, zmi_c)``, each (batch, n//2, n): row h
-    holds permuted row ``p_of_h[h]`` of Z resp. of Zm(k) = Z(-k). Each
-    input array is read exactly once (lower-half blocks pass through as
-    the compact Z copies; upper-half blocks produce the mirrors via the
-    same static block maps + in-register reversals as :func:`mirror_pp`).
-    The b == 0 strips of the mirror are patched with slice-based takes.
-    With the mirror-even powers q = |Z|^2 and c = Re(Z Zm), full-plane
-    binned sums reduce to 2 * (compact sums) - (row ky=0) + (row ky=n/2),
-    halving the downstream bin volume."""
-    bsz, n, _ = zr.shape
-    ncc = n // 128
-    nh = n // 2
-    while bsz % bb:
-        bb //= 2
-
-    def dst(gb, g):
-        return (gb, g, 0)
-
-    def src_mirror(gb, g):
-        # compact dst block g covers h in [8g, 8g+8): b = g//8, a0 = 8*(g%8)
-        # mirror source: b' = (B-b)%B, a0' = 120-a0 (upper half)
-        return (gb, 16 * ((ncc - g // 8) % ncc) + 15 - (g % 8), 0)
-
-    def src_pass(gb, g):
-        # the compact Z copy: full-array block of rows a in [8(g%8), ...)
-        return (gb, 16 * (g // 8) + g % 8, 0)
-
-    fblk = lambda idx: pl.BlockSpec((bb, 8, n), idx,
-                                    memory_space=pltpu.VMEM)
-    mrow_np, J = _mirror_tables(n)
-    oshape = [jax.ShapeDtypeStruct((bsz, nh, n), jnp.float32)] * 4
-    zc_r, zc_i, omr, omi = pl.pallas_call(
-        functools.partial(_mirror_half_kernel, ncc=ncc,
-                          fast=_FAST and not interpret),
-        grid=(bsz // bb, nh // 8),
-        in_specs=[pl.BlockSpec((128, 128), lambda gb, g: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  fblk(src_mirror), fblk(src_mirror),
-                  fblk(src_pass), fblk(src_pass)],
-        out_specs=[fblk(dst)] * 4,
-        out_shape=oshape,
-        interpret=interpret,
-    )(jnp.asarray(J), zr, zi, zr, zi)
-
-    # strip patches on the mirror outputs (b == 0 wrap-around):
-    # compact rows h < 64 are ky in [0, 64): mirror rows p' = (128-h)%128
-    # live inside the first 128 full rows; mirror cols of cols < 128
-    # live inside the first 128 full cols.
-    mrow = jnp.asarray(mrow_np)
-    p_of_h, _ = half_rows(n)
-    rsrc = jnp.asarray(((128 - np.arange(64)) % 128).astype(np.int32))
-    csrc = jnp.asarray(mrow_np[p_of_h[64:]])   # clean-row full mirrors
-    mtop = mrow[:128]
-    for zsrc, out in ((zr, 0), (zi, 1)):
-        rows = jnp.take(jnp.take(zsrc[:, :128, :], rsrc, axis=1),
-                        mrow, axis=2)
-        cols = jnp.take(jnp.take(zsrc[:, :, :128], mtop, axis=2),
-                        csrc, axis=1)
-        o = (omr, omi)[out]
-        o = jax.lax.dynamic_update_slice(o, rows, (0, 0, 0))
-        o = jax.lax.dynamic_update_slice(o, cols, (0, 64, 0))
-        if out == 0:
-            omr = o
-        else:
-            omi = o
-    return zc_r, zc_i, omr, omi
-
-
 def _qc_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref,
                     oq_ref, oc_ref, *, ncc, fast):
-    def rev(z):
-        z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
-        z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
-                             z[:, 6:8, :], z[:, 4:6, :]], axis=1)
-        z = jnp.concatenate([z[:, 1:2, :], z[:, 0:1, :],
-                             z[:, 3:4, :], z[:, 2:3, :],
-                             z[:, 5:6, :], z[:, 4:5, :],
-                             z[:, 7:8, :], z[:, 6:7, :]], axis=1)
-        chunks = []
-        for q in range(ncc):
-            c = (ncc - q) % ncc
-            piece = z[:, :, 128 * c:128 * (c + 1)].reshape(z.shape[0] * 8,
-                                                           128)
-            piece = _perm_dot(piece, jm_ref[:], fast)
-            chunks.append(piece.reshape(z.shape[0], 8, 128))
-        return jnp.concatenate(chunks, axis=-1)
-
-    mr = rev(ar_ref[:])
-    mi = rev(ai_ref[:])
+    mr = _rev_block(ar_ref[:], jm_ref[:], ncc, fast)
+    mi = _rev_block(ai_ref[:], jm_ref[:], ncc, fast)
     dr = dr_ref[:]
     di = di_ref[:]
     oq_ref[:] = 0.5 * (dr * dr + di * di + mr * mr + mi * mi)
@@ -983,24 +891,9 @@ def _qc_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref,
 
 
 def _s_half_kernel(jm_ref, ar_ref, ai_ref, dr_ref, di_ref, os_ref, *, ncc, fast):
-    def rev(z):
-        z = jnp.concatenate([z[:, 4:, :], z[:, :4, :]], axis=1)
-        z = jnp.concatenate([z[:, 2:4, :], z[:, 0:2, :],
-                             z[:, 6:8, :], z[:, 4:6, :]], axis=1)
-        z = jnp.concatenate([z[:, 1:2, :], z[:, 0:1, :],
-                             z[:, 3:4, :], z[:, 2:3, :],
-                             z[:, 5:6, :], z[:, 4:5, :],
-                             z[:, 7:8, :], z[:, 6:7, :]], axis=1)
-        chunks = []
-        for q in range(ncc):
-            c = (ncc - q) % ncc
-            piece = z[:, :, 128 * c:128 * (c + 1)].reshape(z.shape[0] * 8,
-                                                           128)
-            piece = _perm_dot(piece, jm_ref[:], fast)
-            chunks.append(piece.reshape(z.shape[0], 8, 128))
-        return jnp.concatenate(chunks, axis=-1)
-
-    os_ref[:] = dr_ref[:] * rev(ai_ref[:]) + di_ref[:] * rev(ar_ref[:])
+    os_ref[:] = (dr_ref[:] * _rev_block(ai_ref[:], jm_ref[:], ncc, fast)
+                 + di_ref[:] * _rev_block(ar_ref[:], jm_ref[:], ncc,
+                                          fast))
 
 
 @functools.partial(jax.jit, static_argnames=("bb", "interpret"))
@@ -1243,8 +1136,8 @@ def rowifft_scaled_y(kre, kim, scale, rtile: int = 64,
                      scale=scale.astype(jnp.float32))
 
 
-@jax.jit
-def pfft2(z):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pfft2(z, interpret: bool = False):
     """Natural-order full-Pallas 2D FFT of a complex (or real) array —
     drop-in for ``jnp.fft.fft2`` on 128*B-sized grids (one static
     reordering gather at the end; pipelines should prefer
@@ -1255,28 +1148,33 @@ def pfft2(z):
     squeeze = zre.ndim == 2
     if squeeze:
         zre, zim = zre[None], zim[None]
-    Yr, Yi = fft2pp(zre, zim)
-    _, inv = row_perm(zre.shape[-2])
-    inv = jnp.asarray(inv)
-    Yr = jnp.take(jnp.take(Yr, inv, axis=-2), inv, axis=-1)
-    Yi = jnp.take(jnp.take(Yi, inv, axis=-2), inv, axis=-1)
+    Yr, Yi = fft2pp(zre, zim, interpret=interpret)
+    # each axis un-permutes with ITS OWN length's permutation
+    _, inv_y = row_perm(zre.shape[-2])
+    _, inv_x = row_perm(zre.shape[-1])
+    Yr = jnp.take(jnp.take(Yr, jnp.asarray(inv_y), axis=-2),
+                  jnp.asarray(inv_x), axis=-1)
+    Yi = jnp.take(jnp.take(Yi, jnp.asarray(inv_y), axis=-2),
+                  jnp.asarray(inv_x), axis=-1)
     out = Yr + 1j * Yi
     return out[0] if squeeze else out
 
 
-@jax.jit
-def pifft2(k):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pifft2(k, interpret: bool = False):
     """Natural-order inverse of :func:`pfft2`."""
     kre = jnp.real(k).astype(jnp.float32)
     kim = jnp.imag(k).astype(jnp.float32)
     squeeze = kre.ndim == 2
     if squeeze:
         kre, kim = kre[None], kim[None]
-    perm, _ = row_perm(kre.shape[-2])
-    perm = jnp.asarray(perm)
-    kre = jnp.take(jnp.take(kre, perm, axis=-2), perm, axis=-1)
-    kim = jnp.take(jnp.take(kim, perm, axis=-2), perm, axis=-1)
-    Zr, Zi = ifft2pp(kre, kim)
+    perm_y, _ = row_perm(kre.shape[-2])
+    perm_x, _ = row_perm(kre.shape[-1])
+    kre = jnp.take(jnp.take(kre, jnp.asarray(perm_y), axis=-2),
+                   jnp.asarray(perm_x), axis=-1)
+    kim = jnp.take(jnp.take(kim, jnp.asarray(perm_y), axis=-2),
+                   jnp.asarray(perm_x), axis=-1)
+    Zr, Zi = ifft2pp(kre, kim, interpret=interpret)
     out = Zr + 1j * Zi
     return out[0] if squeeze else out
 
@@ -1386,8 +1284,7 @@ def rowfft_blk0(yre, yim, interpret: bool = False):
     """Lane chunk 0 (permuted cols p in [0, 128)) of the forward row
     DFT of all rows: (b, n, 128) re/im."""
     b, nrows, n = yre.shape
-    A, B, *consts = _plan(n, False)
-    _, _, _, _, FAre, FAim, TWre, TWim = _plan(n, False)
+    A, B, _, _, FAre, FAim, TWre, TWim = _plan(n, False)
     rtile = 64
 
     def const_spec(shape):

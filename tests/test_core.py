@@ -721,3 +721,43 @@ def test_linear_coadd_fused_variants():
     gotk = np.asarray(ilc.kspace_coadd_fused(maps_in, kb2d, nc2d,
                                              interpret=True))
     assert np.abs(gotk - refk).max() / np.abs(refk).max() < 1e-5
+
+
+class TestPallasFFTRegressions:
+    """Review regressions for ops/pallas_fft.py."""
+
+    def test_perm_dot_fast_is_exact(self):
+        """_perm_dot's fast path must be BIT-exact for a permutation
+        matrix (regression: the old 2-term bf16 split dropped fp32
+        bits 17-24, ~1e-5 relative error on every mirror plane; the
+        3-term split is exact since fp32's 24 significand bits are
+        3 x 8 bf16 bits)."""
+        from orphics_tpu.ops import pallas_fft as pf
+        rng = np.random.default_rng(0)
+        a = (rng.standard_normal((64, 128))
+             * np.exp(rng.uniform(-18, 18, (64, 128)))).astype(np.float32)
+        J = np.eye(128, dtype=np.float32)[::-1]
+        out = np.asarray(pf._perm_dot(jnp.asarray(a), jnp.asarray(J),
+                                      fast=True))
+        np.testing.assert_array_equal(out, a[:, ::-1])
+
+    def test_pfft2_nonsquare(self):
+        """pfft2/pifft2 on a non-square 128B x 128B' grid must match
+        jnp.fft (regression: the row-axis permutation was applied to
+        BOTH axes, silently returning a wrongly-shaped selection)."""
+        from orphics_tpu.ops import pallas_fft as pf
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((256, 512)).astype(np.float32)
+        ref = np.asarray(jnp.fft.fft2(jnp.asarray(x)))
+        out = np.asarray(pf.pfft2(jnp.asarray(x), interpret=True))
+        assert out.shape == ref.shape
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out, ref, atol=2e-4 * scale)
+        back = np.asarray(pf.pifft2(jnp.asarray(out), interpret=True))
+        np.testing.assert_allclose(back.real, x, atol=2e-4)
+
+    def test_noise_planes_rtile_guard(self):
+        from orphics_tpu.ops import pallas_fft as pf
+        scale = jnp.ones((256, 256), jnp.float32)
+        with pytest.raises(AssertionError, match="divide"):
+            pf.noise_planes(scale, 1, 1, rtile=96)
