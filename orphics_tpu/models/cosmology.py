@@ -244,7 +244,6 @@ class Cosmology:
         y = (1 + z_eq) / (1 + z_d)
         x = np.sqrt(1 + y)
         G = y * (-6 * x + (2 + 3 * y) * np.log((x + 1) / (x - 1)))
-        alpha_b = 2.07 * (k_eq * self.h / self.h) * s * (1 + R_d) ** -0.75 * G
         # note: k_eq here back in h/Mpc; alpha_b uses k_eq*s consistently
         alpha_b = 2.07 * k_eq * s * (1 + R_d) ** -0.75 * G
         beta_node = 8.41 * w_m ** 0.435
@@ -431,9 +430,27 @@ class LimberCosmology(Cosmology):
 
     # camb-compatible PK.P interface
     def PK_P(self, zs, ks, grid=False):
-        """P(k,z) from the table (log-log interp in k, linear in z)."""
-        logk = np.log(np.maximum(np.asarray(ks), 1e-300))
-        iz = np.interp(np.asarray(zs), self._pk_zt,
+        """P(k,z) from the table (log-log interp in k, linear in z).
+
+        ``grid=True`` returns the (nz, nk) outer-product grid (the camb
+        ``PK.P`` contract); ``grid=False`` evaluates elementwise and
+        requires matching shapes."""
+        zs_a = np.atleast_1d(np.asarray(zs, np.float64))
+        ks_a = np.atleast_1d(np.asarray(ks, np.float64))
+        if grid:
+            rows = [self.PK_P(np.full(ks_a.shape, z), ks_a, grid=False)
+                    for z in zs_a]
+            return np.stack(rows)
+        if zs_a.shape != ks_a.shape:
+            if zs_a.size == 1:
+                zs_a = np.full(ks_a.shape, zs_a.reshape(()))
+            else:
+                raise ValueError(
+                    f"elementwise PK_P needs matching shapes (got "
+                    f"{zs_a.shape} vs {ks_a.shape}); pass grid=True "
+                    "for the outer-product grid")
+        logk = np.log(np.maximum(ks_a, 1e-300))
+        iz = np.interp(zs_a, self._pk_zt,
                        np.arange(len(self._pk_zt)))
         iz0 = np.clip(iz.astype(int), 0, len(self._pk_zt) - 2)
         fz = iz - iz0
@@ -495,10 +512,15 @@ class LimberCosmology(Cosmology):
             k['W'] = W
             k['type'] = 'counts'
             if magbias is not None:
+                # the magnification correction IS a lensing kernel
+                # weighted by (5s - 2): use the same prefactor the
+                # CAMB-validated kappa kernel uses (one 1/Hz). The
+                # reference divides by Hz^2 (cosmology.py:710, flagged
+                # there as "needs to be checked again") which
+                # suppresses the term by ~Hz — a dimensional error we
+                # deliberately do not reproduce.
                 ret = self._lens_window(k, numz_integral)
-                mag = (ret * 1.5 * (self.omch2 + self.ombh2 + self.omnuh2)
-                       * 1e4 * (1 + self.zs) * self.chis
-                       * (5 * magbias - 2) / self.Hzs ** 2 / C_KM_S)
+                mag = ret * (5.0 * magbias - 2.0) * self._lens_prefactor()
                 k['W'] = k['W'] + mag
 
     def addDeltaNz(self, tag, zsource, bias=None, magbias=None,
@@ -597,8 +619,16 @@ def get_limber_clkk_flat_universe(results, ells=None, lmax=2000,
     :class:`Cosmology` (or LimberCosmology)."""
     lc = results if isinstance(results, LimberCosmology) else None
     if lc is None:
-        lc = LimberCosmology(params=results.params, lmax=lmax, numz=nz,
-                             kmax=kmax)
+        # carry over EVERYTHING that shapes P(k): a dropped
+        # pkgrid_override would silently fall back to EH98 (the ~2-6%
+        # error the override exists to remove)
+        lc = LimberCosmology(params=results.params,
+                             constants=getattr(results, "c", None),
+                             lmax=lmax, numz=nz, kmax=kmax,
+                             pkgrid_override=getattr(
+                                 results, "pkgrid_override", None),
+                             transfer=getattr(results, "_transfer_type",
+                                              "eisenhu_osc"))
     if zsrc is not None:
         lc.addDeltaNz('src', zsrc, ignore_exists=True)
         tag = 'src'
@@ -666,7 +696,12 @@ class LensForecast:
         cls = np.asarray(self.theory.gCl(spec, ells))
         Noise = 0.0
         if noise and a == b:
-            Noise = self.Nls[spec](ells)
+            # loaders allow omitting the noise curve (unlike the
+            # reference, where it was required positional): default to
+            # the noiseless forecast instead of KeyError deep in the
+            # covariance loop
+            fn = self.Nls.get(spec)
+            Noise = fn(ells) if fn is not None else 0.0
         tot = Noise if (ntot and a == b and noise) else cls + Noise
         return np.sum(ells * tot) / np.sum(ells)
 
@@ -889,6 +924,22 @@ def loadTheorySpectraFromPycambResults(results, pars, kellmax,
             sel = ells < kellmax
             theory.loadCls(ells[sel], cls[sel], pol,
                            lensed=(which == "l"), lpad=lpad)
+    # the lensing-potential 'kk' table the reference loads too
+    # (cosmology.py:830-840): clkk = (2pi/4) * [l(l+1)]^2 C_phi / 2pi
+    # from ell 2 — downstream gCl('kk') consumers (lenspipe,
+    # FlatLensingSims) require it
+    lp = None
+    if hasattr(results, "get_lens_potential_cls"):
+        lp = np.asarray(results.get_lens_potential_cls(lmax=lpad))
+    elif isinstance(cmbmat, dict) and "lens_potential" in cmbmat:
+        lp = np.asarray(cmbmat["lens_potential"])
+    if lp is not None:
+        clphi = lp[2:, 0]
+        clkk = clphi * (2.0 * np.pi / 4.0)
+        ells_k = np.arange(2, len(clkk) + 2)
+        sel = ells_k < kellmax
+        theory.loadGenericCls(ells_k[sel], clkk[sel], "kk", lpad=lpad)
+    theory.dimensionless = bool(get_dimensionless)
     return theory
 
 
@@ -909,7 +960,17 @@ def get_lss_cls(windows, lmax, nonlinear=True, params=None):
         if ("P" in key) or ("x" in key):
             raise ValueError("window names may not contain 'P' or 'x'")
         stype = ws["stype"].strip().lower()
-        bias = ws.get("b") if stype == "counts" else None
+        if stype not in ("counts", "lensing"):
+            raise ValueError(f"unknown stype {ws['stype']!r}: expected "
+                             "'counts' or 'lensing'")
+        if stype == "counts":
+            # missing bias must not silently become a LENSING window
+            # (bias=None is the lensing branch in addNz)
+            if "b" not in ws or ws["b"] is None:
+                raise KeyError(f"counts window {key!r} needs a bias 'b'")
+            bias = ws["b"]
+        else:
+            bias = None
         wtype = ws["wtype"].strip().lower()
         if wtype == "gaussian":
             zs = np.linspace(max(ws["zmean"] - 5 * ws["zsigma"], 1e-3),

@@ -196,3 +196,73 @@ class TestPkgridIngestion:
         over.generateCls(ells)
         r = over.getCl("cmb", "cmb") / base.getCl("cmb", "cmb")
         assert np.max(np.abs(r - 1.0)) < 5e-3, r
+
+
+class TestCosmologyRegressions:
+    """Review regressions for models/cosmology.py."""
+
+    def test_get_lss_cls_missing_bias_raises(self):
+        with pytest.raises(KeyError, match="bias"):
+            cosmo.get_lss_cls(
+                {"g": {"stype": "counts", "wtype": "gaussian",
+                       "zmean": 0.5, "zsigma": 0.1}}, lmax=50)
+        with pytest.raises(ValueError, match="stype"):
+            cosmo.get_lss_cls(
+                {"g": {"stype": "count", "wtype": "gaussian", "b": 1.5,
+                       "zmean": 0.5, "zsigma": 0.1}}, lmax=50)
+
+    def test_pk_p_grid_contract(self, lc):
+        zs = np.array([0.2, 0.7, 1.4])
+        ks = np.geomspace(1e-3, 1.0, 17)
+        g = lc.PK_P(zs, ks, grid=True)
+        assert g.shape == (3, 17)
+        for i, z in enumerate(zs):
+            np.testing.assert_allclose(
+                g[i], lc.PK_P(np.full(17, z), ks), rtol=1e-12)
+        with pytest.raises(ValueError, match="matching shapes"):
+            lc.PK_P(zs, ks)
+
+    def test_magbias_correction_convention(self):
+        """The magnification term is (5s - 2) x the CAMB-validated
+        lensing kernel: s = 0.4 makes it vanish EXACTLY, and the
+        correction carries the lensing prefactor (one 1/Hz) — the
+        reference's /Hz^2 form (flagged 'needs to be checked' there)
+        suppressed it by ~Hz."""
+        lc = cosmo.LimberCosmology(lmax=200, numz=200)
+        zs = np.linspace(0.05, 2.0, 120)
+        nz = np.exp(-0.5 * ((zs - 0.8) / 0.25) ** 2)
+        lc.addNz("g0", zs, nz, bias=1.6)
+        lc.addNz("gnull", zs, nz, bias=1.6, magbias=0.4)
+        lc.addNz("gmag", zs, nz, bias=1.6, magbias=1.0)
+        W0 = lc.kernels["g0"]["W"]
+        np.testing.assert_allclose(lc.kernels["gnull"]["W"], W0,
+                                   rtol=0, atol=1e-12)
+        dmag = lc.kernels["gmag"]["W"] - W0
+        ret = lc._lens_window(lc.kernels["gmag"], 300)
+        np.testing.assert_allclose(
+            dmag, 3.0 * ret * lc._lens_prefactor(), rtol=1e-10)
+
+    def test_lensforecast_noiseless_kk(self, th):
+        ells = np.arange(2, 500)
+        clkk = np.asarray(th.gCl("kk", ells))
+        lf = cosmo.LensForecast(th)
+        lf.loadKK(ells, clkk)                  # no noise curve
+        edges = np.arange(50, 400, 50.0)
+        sn, _ = lf.sn(edges, 0.4, "kk")
+        assert np.isfinite(sn) and sn > 0
+
+    def test_pycamb_loader_kk_table(self, th):
+        ells = np.arange(0, 600)
+        fake = {
+            "lensed_scalar": np.zeros((600, 4)),
+            "unlensed_scalar": np.zeros((600, 4)),
+            "lens_potential": np.ones((600, 3)) * 4.0 / (2 * np.pi),
+        }
+        for key in ("lensed_scalar", "unlensed_scalar"):
+            fake[key][:, 0] = 1.0
+        t = cosmo.loadTheorySpectraFromPycambResults(
+            fake, None, kellmax=500, lpad=600)
+        # clkk = lens_potential * 2pi/4 = (4/2pi) * (2pi/4) = 1
+        out = np.asarray(t.gCl("kk", np.arange(2, 400)))
+        np.testing.assert_allclose(out, 1.0, rtol=1e-12)
+        assert t.dimensionless is True
