@@ -129,16 +129,20 @@ class FourierStack:
 
 
 def mask_center(imap):
-    """NaN the central pixel(s) (reference ``orphics/maps.py:2601``)."""
+    """NaN the central pixel(s) (reference ``orphics/maps.py:2601``;
+    the reference asserts square maps — here each axis gets its own
+    center so non-square maps are handled instead of silently masking
+    the wrong row)."""
     imap = jnp.asarray(imap)
-    n = imap.shape[-1]
-    c = n // 2
-    if n % 2 == 1:
-        return imap.at[..., c, c].set(jnp.nan)
-    out = imap.at[..., c, c].set(jnp.nan)
-    out = out.at[..., c - 1, c].set(jnp.nan)
-    out = out.at[..., c, c - 1].set(jnp.nan)
-    return out.at[..., c - 1, c - 1].set(jnp.nan)
+    ny, nx = imap.shape[-2], imap.shape[-1]
+    cy, cx = ny // 2, nx // 2
+    rows = [cy] if ny % 2 == 1 else [cy - 1, cy]
+    cols = [cx] if nx % 2 == 1 else [cx - 1, cx]
+    out = imap
+    for r in rows:
+        for c in cols:
+            out = out.at[..., r, c].set(jnp.nan)
+    return out
 
 
 def crop_center(imap, ny, nx=None):
@@ -499,12 +503,14 @@ def _bilinear_at(imap, py, px):
 
 
 def rescale(imap, factor, geom: Geometry):
-    """Zoom a thumbnail by ``factor`` keeping its shape (reference
-    ``orphics/maps.py:rescale``)."""
+    """Zoom a thumbnail by ``factor`` keeping its shape — factor > 1
+    MAGNIFIES, matching the reference (``orphics/maps.py:rescale``
+    scales cdelt by factor and reprojects; a feature at pixel offset d
+    moves to factor*d). Output pixel i samples source (i - c)/factor."""
     ny, nx = geom.shape
     cy, cx = (ny - 1) / 2.0, (nx - 1) / 2.0
-    iy = (jnp.arange(ny) - cy) * factor + cy
-    ix = (jnp.arange(nx) - cx) * factor + cx
+    iy = (jnp.arange(ny) - cy) / factor + cy
+    ix = (jnp.arange(nx) - cx) / factor + cx
     py = jnp.broadcast_to(iy[:, None], (ny, nx))
     px = jnp.broadcast_to(ix[None, :], (ny, nx))
     return _bilinear_at(jnp.asarray(imap), py, px)
@@ -749,15 +755,19 @@ def gkern_interp(geom: Geometry, rs, bprof, fwhm_guess_arcmin,
     fwhm = fwhm_guess_arcmin * np.pi / (180.0 * 60.0)
     sigma = fwhm / np.sqrt(8.0 * np.log(2.0))
     ny, nx = geom.shape
-    sy = int(nsigma * sigma / geom.dy)
-    sx = int(nsigma * sigma / geom.dx)
+    sy = int(nsigma * sigma / abs(geom.dy))
+    sx = int(nsigma * sigma / abs(geom.dx))
     if ((ny % 2 == 0) == (sy % 2 == 1)):
         sy += 1
     if ((nx % 2 == 0) == (sx % 2 == 1)):
         sx += 1
     rmap = crop_center(geom.modrmap(jnp.float64), sy, sx)
+    # fill_value=0 beyond the tabulated profile (reference
+    # interp1d(..., fill_value=0)): a clamped last value would put a
+    # constant pedestal under the whole kernel skirt
     g = jnp.interp(rmap.reshape(-1), jnp.asarray(rs),
-                   jnp.asarray(bprof)).reshape(rmap.shape)
+                   jnp.asarray(bprof), left=0.0,
+                   right=0.0).reshape(rmap.shape)
     return g / g.sum()
 
 
@@ -901,15 +911,27 @@ def resample_fft(imap, geom: Geometry, res_rad):
     ny, nx = imap.shape[-2:]
     oy, ox = ogeom.shape
     k = jnp.fft.fftshift(jnp.fft.fft2(imap), axes=(-2, -1))
-    if oy <= ny:
-        y0 = (ny - oy) // 2
-        x0 = (nx - ox) // 2
-        k = k[..., y0:y0 + oy, x0:x0 + ox]
-    else:
-        py = (oy - ny) // 2
-        px_ = (ox - nx) // 2
-        k = jnp.pad(k, [(0, 0)] * (k.ndim - 2)
-                    + [(py, oy - ny - py), (px_, ox - nx - px_)])
+    # crop-or-pad PER AXIS: anisotropic pixels can need a crop along
+    # one axis and a pad along the other (a single branch produced
+    # negative pad widths / silently wrapped slices)
+    def fit_axis(kk, size_in, size_out, axis):
+        # align the DC bins: after fftshift DC sits at n//2, and
+        # ifftshift on the output expects it at size_out//2 — a
+        # "centered" (n-m)//2 crop misplaces DC by one whenever the
+        # parities differ
+        cin, cout = size_in // 2, size_out // 2
+        if size_out <= size_in:
+            s0 = cin - cout
+            sl = [slice(None)] * kk.ndim
+            sl[axis] = slice(s0, s0 + size_out)
+            return kk[tuple(sl)]
+        p0 = cout - cin
+        pads = [(0, 0)] * kk.ndim
+        pads[axis] = (p0, size_out - size_in - p0)
+        return jnp.pad(kk, pads)
+
+    k = fit_axis(k, ny, oy, k.ndim - 2)
+    k = fit_axis(k, nx, ox, k.ndim - 1)
     k = jnp.fft.ifftshift(k, axes=(-2, -1))
     out = jnp.fft.ifft2(k).real * (oy * ox) / (ny * nx)
     return out, ogeom
@@ -992,11 +1014,14 @@ def get_grf_realization(key, geom: Geometry, power2d):
 
 def get_grf_cmb(key, geom: Geometry, theory, spec):
     """GRF with a theory spectrum painted on this geometry's modlmap
-    (reference ``maps.py:2836``)."""
-    lmax = int(np.asarray(geom.modlmap(jnp.float64)).max())
-    ells = np.arange(lmax)
-    ps = np.asarray(theory.gCl(spec, ells))[None, None]
-    return get_grf_realization(key, geom, ps)
+    (reference ``maps.py:2836``: interp the 1D Cl onto modlmap and
+    hand get_grf_realization the (1, 1, ny, nx) power plane)."""
+    ml = np.asarray(geom.modlmap(jnp.float64))
+    lmax = int(ml.max())
+    ells = np.arange(lmax + 1)
+    cl = np.asarray(theory.gCl(spec, ells))
+    ps2d = np.interp(ml, ells, cl, left=0.0, right=0.0)[None, None]
+    return get_grf_realization(key, geom, ps2d)
 
 
 def rgeo(degrees, pixarcmin, **kwargs):
@@ -1009,8 +1034,8 @@ def rgeo(degrees, pixarcmin, **kwargs):
 
 def resolution(geom: Geometry):
     """Geometric-mean pixel size in radians (reference
-    ``maps.py:2181``)."""
-    return float(np.sqrt(geom.dy * geom.dx))
+    ``maps.py:2181``); sign-safe for CAR-style negative dy."""
+    return float(np.sqrt(abs(geom.dy * geom.dx)))
 
 
 def autofiltered_maps(imap, geom: Geometry, ivar=None, mask=None,
@@ -1083,8 +1108,8 @@ def convolve_gaussian(imap, geom: Geometry, fwhm_arcmin, nsigma=5.0):
     """Convolve with a real-space Gaussian beam kernel (reference
     ``orphics/maps.py:2813``)."""
     fwhm = fwhm_arcmin * arcmin
-    sigma_y = fwhm / (np.sqrt(8.0 * np.log(2.0)) * geom.dy)
-    sigma_x = fwhm / (np.sqrt(8.0 * np.log(2.0)) * geom.dx)
+    sigma_y = fwhm / (np.sqrt(8.0 * np.log(2.0)) * abs(geom.dy))
+    sigma_x = fwhm / (np.sqrt(8.0 * np.log(2.0)) * abs(geom.dx))
     return convolve(imap, gauss_kern(sigma_y, sigma_x, nsigma=nsigma))
 
 

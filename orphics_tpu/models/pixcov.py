@@ -251,10 +251,30 @@ def inpaint(imap, coords_pix, geom: Geometry, theory, beam_fn,
     if ncomp is None:
         ncomp = imap.shape[0] if imap.ndim == 3 else 1
     n = npix_context
-    res = min(abs(geom.dy), abs(geom.dx))
     gstamp = Geometry(n, n, geom.dy, geom.dx)
     scov = scov_from_theory(gstamp, theory, beam_fn, ncomp=ncomp)
-    m1, m2 = get_geometry_regions(ncomp, n, res, hole_radius_arcmin * arcmin)
+    # hole/context selection from the STAMP's own (possibly
+    # anisotropic) physical distance map, so the partition and the
+    # covariance agree for dy != dx geometries
+    m1, m2 = get_regions(ncomp, np.asarray(gstamp.modrmap(jnp.float64)),
+                         hole_radius_arcmin * arcmin)
+    coords_pix = np.asarray(coords_pix)
+    # skip sources whose context stamp would overlap the map edge:
+    # lax.dynamic_slice CLAMPS, so an edge stamp is mis-centered and
+    # the infill would overwrite good pixels offset from the source
+    # (the reference detects and skips these, pixcov.py:414-426)
+    ny_m, nx_m = imap.shape[-2:]
+    half = n // 2
+    good = ((coords_pix[:, 0] >= half) & (coords_pix[:, 0] < ny_m - half)
+            & (coords_pix[:, 1] >= half) & (coords_pix[:, 1] < nx_m - half))
+    nskip = int((~good).sum())
+    if nskip:
+        import warnings
+        warnings.warn(f"inpaint: skipping {nskip}/{len(good)} sources "
+                      "whose context stamps overlap the map edge")
+        coords_pix = coords_pix[good]
+        if coords_pix.shape[0] == 0:
+            return imap
     coords_pix = jnp.asarray(coords_pix)
     B = coords_pix.shape[0]
     if ivar is not None:
@@ -298,8 +318,9 @@ def map_ifft(x, geom: Geometry = None):
 
 
 def resolution(geom: Geometry):
-    """Pixel size in radians (reference ``pixcov.py:104``)."""
-    return float(min(geom.dy, geom.dx))
+    """Pixel size in radians (reference ``pixcov.py:104`` applies
+    abs(): CAR-style negative dy must not flip the sign)."""
+    return float(min(abs(geom.dy), abs(geom.dx)))
 
 
 def get_regions(ncomp: int, modrmap, hole_radius):

@@ -73,9 +73,14 @@ class TheorySpectra:
 
     def gCl(self, spec: str, ells):
         """Generic Cl (e.g. 'kk' for CMB lensing convergence). Cross
-        spectra are symmetric: 'gk' falls back to 'kg'."""
-        if spec not in self.tables and spec[::-1] in self.tables:
-            spec = spec[::-1]
+        spectra are symmetric: 'gk' falls back to 'kg'; standard CMB
+        pol pairs ('TT', ...) fall back to the lensed tables (pyfisher
+        behavior the reference's get_grf_cmb relies on)."""
+        if spec not in self.tables:
+            if spec[::-1] in self.tables:
+                spec = spec[::-1]
+            elif ("lCl_" + spec.upper()) in self.tables:
+                spec = "lCl_" + spec.upper()
         return self._eval(spec, ells)
 
     # -- mutation (host-side setup) ------------------------------------

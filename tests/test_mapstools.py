@@ -183,8 +183,16 @@ def test_rescale_rotate_roundtrip(geom):
     # radially symmetric map invariant under rotation (interior)
     np.testing.assert_allclose(np.asarray(rot)[30:-30, 30:-30],
                                np.asarray(img)[30:-30, 30:-30], atol=1e-3)
-    up = mt.rescale(img, 0.5, geom)  # zoom in by 2x
+    # reference convention (review regression): factor > 1 MAGNIFIES —
+    # a Gaussian rescaled by 2 must appear twice as wide
+    up = mt.rescale(img, 2.0, geom)
     assert float(up[64, 64]) == pytest.approx(float(img[64, 64]), abs=1e-3)
+    ny, nx = img.shape
+    cy = (ny - 1) / 2
+    # value at offset 2d of the magnified map == value at offset d
+    d = 20
+    assert float(up[int(cy) + 2 * d, int(cy)]) == pytest.approx(
+        float(img[int(cy) + d, int(cy)]), rel=0.05)
 
 
 def test_thumbnail_and_galactic_mask():
@@ -376,3 +384,26 @@ class TestMapsTail:
         import jax
         m = np.asarray(mgen.get_map(jax.random.PRNGKey(0)))
         assert m.shape[-2:] == geom.shape and np.isfinite(m).all()
+
+
+def test_get_grf_cmb_runs(geom):
+    """Review regression: the 1D Cl was handed to get_grf_realization
+    un-painted (shape (1,1,nl)), crashing every call."""
+    from orphics_tpu.models import theory
+    th = theory.default_theory()
+    m = mt.get_grf_cmb(0, geom, th, "TT")
+    assert m.shape[-2:] == geom.shape
+    assert np.isfinite(np.asarray(m)).all()
+    assert float(jnp.std(m)) > 1.0          # CMB-scale fluctuations
+
+
+def test_resample_fft_anisotropic():
+    """Review regression: res between |dx| and |dy| needs a crop on
+    one axis and a pad on the other (the single branch produced
+    negative pad widths)."""
+    from orphics_tpu.geometry import Geometry
+    g = Geometry(ny=64, nx=64, dy=2.0 * arcmin, dx=1.0 * arcmin, y0=0.0)
+    img = jnp.ones(g.shape)
+    out, og = mt.resample_fft(img, g, 1.5 * arcmin)
+    assert out.shape == og.shape
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)

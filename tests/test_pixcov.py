@@ -148,3 +148,19 @@ def test_pol_geometry_shapes(th):
                                        keys=jax.random.split(jax.random.PRNGKey(5), 2))
     assert filled.shape == stamps.shape
     assert np.all(np.isfinite(np.asarray(filled)))
+
+
+def test_inpaint_skips_edge_sources(th):
+    """Review regression: lax.dynamic_slice clamps, so an edge stamp
+    is mis-centered and the infill corrupts good pixels — edge sources
+    must be skipped with a warning, like the reference."""
+    geom = rect_geometry(width_arcmin=64 * 2.0, px_res_arcmin=2.0)
+    imap = jnp.zeros(geom.shape)
+    coords = np.array([[2, 2], [geom.ny // 2, geom.nx // 2]])
+    with pytest.warns(UserWarning, match="edge"):
+        out = pc.inpaint(imap, coords, geom, th,
+                         lambda l: np.ones_like(np.asarray(l)),
+                         noise_uk_arcmin=10.0, npix_context=20,
+                         key=jax.random.PRNGKey(0))
+    assert out.shape == imap.shape
+    assert np.isfinite(np.asarray(out)).all()
