@@ -50,21 +50,29 @@ class FastCl:
         n = geom.shape[-1]
         if geom.shape[-2] != n or n % 128 or n < 256:
             raise ValueError("FastCl needs a square n = 128*B grid, B>=2")
+        if bin_edges is None:
+            raise ValueError("FastCl requires bin_edges")
         if interpret is None:
-            interpret = jax.default_backend() == "cpu"
+            # Pallas TPU kernels only lower on tpu-like backends (incl.
+            # the axon remote client); everywhere else use interpret
+            interpret = jax.default_backend() not in ("tpu", "axon")
         self.geom = geom
         self.n = n
         self.interpret = bool(interpret)
         perm, inv = pf.row_perm(n)
         ml = np.asarray(geom.modlmap(jnp.float64))
-        self.binner = Bin2D(ml[perm][:, perm], np.asarray(bin_edges))
-        self.centers = self.binner.centers
+        # Bin2D used transiently for its digitize-table conventions;
+        # not retained (its gather tables are ~50 MB at 2048^2 and the
+        # fused passes never use them)
+        binner = Bin2D(ml[perm][:, perm], np.asarray(bin_edges))
+        self.centers = binner.centers
         self._norm = jnp.float32(geom.area / geom.npix ** 2)
-        dig2d = np.asarray(self.binner._dig_dev).reshape(n, n)
+        dig2d = np.asarray(binner._dig_dev).reshape(n, n)
         p_of_h, self._pnyq = pf.half_rows(n)
         self._idc = jnp.asarray(dig2d[p_of_h].reshape(-1))
-        self._nsg = self.binner._nseg
-        self._icnt = self.binner._inv_counts
+        self._nsg = binner._nseg
+        self._icnt = binner._inv_counts
+        del binner
         self._mrow = jnp.asarray(inv[(n - perm) % n].astype(np.int32))
         seg = np.arange(self._nsg)[None, :]
         self._oh0 = jnp.asarray((dig2d[0][:, None] == seg)
@@ -74,8 +82,18 @@ class FastCl:
         self._covsqrt_pp = None
         if cl1d is not None:
             from .grf import spec2flat
-            ells = np.asarray(ells)
-            cl = np.asarray(cl1d)
+            cl = np.asarray(cl1d, np.float64)
+            if ells is not None:
+                # spec2flat paints by INTEGER index: re-grid spectra
+                # whose ells don't start at 0 with unit step (e.g.
+                # CAMB tables from ell 2) instead of silently shifting
+                # every multipole
+                ells = np.asarray(ells)
+                if len(ells) != len(cl):
+                    raise ValueError("ells and cl1d length mismatch")
+                if ells[0] != 0 or np.any(np.diff(ells) != 1):
+                    dense = np.arange(int(ells[-1]) + 1)
+                    cl = np.interp(dense, ells, cl, left=0.0, right=0.0)
             cs = spec2flat(geom, cl[None, None], exp=0.5,
                            dtype=jnp.float32)[0, 0]
             self._covsqrt_pp = jnp.asarray(

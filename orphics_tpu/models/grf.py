@@ -75,9 +75,10 @@ def spec2flat(geom: Geometry, ps, exp: float = 1.0, dtype=jnp.float32):
     else:
         ps_p = ps
     ells = np.arange(L, dtype=np.float64)
-    modlmap = geom.modlmap(dtype)
+    modlmap = geom.modlmap(dtype)     # built once, shared by all entries
     flat = jnp.stack([
-        jnp.stack([F.interp1d_to_2d(ells, ps_p[i, j], geom, dtype=dtype)
+        jnp.stack([F.interp1d_to_2d(ells, ps_p[i, j], modlmap=modlmap,
+                                    dtype=dtype)
                    for j in range(ncomp)])
         for i in range(ncomp)])
     scale = (geom.npix / geom.area) ** exp
@@ -101,7 +102,7 @@ def harm2map(kmap, geom: Geometry, iau: bool = False):
     spin-2 (E,B) components to (Q,U) on the l-plane, then takes the real
     part of the unitary inverse FFT.
     """
-    if kmap.ndim >= 3 and kmap.shape[-3] == 3:
+    if kmap.ndim >= 3 and kmap.shape[-3] >= 2:
         kmap = F.teb2iqu(kmap, geom, iau=iau)
     return F.ifft2(kmap, geom, "ortho").real
 
@@ -110,7 +111,7 @@ def harm2map(kmap, geom: Geometry, iau: bool = False):
 def map2harm(imap, geom: Geometry, iau: bool = False):
     """Unitary forward FFT of (I[,Q,U]) maps to (T[,E,B]) k-maps."""
     k = F.fft2(imap, geom, "ortho")
-    if k.ndim >= 3 and k.shape[-3] == 3:
+    if k.ndim >= 3 and k.shape[-3] >= 2:
         k = F.iqu2teb(k, geom, iau=iau)
     return k
 
@@ -222,7 +223,10 @@ def white_noise(key, geom: Geometry, noise_muK_arcmin, ipsizemap=None,
     per pixel = (noise * arcmin)^2 / pixsize."""
     from ..geometry import arcmin
     if ipsizemap is None:
-        ipsizemap = geom.pixsize
+        # per-pixel solid angle incl. the cos(dec) factor (reference
+        # defaults to the psizemap, maps.py:1246); the flat scalar
+        # understates noise by 1/sqrt(cos dec) off the equator
+        ipsizemap = geom.pixsizemap(dtype)
     shape = shape if shape is not None else (geom.ny, geom.nx)
     sigma = (noise_muK_arcmin * arcmin) / jnp.sqrt(ipsizemap)
     return jax.random.normal(key, shape, dtype=dtype) * sigma

@@ -110,16 +110,18 @@ def iqu2teb(kmaps, geom: Geometry, iau: bool = False):
     reference ``FourierCalc.iqu2teb`` (``orphics/maps.py:1609-1617``).
     """
     rot = queb_rotmat(geom, iau=iau)
-    t = kmaps[..., 0:1, :, :]
-    eb = jnp.einsum("abyx,...byx->...ayx", rot, kmaps[..., 1:, :, :])
+    # rotate the LAST TWO components (reference maps.py:1609 rotates
+    # emap[..., -2:]): a (2, ny, nx) Q/U stack has no T slot
+    t = kmaps[..., :-2, :, :]
+    eb = jnp.einsum("abyx,...byx->...ayx", rot, kmaps[..., -2:, :, :])
     return jnp.concatenate([t, eb], axis=-3)
 
 
 def teb2iqu(kmaps, geom: Geometry, iau: bool = False):
     """Inverse rotation: (T,E,B) k-maps -> (I,Q,U) k-maps."""
     rot = queb_rotmat(geom, inverse=True, iau=iau)
-    t = kmaps[..., 0:1, :, :]
-    qu = jnp.einsum("abyx,...byx->...ayx", rot, kmaps[..., 1:, :, :])
+    t = kmaps[..., :-2, :, :]
+    qu = jnp.einsum("abyx,...byx->...ayx", rot, kmaps[..., -2:, :, :])
     return jnp.concatenate([t, qu], axis=-3)
 
 
@@ -146,7 +148,7 @@ def power2d(map1, map2=None, geom: Geometry = None, iau: bool = False,
     """
     def to_k(m):
         k = fft2(m, geom, "raw")
-        if m.ndim >= 3 and m.shape[-3] == 3:
+        if m.ndim >= 3 and m.shape[-3] >= 2:
             k = iqu2teb(k, geom, iau=iau)
         return k
 
@@ -170,12 +172,14 @@ def mask_kspace(geom: Geometry, lxcut=None, lycut=None, lmin=None, lmax=None,
     """Binary Fourier-space mask (reference ``orphics/maps.py:1936``)."""
     ly, lx = geom.laxes(dtype)
     mask = jnp.ones(geom.shape, dtype=dtype)
+    # reference boundary semantics (maps.py:1936): zero modlmap <= lmin
+    # and >= lmax (STRICT keep); in particular lmin=0 removes DC
     if lmin is not None or lmax is not None:
         modlmap = geom.modlmap(dtype)
         if lmin is not None:
-            mask = mask * (modlmap >= lmin)
+            mask = mask * (modlmap > lmin)
         if lmax is not None:
-            mask = mask * (modlmap <= lmax)
+            mask = mask * (modlmap < lmax)
     if lxcut is not None:
         mask = mask * (jnp.abs(lx)[None, :] >= lxcut)
     if lycut is not None:

@@ -761,3 +761,64 @@ class TestPallasFFTRegressions:
         scale = jnp.ones((256, 256), jnp.float32)
         with pytest.raises(AssertionError, match="divide"):
             pf.noise_planes(scale, 1, 1, rtile=96)
+
+
+class TestSynthesisRegressions:
+    """Review regressions for grf/fourier/fastcl."""
+
+    def test_mask_kspace_strict_boundaries(self):
+        """Reference semantics (maps.py:1936): modes exactly AT lmin or
+        lmax are cut (in particular lmin=0 removes DC); the old
+        inclusive keep retained them."""
+        geom = rect_geometry(width_arcmin=64 * 8.0, px_res_arcmin=8.0)
+        m = np.asarray(F.mask_kspace(geom, lmin=0))
+        assert m[0, 0] == 0.0                      # DC removed
+        ml = np.asarray(geom.modlmap(jnp.float64))
+        lmax_val = float(ml[0, 5])                 # an exact grid mode
+        m2 = np.asarray(F.mask_kspace(geom, lmax=lmax_val))
+        assert m2[0, 5] == 0.0
+
+    def test_iqu2teb_two_component(self):
+        """A (2, ny, nx) Q/U stack rotates to E/B (reference rotates
+        the last two components for any ncomp > 1; the old ==3 gate
+        silently returned QU labeled EB)."""
+        geom = rect_geometry(width_arcmin=64 * 8.0, px_res_arcmin=8.0)
+        key = jax.random.PRNGKey(0)
+        iqu = jax.random.normal(key, (3,) + geom.shape)
+        k3 = F.iqu2teb(F.fft2(iqu, geom, "raw"), geom)
+        k2 = F.iqu2teb(F.fft2(iqu[1:], geom, "raw"), geom)
+        np.testing.assert_allclose(np.asarray(k2), np.asarray(k3[1:]),
+                                   rtol=1e-6)
+
+    def test_white_noise_pixsizemap(self):
+        """white_noise defaults to the per-pixel solid angle incl.
+        cos(dec): at dec 60 deg the per-pixel sigma is 1/sqrt(cos 60)
+        = sqrt(2) larger than at the equator."""
+        from orphics_tpu.models import grf
+        g_eq = rect_geometry(width_arcmin=128 * 2.0, px_res_arcmin=2.0)
+        g_60 = rect_geometry(width_arcmin=128 * 2.0, px_res_arcmin=2.0,
+                             y0_deg=60.0)
+        k = jax.random.PRNGKey(1)
+        n_eq = np.asarray(grf.white_noise(k, g_eq, 10.0))
+        n_60 = np.asarray(grf.white_noise(k, g_60, 10.0))
+        ratio = n_60.std() / n_eq.std()
+        assert abs(ratio - np.sqrt(2.0)) < 0.1, ratio
+
+    def test_fastcl_nonzero_start_ells(self):
+        """FastCl re-grids spectra whose ells start at 2 (CAMB tables)
+        instead of silently shifting every multipole by the offset."""
+        from orphics_tpu.models.fastcl import FastCl
+        geom = rect_geometry(width_arcmin=256 * 2.0, px_res_arcmin=2.0)
+        lmax = 8000
+        dense = 1e3 / (np.arange(lmax + 1) + 100.0) ** 2
+        dense[:2] = 0.0          # the ell>=2 table carries no l<2 power
+        edges = np.arange(100, 3000, 200.0)
+        fc_dense = FastCl(geom, np.arange(lmax + 1), dense,
+                          bin_edges=edges)
+        fc_cut = FastCl(geom, np.arange(2, lmax + 1), dense[2:],
+                        bin_edges=edges)
+        np.testing.assert_allclose(np.asarray(fc_cut._covsqrt_pp),
+                                   np.asarray(fc_dense._covsqrt_pp),
+                                   atol=1e-7)
+        with pytest.raises(ValueError, match="bin_edges"):
+            FastCl(geom)
