@@ -33,7 +33,8 @@ __all__ = ["default_constants", "dBnudT", "ItoDeltaT", "planck", "g_tsz",
            "get_radio_power", "parse_Kij_file", "dust_mu",
            "dust_C_ell_Louis25", "get_official_ilc_noise", "get_ilc_noise",
            "ilc_power", "fg_cl", "get_noise", "sky_model", "wnoise_cl",
-           "fg_fit", "quick_fit", "evaluate_model_dict", "fg_dict"]
+           "fg_fit", "quick_fit", "evaluate_model_dict", "fg_dict",
+           "model_vec", "fit_cross_leastsq", "power_tsz"]
 
 default_constants = {
     'A_tsz': 5.6, 'TCMB': 2.726, 'nu0': 150., 'TCMBmuk': 2.726e6,
@@ -136,14 +137,25 @@ def _dl_to_cl(ells, dls):
             1.0 / ells / (ells + 1.0))
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _load_template(fname, delimiter=None):
+    """Disk templates load ONCE per process (fg_fit evaluates the model
+    thousands of times inside least_squares — file I/O must not sit in
+    that loop)."""
+    return np.loadtxt(os.path.join(DATA_DIR, "foregrounds", fname),
+                      unpack=True, delimiter=delimiter)
+
+
 def power_y_template(ells, A_tsz=None, fill_type="extrapolate", silence=False):
     """Compton-y power from the Battaglia template (reference :103)."""
     if A_tsz is None:
         A_tsz = default_constants['A_tsz']
     ells = np.asarray(ells)
-    ls, icls = np.loadtxt(os.path.join(DATA_DIR, "foregrounds",
-                                       "sz_template_battaglia.csv"),
-                          unpack=True, delimiter=",")
+    ls, icls = _load_template("sz_template_battaglia.csv",
+                              delimiter=",")
     dls = dl_filler(ells, ls, icls, fill_type, fill_positive=True,
                     silence=silence)
     return A_tsz * _dl_to_cl(ells, dls) / ffunc(150.0) ** 2 / TCMB_uK ** 2
@@ -160,8 +172,7 @@ def power_tsz(ells, nu1, nu2, A_tsz=None, fill_type="extrapolate",
 
 def power_ksz_reion(ells, A_rksz=1, fill_type="extrapolate", silence=True):
     ells = np.asarray(ells)
-    ls, icls = np.loadtxt(os.path.join(DATA_DIR, "foregrounds",
-                                       "early_ksz.txt"), unpack=True)
+    ls, icls = _load_template("early_ksz.txt")
     dls = dl_filler(ells, ls, icls, fill_type, fill_positive=True,
                     silence=silence)
     return A_rksz * _dl_to_cl(ells, dls)
@@ -169,8 +180,7 @@ def power_ksz_reion(ells, A_rksz=1, fill_type="extrapolate", silence=True):
 
 def power_ksz_late(ells, A_lksz=1, fill_type="extrapolate", silence=True):
     ells = np.asarray(ells)
-    ls, icls = np.loadtxt(os.path.join(DATA_DIR, "foregrounds",
-                                       "late_ksz.txt"), unpack=True)
+    ls, icls = _load_template("late_ksz.txt")
     dls = dl_filler(ells, ls, icls, fill_type, fill_positive=True,
                     silence=silence)
     return A_lksz * _dl_to_cl(ells, dls)
@@ -255,11 +265,21 @@ def get_radio_power(flux_limit_mJy, freq_ghz, flux_limit_mJy_2=None,
     f2 = freq_ghz if freq_ghz_2 is None else freq_ghz_2
     if freq_ghz > zero_above_ghz or f2 > zero_above_ghz:
         return 0.0
+    if (freq_ghz_2 is not None) != (flux_limit_mJy_2 is not None):
+        # a second frequency without its flux limit (or vice versa)
+        # would silently return an auto power with a mixed-frequency
+        # unit conversion
+        raise ValueError("cross radio power needs BOTH freq_ghz_2 and "
+                         "flux_limit_mJy_2")
     cross = flux_limit_mJy_2 is not None
     if cross and abs(freq_ghz - f2) < 1e-3:
         if abs(flux_limit_mJy - flux_limit_mJy_2) > 1e-3:
             raise ValueError("same freq but different flux limits")
         cross = False
+    if cross and not prefit:
+        raise NotImplementedError(
+            "cross-frequency radio power is only available from the "
+            "prefit Kij tables (reference behavior)")
     if not prefit and not cross:
         fluxes = np.geomspace(flux_min_mJy, flux_limit_mJy, num_flux)
         nS = get_radio_differential_source_counts(fluxes, freq_ghz)
@@ -431,7 +451,11 @@ def get_ilc_noise(exp, scale_noise=1.0, ellmax=25000):
         'so': np.array([36., 8., 10., 22., 54.]),
         'hd': np.array([3.4, 0.73, 0.79, 2., 4.6]),
     }[exp] * scale_noise
-    fluxes = np.array([10., 7., 10., 10., 10.])
+    # per-experiment flux cuts (reference keeps a dict: CMB-HD resolves
+    # far deeper sources than SO/S4)
+    fluxes = {'so': np.array([10., 7., 10., 10., 10.]),
+              's4': np.array([10., 7., 10., 10., 10.]),
+              'hd': np.array([2., 1., 1., 1., 1.])}[exp]
     return ilc_power(beams, noises, freqs, fluxes, ellmax=ellmax)
 
 
@@ -606,8 +630,11 @@ def quick_fit(ell, cl_dict, freqs, dT_guess, beams, lknees, alphas, fsky,
     from .theory import default_theory
     th = theory if theory is not None else default_theory()
     if fixed_params is None:
+        # A_ksz = 0: the CMB template fcltt below ALREADY includes the
+        # reion+late kSZ spectra — a nonzero A_ksz would double-count
+        # ~3 uK^2 at l~3000 and bias every other amplitude low
         fixed_params = {"alpha_cib": 3.5, "Aatm_corr": 0.0,
-                        "beta_dust": 1.6, "A_dust": 0.0, "A_ksz": 1.0}
+                        "beta_dust": 1.6, "A_dust": 0.0, "A_ksz": 0.0}
     if priors is None:
         priors = {"A_cmb": (1.0, 0.03), "Atsz": (1.0, 0.4)}
     fcltt = lambda x: (np.asarray(th.lCl('TT', x)) + power_ksz_reion(x)

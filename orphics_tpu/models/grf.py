@@ -102,7 +102,10 @@ def harm2map(kmap, geom: Geometry, iau: bool = False):
     spin-2 (E,B) components to (Q,U) on the l-plane, then takes the real
     part of the unitary inverse FFT.
     """
-    if kmap.ndim >= 3 and kmap.shape[-3] >= 2:
+    # rotate ONLY full (T,E,B) stacks: ncomp=2 synthesis is the
+    # correlated-scalar-pair use case (e.g. Pow2Cat's kappa x delta),
+    # not spin-2 polarization
+    if kmap.ndim >= 3 and kmap.shape[-3] == 3:
         kmap = F.teb2iqu(kmap, geom, iau=iau)
     return F.ifft2(kmap, geom, "ortho").real
 
@@ -111,7 +114,7 @@ def harm2map(kmap, geom: Geometry, iau: bool = False):
 def map2harm(imap, geom: Geometry, iau: bool = False):
     """Unitary forward FFT of (I[,Q,U]) maps to (T[,E,B]) k-maps."""
     k = F.fft2(imap, geom, "ortho")
-    if k.ndim >= 3 and k.shape[-3] >= 2:
+    if k.ndim >= 3 and k.shape[-3] == 3:
         k = F.iqu2teb(k, geom, iau=iau)
     return k
 

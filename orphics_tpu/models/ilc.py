@@ -19,7 +19,8 @@ __all__ = ["silc", "cilc", "silc_weights", "cilc_weights",
            "ilc_empirical_cov", "calculate_harmonic_coadd_weights",
            "harmonic_coaddition", "kspace_coadd", "ilc_map_term",
            "ilc_comb_a_b", "linear_coadd_fused", "cilc_coadd_fused",
-           "silc_coadd_fused", "kspace_coadd_fused"]
+           "silc_coadd_fused", "kspace_coadd_fused",
+           "apply_harmonic_coadd_weights", "ilc_def_response", "ilc_index"]
 
 
 def _def_response(response, cinv):
@@ -329,9 +330,17 @@ def kspace_coadd_fused(maps, kbeams2d, kncovs2d, fkbeam=1.0,
     sum(k b f / N) / sum(b^2 / N) — a static per-band linear filter)."""
     kbeams2d = np.asarray(kbeams2d, np.float64)
     kncovs2d = np.asarray(kncovs2d, np.float64)
-    denom = (kbeams2d ** 2 / kncovs2d).sum(axis=0)
-    w2d = (kbeams2d * np.asarray(fkbeam) / kncovs2d
-           / np.where(denom == 0, 1.0, denom))
+    # zero-noise pixels produce inf/inf = NaN weights that one FFT
+    # spreads to every output pixel — sanitize like the unfused
+    # kspace_coadd does
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ib2 = np.nan_to_num(kbeams2d ** 2 / kncovs2d,
+                            posinf=0.0, neginf=0.0)
+        denom = ib2.sum(axis=0)
+        w2d = np.nan_to_num(
+            kbeams2d * np.asarray(fkbeam) / kncovs2d
+            / np.where(denom == 0, 1.0, denom),
+            posinf=0.0, neginf=0.0)
     return linear_coadd_fused(maps, w2d.astype(np.float32),
                               interpret=interpret)
 

@@ -70,8 +70,12 @@ def get_atmosphere(beam_fwhm_arcmin):
         # linear extrapolation beyond the table
         out = np.where(b < xs[0], yy[0] + (b - xs[0]) * (yy[1] - yy[0]) / (xs[1] - xs[0]), out)
         out = np.where(b > xs[-1], yy[-1] + (b - xs[-1]) * (yy[-1] - yy[-2]) / (xs[-1] - xs[-2]), out)
-        return float(out)
-    return (interp_extrap(tt_lknee), tt_alpha,
+        # scalar in -> scalar out; arrays pass through (the reference's
+        # interp1d supported vectorized beam inputs)
+        return float(out) if np.ndim(beam_fwhm_arcmin) == 0 else out
+    tt_a = (tt_alpha if np.ndim(beam_fwhm_arcmin) == 0
+            else np.full(np.shape(beam_fwhm_arcmin), tt_alpha))
+    return (interp_extrap(tt_lknee), tt_a,
             interp_extrap(pp_lknee), interp_extrap(pp_alpha))
 
 

@@ -128,6 +128,10 @@ def crossband_errors(cltt, ell_bin_edges, rmsA_ukarcmin, rmsB_ukarcmin,
     """Knox-style 1-sigma errors on beam-deconvolved TT cross bandpowers
     (reference ``orphics/maps.py:165``). Host-side numpy (forecasting)."""
     cltt = np.asarray(cltt, float)
+    if np.max(ell_bin_edges) >= cltt.size:
+        raise ValueError(
+            f"ell_bin_edges reach {int(np.max(ell_bin_edges))} but the "
+            f"theory table only extends to l={cltt.size - 1}")
     beamA = np.asarray(beamA_ell, float)
     beamB = np.asarray(beamB_ell, float)
     if f_sky_eff is None:

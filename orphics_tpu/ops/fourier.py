@@ -139,16 +139,18 @@ def f2power(kmap1, kmap2, geom: Geometry, pixel_units: bool = False):
 
 
 def power2d(map1, map2=None, geom: Geometry = None, iau: bool = False,
-            kmap1=None, kmap2=None):
+            kmap1=None, kmap2=None, rot: bool = True):
     """2D (cross-)power of maps; with pol, full (ncomp, ncomp) matrix in TEB.
 
     Equivalent to reference ``FourierCalc.power2d`` (``orphics/maps.py:1639``).
-    Returns ``(p2d, kmap1, kmap2)`` where k-maps are raw FFTs rotated to TEB
-    when the input carries a leading 3-component axis.
+    Returns ``(p2d, kmap1, kmap2)`` where k-maps are raw FFTs with the
+    LAST TWO components rotated Q/U -> E/B for any ncomp > 1 (reference
+    iqu2teb behavior); pass ``rot=False`` for multi-component stacks
+    that are not polarization (the reference's ``rot`` flag).
     """
     def to_k(m):
         k = fft2(m, geom, "raw")
-        if m.ndim >= 3 and m.shape[-3] >= 2:
+        if rot and m.ndim >= 3 and m.shape[-3] >= 2:
             k = iqu2teb(k, geom, iau=iau)
         return k
 
