@@ -30,7 +30,16 @@ def get_agora_halos(path, mmin=1e13, zmax=3.0):
     ``interfaces.py:42``). Expects a numpy/csv table with columns
     ra, dec, z, M."""
     _require(path)
-    data = np.loadtxt(path) if not path.endswith(".npy") else np.load(path)
+    if path.endswith(".npz"):
+        # the filenames agora_redshift_to_halocat_files generates:
+        # take the first array in the archive (or 'data' if present)
+        with np.load(path) as z_:
+            key = "data" if "data" in z_.files else z_.files[0]
+            data = np.asarray(z_[key])
+    elif path.endswith(".npy"):
+        data = np.load(path)
+    else:
+        data = np.loadtxt(path)
     ra, dec, z, m = data[:, 0], data[:, 1], data[:, 2], data[:, 3]
     sel = (m > mmin) & (z < zmax)
     return ra[sel], dec[sel], z[sel], m[sel]
@@ -116,14 +125,24 @@ class CAMBInterface:
 
     def set_param(self, name, value):
         import re
-        self._ini = re.sub(rf"(?m)^{name}\s*=.*$", f"{name} = {value}",
-                           self._ini)
+        # escape the name (CAMB keys like transfer_redshift(1) contain
+        # regex metacharacters) and fail loudly when the template has
+        # no such key — a silent no-op runs CAMB with stale values
+        pat = rf"(?m)^{re.escape(name)}\s*=.*$"
+        new, nsub = re.subn(pat, f"{name} = {value}", self._ini)
+        if nsub == 0:
+            raise KeyError(f"parameter {name!r} not found in the ini "
+                           "template")
+        self._ini = new
 
     def call(self, workdir="."):
         ini = os.path.join(workdir, "params_run.ini")
         with open(ini, "w") as f:
             f.write(self._ini)
-        subprocess.run([self.camb_loc, ini], check=True, cwd=workdir)
+        # cwd=workdir: pass the ini BASENAME, not the joined path —
+        # a relative workdir would otherwise be applied twice
+        subprocess.run([self.camb_loc, os.path.basename(ini)],
+                       check=True, cwd=workdir)
 
     def get_cls(self, root, workdir="."):
         from .models.theory import load_theory_from_camb

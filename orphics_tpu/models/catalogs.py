@@ -117,7 +117,18 @@ class Pow2Cat:
                  ngal_per_arcmin2: float, dtype=jnp.float64):
         from .grf import MapGen
         self.geom = geom
-        ps = np.zeros((2, 2, len(np.asarray(ells))))
+        ells = np.asarray(ells)
+        # spec2flat paints by INTEGER index: re-grid spectra that are
+        # not sampled at ell = 0..L-1 (e.g. CAMB tables from ell 2)
+        if ells[0] != 0 or np.any(np.diff(ells) != 1):
+            dense = np.arange(int(ells[-1]) + 1)
+            regrid = lambda c: np.interp(dense, ells,
+                                         np.asarray(c, np.float64),
+                                         left=0.0, right=0.0)
+            clgg, clkk, clkg = (regrid(clgg), regrid(clkk),
+                                regrid(clkg))
+            ells = dense
+        ps = np.zeros((2, 2, len(ells)))
         ps[0, 0] = np.asarray(clgg)
         ps[1, 1] = np.asarray(clkk)
         ps[0, 1] = ps[1, 0] = np.asarray(clkg)
@@ -231,9 +242,6 @@ def df_from_fits(fname, columns=None):
         return pd.DataFrame({c: data[c] for c in data.dtype.names})
     except ImportError as e:
         raise ImportError("reading FITS requires astropy or fitsio") from e
-
-
-load_fits = df_from_fits
 
 
 # ---------------------------------------------------------------------
@@ -479,8 +487,9 @@ def reconstruct_velocities(ras, decs, zs, ras_rand, decs_rand, zs_rand,
         raise ValueError("redshifts must be positive")
 
     def sky2cart(ra, dec, z):
-        chi = np.array([cc.comoving_radial_distance(zz) for zz in
-                        np.atleast_1d(z)])
+        # comoving_radial_distance is a vectorized np.interp — a
+        # per-galaxy Python loop costs minutes at survey scale
+        chi = np.asarray(cc.comoving_radial_distance(np.atleast_1d(z)))
         ra = np.radians(ra)
         dec = np.radians(dec)
         cd = np.cos(dec)
@@ -592,8 +601,10 @@ def convert_catalog_to_enplot_annotate_file(annot_fname, ras, decs,
     """Catalog -> annotation file, optionally mask-filtered (reference
     ``catalogs.py`` ``convert_catalog_to_enplot_annotate_file``)."""
     if mask is not None:
-        ras, decs = select_based_on_mask(ras, decs, mask, geom=geom,
-                                         threshold=threshold)
+        sel = np.asarray(select_based_on_mask(ras, decs, mask, geom=geom,
+                                              threshold=threshold))
+        ras = np.asarray(ras)[sel]
+        decs = np.asarray(decs)[sel]
     enplot_annotate(annot_fname, ras, decs, radius, width, color)
 
 
@@ -725,9 +736,12 @@ def fits_catalog_to_json(fits_file, ra_col, dec_col, name_col=None,
         entry = {"name": name.strip(), "ra": float(ras[i]),
                  "dec": float(decs[i])}
         if extra_cols:
-            entry["extra"] = {c: (cols[c][i].item()
-                                  if hasattr(cols[c][i], "item")
-                                  else str(cols[c][i]))
+            def _jsonable(v):
+                v = v.item() if hasattr(v, "item") else v
+                if isinstance(v, bytes):
+                    return v.decode(errors="replace").strip()
+                return v if isinstance(v, (int, float, bool)) else str(v)
+            entry["extra"] = {c: _jsonable(cols[c][i])
                               for c in extra_cols}
         sources.append(entry)
     if output_file is not None:

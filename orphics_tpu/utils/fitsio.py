@@ -107,12 +107,48 @@ def read_bintable(path, hdu: int = 1):
                 f"{rowbytes} (unsupported column type present?)")
         raw = f.read(nrows * rowbytes)
         table = np.frombuffer(raw, dtype=rec, count=nrows)
+        # per-column TFORM codes + scaling keywords
+        codes = {}
+        scales = {}
+        for i in range(1, ncols + 1):
+            nm = str(header.get(f"TTYPE{i}", f"col{i}")).strip()
+            codes[nm] = re.match(
+                r"(\d*)([LBIJKEDA])",
+                str(header[f"TFORM{i}"]).strip()).group(2)
+            tscal = header.get(f"TSCAL{i}")
+            tzero = header.get(f"TZERO{i}")
+            if tscal is not None or tzero is not None:
+                scales[nm] = (float(tscal) if tscal is not None else 1.0,
+                              float(tzero) if tzero is not None else 0.0)
         out = {}
         for name in names:
             col = table[name]
             if col.dtype.kind in "iuf":
                 col = col.astype(col.dtype.newbyteorder("="))
-            out[name] = np.array(col)
+            col = np.array(col)
+            if codes.get(name) == "L":
+                # FITS logical columns store ASCII 'T'/'F' bytes —
+                # raw uint8 84/70 would make False truthy
+                col = col == ord("T")
+            elif name in scales:
+                # TSCAL/TZERO (e.g. astropy's unsigned ints stored as
+                # signed with TZERO = 2^31): physical = scal*raw + zero
+                tscal, tzero = scales[name]
+                phys = col.astype(np.float64) * tscal + tzero
+                if tscal == 1.0 and float(tzero).is_integer():
+                    # pure offset of integers: keep EXACT integer
+                    # typing (float64 would corrupt large u8 ids).
+                    # wraparound uint64 arithmetic maps signed raw +
+                    # 2^63 to the true unsigned value.
+                    iz = int(tzero)
+                    if iz == 2 ** 63:
+                        col = (col.astype(np.int64).view(np.uint64)
+                               + np.uint64(iz))
+                    else:
+                        col = col.astype(np.int64) + iz
+                else:
+                    col = phys
+            out[name] = col
         return out
 
 

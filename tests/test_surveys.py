@@ -260,3 +260,46 @@ class TestHealpixHarmonic:
         m2 = hp.alm2map(alm, nside)
         assert np.abs(m2 - field).max() < 0.1
         assert np.abs(np.median(m2 - field)) < 1e-3
+
+
+def test_fits_logical_and_tzero_columns(tmp_path):
+    """Review regressions: FITS 'L' columns are ASCII 'T'/'F' bytes
+    (raw uint8 84/70 made False truthy), and TSCAL/TZERO-scaled
+    columns (astropy's unsigned ints) must be de-scaled on read."""
+    import struct
+    from orphics_tpu.utils import fitsio as fio
+    # hand-build a tiny bintable: one L column, one TZERO'd J column
+    nrows = 3
+    rowbytes = 1 + 4
+    def card(k, v):
+        if isinstance(v, str):
+            return f"{k:<8}= '{v}'".ljust(80).encode()
+        if isinstance(v, bool):
+            return f"{k:<8}= {'T' if v else 'F':>20}".ljust(80).encode()
+        return f"{k:<8}= {v:>20}".ljust(80).encode()
+    def block(cards):
+        raw = b"".join(cards) + b"END".ljust(80)
+        return raw.ljust(-(-len(raw) // 2880) * 2880, b" ")
+    primary = block([card("SIMPLE", True), card("BITPIX", 8),
+                     card("NAXIS", 0)])
+    table_hdr = block([
+        card("XTENSION", "BINTABLE"), card("BITPIX", 8),
+        card("NAXIS", 2), card("NAXIS1", rowbytes),
+        card("NAXIS2", nrows), card("PCOUNT", 0), card("GCOUNT", 1),
+        card("TFIELDS", 2),
+        card("TTYPE1", "FLAG"), card("TFORM1", "L"),
+        card("TTYPE2", "UID"), card("TFORM2", "J"),
+        card("TZERO2", 2147483648)])
+    rows = b""
+    uids = [3000000000, 5, 2147483648]
+    flags = [True, False, True]
+    for fl, uid in zip(flags, uids):
+        rows += (b"T" if fl else b"F") \
+            + struct.pack(">i", uid - 2147483648)
+    data = rows.ljust(-(-len(rows) // 2880) * 2880, b"\x00")
+    p = tmp_path / "t.fits"
+    p.write_bytes(primary + table_hdr + data)
+    out = fio.read_bintable(str(p))
+    assert out["FLAG"].dtype == bool
+    assert list(out["FLAG"]) == flags
+    assert list(out["UID"]) == uids
