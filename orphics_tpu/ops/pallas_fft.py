@@ -682,7 +682,14 @@ def _noise_planes_kernel(sc_ref, seed_ref, ore_ref, oim_ref, *, rtile, n):
     cell = i * pl.num_programs(1) + j
 
     def normals(stream):
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], 2 * cell + stream)
+        # Mosaic (libtpu >= 2026-08) rejects 3-word seeds ("Setting seed
+        # with more than 2 values is not supported"), so fold the block
+        # stream id into the second word with an odd-multiplier mix
+        # (bijective mod 2^32: distinct cells stay distinct streams).
+        mixed = jax.lax.bitwise_xor(
+            seed_ref[1],
+            (2 * cell + stream) * jnp.int32(-1640531527))  # 0x9E3779B9
+        pltpu.prng_seed(seed_ref[0], mixed)
         bits = pltpu.prng_random_bits((rtile, n))
         ib = jnp.bitwise_and(pltpu.bitcast(bits, jnp.int32), (1 << 23) - 1)
         u = (ib.astype(jnp.float32) + 0.5) * (1.0 / (1 << 23))

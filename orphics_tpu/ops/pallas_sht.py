@@ -5,10 +5,10 @@ l-recursion block-by-block with every carry plane round-tripping
 HBM and the contraction re-reading the ring-coefficient planes per
 block. This kernel inverts the loop structure the TPU-native way:
 
-  tile the (m, rings) plane; each program runs the ENTIRE l-recursion
+  tile the (rings, m) plane; each program runs the ENTIRE l-recursion
   for its tile with all carries resident in VMEM, contracts each
   Lambda row against its G tile in registers, and accumulates the
-  (m, l) output across ring tiles in a revisited VMEM block.
+  (l, m) output across ring tiles in a revisited VMEM block.
 
 HBM traffic collapses to "read every input once, write the output
 once" (the scan re-reads O(L/block) times), and the full
@@ -18,8 +18,21 @@ product corrections, extended-exponent rescaling — runs entirely in
 registers. Accuracy is identical to the scan's "full" mode (~10 ulp
 roundtrips; tests/test_sht.py::TestPallasSHT).
 
-Layout: working tiles are (m sublanes, rings lanes); the l-tables are
-stored transposed (m, l) so the per-l slice is a (mtile, 1) column.
+Layout: working tiles are (rings sublanes, m lanes); the l-tables are
+stored (l, m) so the per-l slice is a (1, mtile) ROW — a dynamic
+*sublane* access. This orientation is forced by Mosaic's vector-load
+alignment rules (current libtpu): a dynamic index on the LANE (minor)
+dimension must be statically provable as a multiple of 128, while
+dynamic SUBLANE offsets are unrestricted — so the per-l recurrence
+table reads and the analysis output accumulation must ride sublanes.
+(The original kernel used the opposite orientation with (mtile, 1)
+column slices; that compiled on older Mosaic but now fails with
+"cannot statically prove that index in dimension 1 is a multiple of
+128".) A side benefit: the l-tables no longer force the m tile to
+shrink with lmax (their VMEM block is (Lp, 128) regardless), so the
+kernel requests a raised scoped-VMEM limit at large lmax instead of
+starving the VPU of lanes.
+
 fp32, host-known theta only (the distributed traced-theta path keeps
 the scan). Synthesis (:func:`alm2map_pl`) and analysis
 (:func:`map2alm_pl`); batched inputs chunk into groups of
@@ -90,19 +103,20 @@ def _check_f32(x, what):
 
 
 def _dd_step(l, tabs, vals, carry):
-    """One l-step of the full-dd recurrence on an (mtile, ttile) tile.
-    ``tabs`` = (Ah, Bh, Ch, Al, Bl, Cl) refs in (m, l) layout, sliced
-    at column l; ``vals`` = (x (1, ttile), xlo, sm, sl, se,
-    l0v (mtile, 1)) tile values. Returns (new_carry, weighted Lambda)."""
+    """One l-step of the full-dd recurrence on a (ttile, mtile) tile.
+    ``tabs`` = (Ah, Bh, Ch, Al, Bl, Cl) refs in (l, m) layout, sliced
+    at row l (dynamic sublane access); ``vals`` = (x (ttile, 1), xlo,
+    sm (ttile, mtile), sl, se, l0v (1, mtile)) tile values. Returns
+    (new_carry, weighted Lambda)."""
     Ah, Bh, Ch, Al, Bl, Cl = tabs
     x, xlo, sm, sl, se, l0v = vals
     lam_p, lam_c, lam_pl, lam_cl, e = carry
-    a = Ah[:, pl.ds(l, 1)]
-    b = Bh[:, pl.ds(l, 1)]
-    c = Ch[:, pl.ds(l, 1)]
-    al_ = Al[:, pl.ds(l, 1)]
-    bl_ = Bl[:, pl.ds(l, 1)]
-    cl_ = Cl[:, pl.ds(l, 1)]
+    a = Ah[pl.ds(l, 1), :]
+    b = Bh[pl.ds(l, 1), :]
+    c = Ch[pl.ds(l, 1), :]
+    al_ = Al[pl.ds(l, 1), :]
+    bl_ = Bl[pl.ds(l, 1), :]
+    cl_ = Cl[pl.ds(l, 1), :]
     ax, axe = _twoprod(a, x)
     p, pse = _twosum(ax, b)
     pe = (a * xlo + al_ * x + bl_) + (axe + pse)
@@ -113,7 +127,7 @@ def _dd_step(l, tabs, vals, carry):
           + ((pe * lam_c + cl_ * lam_p) + (s_e + (e1 + e2))))
     lam_n, lam_nl = _twosum(s, lo)
     # seed injection where l == l0(m)
-    is_seed = l0v == l                      # (mtile, 1) bool
+    is_seed = l0v == l                      # (1, mtile) bool
     lam_n = jnp.where(is_seed, sm, lam_n)
     lam_nl = jnp.where(is_seed, sl, lam_nl)
     lam_pn = jnp.where(is_seed, jnp.zeros_like(lam_c), lam_c)
@@ -137,15 +151,15 @@ def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
 
     @pl.when(jt == 0)
     def _init():
-        outr[...] = jnp.zeros((mtile, Lp), jnp.float32)
-        outi[...] = jnp.zeros((mtile, Lp), jnp.float32)
+        outr[...] = jnp.zeros((Lp, mtile), jnp.float32)
+        outi[...] = jnp.zeros((Lp, mtile), jnp.float32)
 
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
     vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
     gr = Gr[:]
     gi = Gi[:]
-    z = jnp.zeros((mtile, ttile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((mtile, ttile), jnp.int32))
+    z = jnp.zeros((ttile, mtile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
 
     def chunk(ic, carry):
         base = ic * _UNROLL
@@ -153,14 +167,14 @@ def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
         acci = []
         for j in range(_UNROLL):
             carry, lw = _dd_step(base + j, tabs, vals, carry)
-            accr.append(jnp.sum(lw * gr, axis=1, keepdims=True))
-            acci.append(jnp.sum(lw * gi, axis=1, keepdims=True))
-        rr = jnp.concatenate(accr, axis=1)   # (mtile, _UNROLL)
-        ri = jnp.concatenate(acci, axis=1)
-        outr[:, pl.ds(base, _UNROLL)] = \
-            outr[:, pl.ds(base, _UNROLL)] + rr
-        outi[:, pl.ds(base, _UNROLL)] = \
-            outi[:, pl.ds(base, _UNROLL)] + ri
+            accr.append(jnp.sum(lw * gr, axis=0, keepdims=True))
+            acci.append(jnp.sum(lw * gi, axis=0, keepdims=True))
+        rr = jnp.concatenate(accr, axis=0)   # (_UNROLL, mtile)
+        ri = jnp.concatenate(acci, axis=0)
+        outr[pl.ds(base, _UNROLL), :] = \
+            outr[pl.ds(base, _UNROLL), :] + rr
+        outi[pl.ds(base, _UNROLL), :] = \
+            outi[pl.ds(base, _UNROLL), :] + ri
         return carry
 
     jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
@@ -170,8 +184,8 @@ def _syn_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
                 ar, ai, outr, outi, *, Lp, ttile, mtile):
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
     vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
-    z = jnp.zeros((mtile, ttile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((mtile, ttile), jnp.int32), z, z)
+    z = jnp.zeros((ttile, mtile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32), z, z)
 
     def chunk(ic, carry):
         lam_carry = carry[:5]
@@ -179,8 +193,8 @@ def _syn_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
         base = ic * _UNROLL
         for j in range(_UNROLL):
             lam_carry, lw = _dd_step(base + j, tabs, vals, lam_carry)
-            accr = accr + lw * ar[:, pl.ds(base + j, 1)]
-            acci = acci + lw * ai[:, pl.ds(base + j, 1)]
+            accr = accr + lw * ar[pl.ds(base + j, 1), :]
+            acci = acci + lw * ai[pl.ds(base + j, 1), :]
         return lam_carry + (accr, acci)
 
     out = jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
@@ -197,15 +211,15 @@ def _ana_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
 
     @pl.when(jt == 0)
     def _init():
-        outr[...] = jnp.zeros((nmaps, mtile, Lp), jnp.float32)
-        outi[...] = jnp.zeros((nmaps, mtile, Lp), jnp.float32)
+        outr[...] = jnp.zeros((nmaps, Lp, mtile), jnp.float32)
+        outi[...] = jnp.zeros((nmaps, Lp, mtile), jnp.float32)
 
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
     vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
-    gr = Gr[:]                                   # (nmaps, mtile, ttile)
+    gr = Gr[:]                                   # (nmaps, ttile, mtile)
     gi = Gi[:]
-    z = jnp.zeros((mtile, ttile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((mtile, ttile), jnp.int32))
+    z = jnp.zeros((ttile, mtile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
 
     def chunk(ic, carry):
         base = ic * _UNROLL
@@ -213,14 +227,14 @@ def _ana_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
         acci = []
         for j in range(_UNROLL):
             carry, lw = _dd_step(base + j, tabs, vals, carry)
-            accr.append(jnp.sum(lw[None] * gr, axis=2)[..., None])
-            acci.append(jnp.sum(lw[None] * gi, axis=2)[..., None])
-        rr = jnp.concatenate(accr, axis=2)       # (nmaps, mtile, UNROLL)
-        ri = jnp.concatenate(acci, axis=2)
-        outr[:, :, pl.ds(base, _UNROLL)] = \
-            outr[:, :, pl.ds(base, _UNROLL)] + rr
-        outi[:, :, pl.ds(base, _UNROLL)] = \
-            outi[:, :, pl.ds(base, _UNROLL)] + ri
+            accr.append(jnp.sum(lw[None] * gr, axis=1, keepdims=True))
+            acci.append(jnp.sum(lw[None] * gi, axis=1, keepdims=True))
+        rr = jnp.concatenate(accr, axis=1)       # (nmaps, UNROLL, mtile)
+        ri = jnp.concatenate(acci, axis=1)
+        outr[:, pl.ds(base, _UNROLL), :] = \
+            outr[:, pl.ds(base, _UNROLL), :] + rr
+        outi[:, pl.ds(base, _UNROLL), :] = \
+            outi[:, pl.ds(base, _UNROLL), :] + ri
         return carry
 
     jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
@@ -231,9 +245,9 @@ def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
     """Packed synthesis: one l-recurrence drives ``nmaps`` alm sets."""
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
     vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
-    z = jnp.zeros((mtile, ttile), jnp.float32)
-    zb = jnp.zeros((nmaps, mtile, ttile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((mtile, ttile), jnp.int32), zb, zb)
+    z = jnp.zeros((ttile, mtile), jnp.float32)
+    zb = jnp.zeros((nmaps, ttile, mtile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32), zb, zb)
 
     def chunk(ic, carry):
         lam_carry = carry[:5]
@@ -241,8 +255,8 @@ def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
         base = ic * _UNROLL
         for j in range(_UNROLL):
             lam_carry, lw = _dd_step(base + j, tabs, vals, lam_carry)
-            accr = accr + lw[None] * ar[:, :, pl.ds(base + j, 1)]
-            acci = acci + lw[None] * ai[:, :, pl.ds(base + j, 1)]
+            accr = accr + lw[None] * ar[:, pl.ds(base + j, 1), :]
+            acci = acci + lw[None] * ai[:, pl.ds(base + j, 1), :]
         return lam_carry + (accr, acci)
 
     out = jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
@@ -251,25 +265,37 @@ def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
 
 
 def _tiles(lmax):
-    """VMEM budget: the (mtile, Lp) l-tables dominate (6 fp32 planes +
-    the alm rows, double-buffered by the pipeline), so mtile shrinks
-    as lmax grows to stay under the 16 MB scoped-vmem limit. m rides
-    the SUBLANES (8-granular), rings ride the full 128 lanes."""
-    if lmax < 1536:
-        mtile = 128
-    elif lmax < 3072:
-        mtile = 64
-    else:
-        mtile = 32
-    return mtile, 256
+    """m rides the full 128 LANES at every lmax (the l-tables' VMEM
+    block is (Lp, 128) regardless of how many m-lanes are live, so
+    shrinking mtile would only waste VPU width); rings ride SUBLANES.
+    Large lmax raises the scoped-VMEM request instead — see
+    :func:`_vmem_limit`."""
+    return 128, 256
+
+
+def _vmem_limit(lmax, nmaps=1):
+    """Scoped-VMEM request for one kernel launch: 6 (Lp, 128) fp32
+    l-tables + the (nmaps, Lp, 128) x2 alm-side blocks (double-buffered
+    by the pipeline) dominate; below the 16 MB default the compiler
+    keeps its own budget."""
+    Lp = -(-(lmax + 1) // _UNROLL) * _UNROLL
+    need = (6 + 4 * nmaps) * Lp * 128 * 4 + 8 * 1024 * 1024
+    if need <= 16 * 1024 * 1024:
+        return None
+    return min(need, 120 * 1024 * 1024)
+
+
+def _cparams(lmax, nmaps=1):
+    lim = _vmem_limit(lmax, nmaps)
+    return (pltpu.CompilerParams(vmem_limit_bytes=lim)
+            if lim is not None else None)
 
 
 def _pack(lmax):
     """Maps packed per kernel launch for batched transforms: bounded by
-    the (nmaps, mtile, Lp) output blocks' VMEM share. The drop to 2
-    happens at lmax 1024 — BEFORE the mtile drop at 1536 — because
-    nmaps=4 x mtile=128 x Lp~1536 blocks would overflow the 16 MB
-    scoped-vmem budget in the 1024..1535 window."""
+    the (nmaps, Lp, mtile) alm-side VMEM blocks. The drop to 2 happens
+    at lmax 1024 to keep the packed launch within a comfortable
+    scoped-VMEM request (raised above 16 MB only past lmax ~2048)."""
     return 4 if lmax < 1024 else 2
 
 
@@ -287,15 +313,16 @@ def _prep_raw(lmax, rings, ns):
 
 
 def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0):
-    """Host tables in the kernel layout: l-tables transposed (Mp, Lp),
-    ring/seed tiles (Mp, Tp), x as a (1, Tp) row. ``ns``/``ni`` select
-    the Wigner n column (spin-s uses ns=(-s, s) with ni = 0 / 1)."""
+    """Host tables in the kernel layout: l-tables (Lp, Mp) — l on
+    sublanes so the per-l row slice is a legal dynamic sublane access —
+    ring/seed tiles (Tp, Mp), x as a (Tp, 1) column. ``ns``/``ni``
+    select the Wigner n column (spin-s uses ns=(-s, s) with
+    ni = 0 / 1)."""
     tab, theta, mant, e_np = _prep_raw(lmax, rings, ns)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
 
-    def padml(A):                           # (L1, M1) -> (Mp, Lp)
-        return np.pad(A.T, ((0, Mp - M1), (0, Lp - L1))) \
-            .astype(np.float32)
+    def padlm(A):                           # (L1, M1) -> (Lp, Mp)
+        return np.pad(A, ((0, Lp - L1), (0, Mp - M1))).astype(np.float32)
 
     A64 = np.asarray(tab["A"][ni], np.float64)
     B64 = np.asarray(tab["B"][ni], np.float64)
@@ -304,25 +331,25 @@ def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0):
     sm = mant[ni]                           # (M1, T)
     se = e_np[ni]
 
-    def padmt(A, dtype=np.float32):         # (M1, T) -> (Mp, Tp)
-        return np.pad(A, ((0, Mp - M1), (0, Tp - T))).astype(dtype)
+    def padtm(A, dtype=np.float32):         # (M1, T) -> (Tp, Mp)
+        return np.pad(A.T, ((0, Tp - T), (0, Mp - M1))).astype(dtype)
 
     return dict(
-        Ah=padml(A64.astype(np.float32)),
-        Bh=padml(B64.astype(np.float32)),
-        Ch=padml(C64.astype(np.float32)),
-        Al=padml(A64 - A64.astype(np.float32)),
-        Bl=padml(B64 - B64.astype(np.float32)),
-        Cl=padml(C64 - C64.astype(np.float32)),
-        x=np.pad(x64.astype(np.float32), (0, Tp - T)).reshape(1, -1),
+        Ah=padlm(A64.astype(np.float32)),
+        Bh=padlm(B64.astype(np.float32)),
+        Ch=padlm(C64.astype(np.float32)),
+        Al=padlm(A64 - A64.astype(np.float32)),
+        Bl=padlm(B64 - B64.astype(np.float32)),
+        Cl=padlm(C64 - C64.astype(np.float32)),
+        x=np.pad(x64.astype(np.float32), (0, Tp - T)).reshape(-1, 1),
         xlo=np.pad((x64 - x64.astype(np.float32)).astype(np.float32),
-                   (0, Tp - T)).reshape(1, -1),
-        sm=padmt(sm.astype(np.float32)),
-        sl=padmt((sm - sm.astype(np.float32)).astype(np.float32)),
-        se=padmt(se, np.int32),
+                   (0, Tp - T)).reshape(-1, 1),
+        sm=padtm(sm.astype(np.float32)),
+        sl=padtm((sm - sm.astype(np.float32)).astype(np.float32)),
+        se=padtm(se, np.int32),
         # padded m rows get l0 = -1: never seeded, Lambda stays 0
         l0=np.pad(np.asarray(tab["l0"][ni], np.int32), (0, Mp - M1),
-                  constant_values=-1).reshape(-1, 1),
+                  constant_values=-1).reshape(1, -1),
     ), L1, M1, Lp, Mp, T, Tp
 
 
@@ -372,15 +399,15 @@ def supported(lmax, rings, dtype):
 
 
 def _specs(mtile, ttile, Lp, Tp):
-    tabml = pl.BlockSpec((mtile, Lp), lambda im, jt: (im, 0),
+    tablm = pl.BlockSpec((Lp, mtile), lambda im, jt: (0, im),
                          memory_space=pltpu.VMEM)
-    tvec = pl.BlockSpec((1, ttile), lambda im, jt: (0, jt),
+    tvec = pl.BlockSpec((ttile, 1), lambda im, jt: (jt, 0),
                         memory_space=pltpu.VMEM)
-    mt = pl.BlockSpec((mtile, ttile), lambda im, jt: (im, jt),
+    tm = pl.BlockSpec((ttile, mtile), lambda im, jt: (jt, im),
                       memory_space=pltpu.VMEM)
-    mcol = pl.BlockSpec((mtile, 1), lambda im, jt: (im, 0),
+    mrow = pl.BlockSpec((1, mtile), lambda im, jt: (0, im),
                         memory_space=pltpu.VMEM)
-    return [tabml] * 6 + [tvec, tvec, mt, mt, mt, mcol], tabml, mt
+    return [tablm] * 6 + [tvec, tvec, tm, tm, tm, mrow], tablm, tm
 
 
 def _lambda_args(tabs):
@@ -433,102 +460,106 @@ def map2alm_pl(maps, rings, lmax: int, interpret: bool = False):
 
 def _leg_ana(G, tabs, rings, lmax, interpret):
     """Core Legendre analysis: weighted ring-coefficient matrix
-    G (M+1, T) complex -> (L+1, M+1) complex64 a-matrix."""
+    G (T, M+1) complex -> (L+1, M+1) complex64 a-matrix."""
     mtile, ttile = _tiles(lmax)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
-    Gr = jnp.pad(jnp.real(G), ((0, Mp - M1), (0, Tp - T)))
-    Gi = jnp.pad(jnp.imag(G), ((0, Mp - M1), (0, Tp - T)))
-    in_specs, tabml, mt = _specs(mtile, ttile, Lp, Tp)
+    Gr = jnp.pad(jnp.real(G), ((0, Tp - T), (0, Mp - M1)))
+    Gi = jnp.pad(jnp.imag(G), ((0, Tp - T), (0, Mp - M1)))
+    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
     outr, outi = pl.pallas_call(
         functools.partial(_ana_kernel, Lp=Lp, ttile=ttile, mtile=mtile),
         grid=(Mp // mtile, Tp // ttile),
-        in_specs=in_specs + [mt, mt],
-        out_specs=[tabml, tabml],
-        out_shape=[jax.ShapeDtypeStruct((Mp, Lp), jnp.float32)] * 2,
+        in_specs=in_specs + [tm, tm],
+        out_specs=[tablm, tablm],
+        out_shape=[jax.ShapeDtypeStruct((Lp, Mp), jnp.float32)] * 2,
+        compiler_params=_cparams(lmax),
         interpret=interpret,
     )(*_lambda_args(tabs), Gr.astype(jnp.float32),
       Gi.astype(jnp.float32))
-    return (outr[:M1, :L1] + 1j * outi[:M1, :L1]).T \
+    return (outr[:L1, :M1] + 1j * outi[:L1, :M1]) \
         .astype(jnp.complex64)                       # (L+1, M+1)
 
 
 def _leg_syn(mat, tabs, rings, lmax, interpret):
-    """Core Legendre synthesis: (M+1, L+1) complex a-matrix ->
+    """Core Legendre synthesis: (L+1, M+1) complex a-matrix ->
     (T, M+1) complex64 ring-coefficient matrix."""
     mtile, ttile = _tiles(lmax)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
     ar = jnp.pad(jnp.real(mat),
-                 ((0, Mp - M1), (0, Lp - L1))).astype(jnp.float32)
+                 ((0, Lp - L1), (0, Mp - M1))).astype(jnp.float32)
     ai = jnp.pad(jnp.imag(mat),
-                 ((0, Mp - M1), (0, Lp - L1))).astype(jnp.float32)
-    in_specs, tabml, mt = _specs(mtile, ttile, Lp, Tp)
+                 ((0, Lp - L1), (0, Mp - M1))).astype(jnp.float32)
+    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
     accr, acci = pl.pallas_call(
         functools.partial(_syn_kernel, Lp=Lp, ttile=ttile, mtile=mtile),
         grid=(Mp // mtile, Tp // ttile),
-        in_specs=in_specs + [tabml, tabml],
-        out_specs=[mt, mt],
-        out_shape=[jax.ShapeDtypeStruct((Mp, Tp), jnp.float32)] * 2,
+        in_specs=in_specs + [tablm, tablm],
+        out_specs=[tm, tm],
+        out_shape=[jax.ShapeDtypeStruct((Tp, Mp), jnp.float32)] * 2,
+        compiler_params=_cparams(lmax),
         interpret=interpret,
     )(*_lambda_args(tabs), ar, ai)
-    return (accr[:M1, :T] + 1j * acci[:M1, :T]).T \
+    return (accr[:T, :M1] + 1j * acci[:T, :M1]) \
         .astype(jnp.complex64)                       # (T, M+1)
 
 
 def _leg_ana_b(G, tabs, rings, lmax, interpret):
-    """Packed Legendre analysis: G (nmaps, M+1, T) complex ->
+    """Packed Legendre analysis: G (nmaps, T, M+1) complex ->
     (nmaps, L+1, M+1) complex64 (one recurrence, nmaps contractions)."""
     nmaps = G.shape[0]
     mtile, ttile = _tiles(lmax)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
-    Gr = jnp.pad(jnp.real(G), ((0, 0), (0, Mp - M1), (0, Tp - T)))
-    Gi = jnp.pad(jnp.imag(G), ((0, 0), (0, Mp - M1), (0, Tp - T)))
-    in_specs, tabml, mt = _specs(mtile, ttile, Lp, Tp)
-    bmt = pl.BlockSpec((nmaps, mtile, ttile), lambda im, jt: (0, im, jt),
+    Gr = jnp.pad(jnp.real(G), ((0, 0), (0, Tp - T), (0, Mp - M1)))
+    Gi = jnp.pad(jnp.imag(G), ((0, 0), (0, Tp - T), (0, Mp - M1)))
+    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
+    btm = pl.BlockSpec((nmaps, ttile, mtile), lambda im, jt: (0, jt, im),
                        memory_space=pltpu.VMEM)
-    btab = pl.BlockSpec((nmaps, mtile, Lp), lambda im, jt: (0, im, 0),
+    btab = pl.BlockSpec((nmaps, Lp, mtile), lambda im, jt: (0, 0, im),
                         memory_space=pltpu.VMEM)
     outr, outi = pl.pallas_call(
         functools.partial(_ana_kernel_b, Lp=Lp, ttile=ttile,
                           mtile=mtile, nmaps=nmaps),
         grid=(Mp // mtile, Tp // ttile),
-        in_specs=in_specs + [bmt, bmt],
+        in_specs=in_specs + [btm, btm],
         out_specs=[btab, btab],
-        out_shape=[jax.ShapeDtypeStruct((nmaps, Mp, Lp),
+        out_shape=[jax.ShapeDtypeStruct((nmaps, Lp, Mp),
                                         jnp.float32)] * 2,
+        compiler_params=_cparams(lmax, nmaps),
         interpret=interpret,
     )(*_lambda_args(tabs), Gr.astype(jnp.float32),
       Gi.astype(jnp.float32))
-    return (outr[:, :M1, :L1] + 1j * outi[:, :M1, :L1]) \
-        .swapaxes(-2, -1).astype(jnp.complex64)      # (nmaps, L+1, M+1)
+    return (outr[:, :L1, :M1] + 1j * outi[:, :L1, :M1]) \
+        .astype(jnp.complex64)                       # (nmaps, L+1, M+1)
 
 
 def _leg_syn_b(mat, tabs, rings, lmax, interpret):
-    """Packed Legendre synthesis: (nmaps, M+1, L+1) complex a-matrices
+    """Packed Legendre synthesis: (nmaps, L+1, M+1) complex a-matrices
     -> (nmaps, T, M+1) complex64 ring coefficients."""
     nmaps = mat.shape[0]
     mtile, ttile = _tiles(lmax)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
-    ar = jnp.pad(jnp.real(mat), ((0, 0), (0, Mp - M1), (0, Lp - L1))) \
+    ar = jnp.pad(jnp.real(mat), ((0, 0), (0, Lp - L1), (0, Mp - M1))) \
         .astype(jnp.float32)
-    ai = jnp.pad(jnp.imag(mat), ((0, 0), (0, Mp - M1), (0, Lp - L1))) \
+    ai = jnp.pad(jnp.imag(mat), ((0, 0), (0, Lp - L1), (0, Mp - M1))) \
         .astype(jnp.float32)
-    in_specs, tabml, mt = _specs(mtile, ttile, Lp, Tp)
-    bmt = pl.BlockSpec((nmaps, mtile, ttile), lambda im, jt: (0, im, jt),
+    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
+    btm = pl.BlockSpec((nmaps, ttile, mtile), lambda im, jt: (0, jt, im),
                        memory_space=pltpu.VMEM)
-    btab = pl.BlockSpec((nmaps, mtile, Lp), lambda im, jt: (0, im, 0),
+    btab = pl.BlockSpec((nmaps, Lp, mtile), lambda im, jt: (0, 0, im),
                         memory_space=pltpu.VMEM)
     accr, acci = pl.pallas_call(
         functools.partial(_syn_kernel_b, Lp=Lp, ttile=ttile,
                           mtile=mtile, nmaps=nmaps),
         grid=(Mp // mtile, Tp // ttile),
         in_specs=in_specs + [btab, btab],
-        out_specs=[bmt, bmt],
-        out_shape=[jax.ShapeDtypeStruct((nmaps, Mp, Tp),
+        out_specs=[btm, btm],
+        out_shape=[jax.ShapeDtypeStruct((nmaps, Tp, Mp),
                                         jnp.float32)] * 2,
+        compiler_params=_cparams(lmax, nmaps),
         interpret=interpret,
     )(*_lambda_args(tabs), ar, ai)
-    return (accr[:, :M1, :T] + 1j * acci[:, :M1, :T]) \
-        .swapaxes(-2, -1).astype(jnp.complex64)      # (nmaps, T, M+1)
+    return (accr[:, :T, :M1] + 1j * acci[:, :T, :M1]) \
+        .astype(jnp.complex64)                       # (nmaps, T, M+1)
 
 
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
@@ -537,7 +568,7 @@ def _map2alm_pl_impl(maps, tabs, *, rings, lmax: int,
     w = jnp.asarray(rings.weights_array(), jnp.float32) \
         * jnp.float32(2.0 * np.pi / rings.nphi)
     F = _sht._ring_analysis(maps, rings, lmax)       # (T, M+1)
-    G = (F * w[:, None]).T                           # (M+1, T)
+    G = F * w[:, None]                               # (T, M+1)
     mat = _leg_ana(G, tabs, rings, lmax, interpret)
     return _sht._mat2alm(mat, lmax)
 
@@ -549,7 +580,7 @@ def _map2alm_pl_b_impl(maps, tabs, *, rings, lmax: int,
     w = jnp.asarray(rings.weights_array(), jnp.float32) \
         * jnp.float32(2.0 * np.pi / rings.nphi)
     F = _sht._ring_analysis(maps, rings, lmax)       # (nmaps, T, M+1)
-    G = jnp.swapaxes(F * w[None, :, None], -2, -1)   # (nmaps, M+1, T)
+    G = F * w[None, :, None]                         # (nmaps, T, M+1)
     mat = _leg_ana_b(G, tabs, rings, lmax, interpret)
     return _sht._mat2alm(mat, lmax)
 
@@ -558,7 +589,7 @@ def _map2alm_pl_b_impl(maps, tabs, *, rings, lmax: int,
 def _alm2map_pl_b_impl(alm, tabs, *, rings, lmax: int,
                        interpret: bool = False):
     """Packed synthesis of (nmaps, nalm) alms."""
-    mat = jnp.swapaxes(_sht._alm2mat(alm, lmax), -2, -1)
+    mat = _sht._alm2mat(alm, lmax)                   # (nmaps, L+1, M+1)
     acc = _leg_syn_b(mat, tabs, rings, lmax, interpret)
     return _sht._ring_synthesis(acc, rings, real=True) \
         .astype(jnp.float32)
@@ -586,7 +617,7 @@ def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False):
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
 def _alm2map_pl_impl(alm, tabs, *, rings, lmax: int,
                      interpret: bool = False):
-    mat = _sht._alm2mat(alm, lmax).T                 # (M+1, L+1)
+    mat = _sht._alm2mat(alm, lmax)                   # (L+1, M+1)
     acc = _leg_syn(mat, tabs, rings, lmax, interpret)
     return _sht._ring_synthesis(acc, rings, real=True) \
         .astype(jnp.float32)
@@ -622,8 +653,8 @@ def map2alm_spin_pl(qmap, umap, rings, lmax: int, spin: int = 2,
 def _map2alm_spin_pl_impl(qmap, umap, tabs_m, tabs_p, *, rings,
                           lmax: int, interpret: bool = False):
     Fp, Fm, w = _sht._spin_ring_analysis(qmap, umap, rings, lmax)
-    Gp = (Fp * w[:, None]).T                         # (M+1, T)
-    Gm = (Fm * w[:, None]).T
+    Gp = Fp * w[:, None]                             # (T, M+1)
+    Gm = Fm * w[:, None]
     ap = _leg_ana(Gp, tabs_m, rings, lmax, interpret)  # (L+1, M+1)
     am = _leg_ana(Gm, tabs_p, rings, lmax, interpret)
     # E = -(a+ + a-)/2 ; B = i (a+ - a-)/2  (cf. sht._map2alm_spin_impl)
@@ -636,8 +667,8 @@ def _map2alm_spin_pl_b_impl(qmap, umap, tabs_m, tabs_p, *, rings,
                             lmax: int, interpret: bool = False):
     """Packed spin-s analysis of (nmaps, ntheta, nphi) Q/U maps."""
     Fp, Fm, w = _sht._spin_ring_analysis(qmap, umap, rings, lmax)
-    Gp = jnp.swapaxes(Fp * w[None, :, None], -2, -1)   # (nmaps, M+1, T)
-    Gm = jnp.swapaxes(Fm * w[None, :, None], -2, -1)
+    Gp = Fp * w[None, :, None]                       # (nmaps, T, M+1)
+    Gm = Fm * w[None, :, None]
     ap = _leg_ana_b(Gp, tabs_m, rings, lmax, interpret)
     am = _leg_ana_b(Gm, tabs_p, rings, lmax, interpret)
     return (_sht._mat2alm(-0.5 * (ap + am), lmax),
@@ -674,8 +705,8 @@ def alm2map_spin_pl(ealm, balm, rings, lmax: int = None, spin: int = 2,
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
 def _alm2map_spin_pl_impl(ealm, balm, tabs_m, tabs_p, *, rings,
                           lmax: int, interpret: bool = False):
-    emat = _sht._alm2mat(ealm, lmax).T               # (M+1, L+1)
-    bmat = _sht._alm2mat(balm, lmax).T
+    emat = _sht._alm2mat(ealm, lmax)                 # (L+1, M+1)
+    bmat = _sht._alm2mat(balm, lmax)
     ap = -(emat + 1j * bmat)
     am = -(emat - 1j * bmat)
     Sp = _leg_syn(ap, tabs_m, rings, lmax, interpret)  # (T, M+1)
@@ -691,8 +722,8 @@ def _alm2map_spin_pl_impl(ealm, balm, tabs_m, tabs_p, *, rings,
 def _alm2map_spin_pl_b_impl(ealm, balm, tabs_m, tabs_p, *, rings,
                             lmax: int, interpret: bool = False):
     """Packed spin-s synthesis of (nmaps, nalm) E/B alms."""
-    emat = jnp.swapaxes(_sht._alm2mat(ealm, lmax), -2, -1)
-    bmat = jnp.swapaxes(_sht._alm2mat(balm, lmax), -2, -1)
+    emat = _sht._alm2mat(ealm, lmax)                 # (nmaps, L+1, M+1)
+    bmat = _sht._alm2mat(balm, lmax)
     ap = -(emat + 1j * bmat)
     am = -(emat - 1j * bmat)
     Sp = _leg_syn_b(ap, tabs_m, rings, lmax, interpret)  # (nmaps, T, M+1)

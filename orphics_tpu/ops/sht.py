@@ -792,16 +792,28 @@ def _pallas_probe_ok():
     probe (debugging: surface the real error)."""
     if _PALLAS_PROBE["done"]:
         return _PALLAS_PROBE["ok"]
+    if _tracing_active():
+        # can't pull the canary result to host under an outer trace —
+        # use the scan path for THIS call and leave the probe pending
+        # (a later eager dispatch decides; never cache a trace-time
+        # failure as a permanent fallback)
+        return False
     try:
         from . import pallas_sht
         lmax = 31
         rings = gauss_legendre_rings(lmax)
         nalm = (lmax + 1) * (lmax + 2) // 2
-        a0 = jnp.zeros((nalm,), jnp.complex64)
-        a0 = a0.at[lmax + 1].set(1.0 + 0j)       # (l=1, m=1)
+        # build under jit: EAGER complex ops (zeros/at-set) are
+        # UNIMPLEMENTED on the axon remote TPU client
+        a0 = jax.jit(lambda: jnp.zeros((nalm,), jnp.complex64)
+                     .at[lmax + 1].set(1.0 + 0j))()   # (l=1, m=1)
         a1 = pallas_sht.map2alm_pl(
             pallas_sht.alm2map_pl(a0, rings, lmax), rings, lmax)
-        err = float(np.abs(np.asarray(a1 - a0)).max())
+        # compare under jit and pull only a REAL scalar to host: eager
+        # complex arithmetic and complex device->host transfers are
+        # both UNIMPLEMENTED on the axon remote TPU client
+        err = float(np.asarray(
+            jax.jit(lambda u, v: jnp.abs(u - v).max())(a1, a0)))
         _PALLAS_PROBE["ok"] = bool(np.isfinite(err) and err < 1e-3)
         if not _PALLAS_PROBE["ok"]:
             warnings.warn("Pallas SHT canary roundtrip failed "
@@ -810,6 +822,7 @@ def _pallas_probe_ok():
         warnings.warn("Pallas SHT kernel unavailable on this backend "
                       f"({type(e).__name__}: {e}); using the scan path")
         _PALLAS_PROBE["ok"] = False
+    _PALLAS_PROBE["done"] = True
     return _PALLAS_PROBE["ok"]
 
 
