@@ -275,11 +275,17 @@ def _tiles(lmax):
 
 def _vmem_limit(lmax, nmaps=1):
     """Scoped-VMEM request for one kernel launch: 6 (Lp, 128) fp32
-    l-tables + the (nmaps, Lp, 128) x2 alm-side blocks (double-buffered
-    by the pipeline) dominate; below the 16 MB default the compiler
-    keeps its own budget."""
+    l-tables + the (nmaps, Lp, 128) x2 alm-side blocks dominate; the
+    request doubles that (pipeline double-buffering) plus working
+    headroom, because an over-TIGHT limit does not fail cleanly — the
+    compile helper hard-crashes (measured: blocks+1.25M over a 16M
+    default gives a clean OOM message, but an 18.5M limit against a
+    17.25M stack allocation killed the helper with no diagnostic; 32M
+    compiled and ran). Below the 16 MB default keep the compiler's own
+    budget."""
     Lp = -(-(lmax + 1) // _UNROLL) * _UNROLL
-    need = (6 + 4 * nmaps) * Lp * 128 * 4 + 8 * 1024 * 1024
+    blocks = (6 + 4 * nmaps) * Lp * 128 * 4
+    need = 2 * blocks + 8 * 1024 * 1024
     if need <= 16 * 1024 * 1024:
         return None
     return min(need, 120 * 1024 * 1024)
