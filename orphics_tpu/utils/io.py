@@ -113,9 +113,17 @@ def list_from_config(config, section, name):
 
 
 def bin_edges_from_config(config, section):
-    """Bin-edge spec [lo, hi, width] lists (reference io.py:265)."""
+    """Bin edges from an INI section (reference io.py:265): the
+    reference schema is ``spacing``/``left_edge``/``right_edge``/
+    ``num_bins`` through ``npspace``; a ``bin_edges_low``/``high``/
+    ``width`` arange spec is also accepted."""
     spec = config[section]
-    lo = float(spec["bin_edges_low"]) if "bin_edges_low" in spec else None
+    if "left_edge" in spec:
+        from .fitting import npspace
+        return npspace(float(spec["left_edge"]), float(spec["right_edge"]),
+                       int(spec["num_bins"]),
+                       scale=spec.get("spacing", "lin"))
+    lo = float(spec["bin_edges_low"]) if "bin_edges_low" in spec else 0.0
     hi = float(spec["bin_edges_high"])
     w = float(spec["bin_edges_width"])
     return np.arange(lo, hi + w, w)
