@@ -299,10 +299,16 @@ def _cparams(lmax, nmaps=1):
 
 def _pack(lmax):
     """Maps packed per kernel launch for batched transforms: bounded by
-    the (nmaps, Lp, mtile) alm-side VMEM blocks. The drop to 2 happens
-    at lmax 1024 to keep the packed launch within a comfortable
-    scoped-VMEM request (raised above 16 MB only past lmax ~2048)."""
-    return 4 if lmax < 1024 else 2
+    the (nmaps, Lp, mtile) alm-side VMEM blocks. Measured on a v5e
+    (roundtrips, batch 8): lmax 1023 pack 2/4/8/16 = 16/29/48/61
+    maps/s; lmax 2047 pack 2/4/8 = 2.5/4.1/6.6 maps/s; lmax 4095
+    pack 8 = 1.0 maps/s (pack 4: 0.6) — the dd recurrence amortizes
+    almost linearly until the alm blocks hit the scoped-VMEM ceiling,
+    so pack as many maps as ~110 MB of VMEM blocks allow."""
+    Lp = -(-(lmax + 1) // _UNROLL) * _UNROLL
+    row = Lp * 128 * 4
+    cap = int((110 * 1024 * 1024 / row - 6) // 4)
+    return max(1, min(16 if lmax < 1024 else 8, cap))
 
 
 @functools.lru_cache(maxsize=4)
