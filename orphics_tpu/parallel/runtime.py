@@ -27,7 +27,48 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .statistics import SuffStats
 
 __all__ = ["get_mesh", "distribute", "mpi_distribute", "ensemble",
-           "ensemble_stats", "ensemble_stats_checkpointed"]
+           "ensemble_stats", "ensemble_stats_checkpointed",
+           "init_multihost"]
+
+
+def init_multihost(coordinator_address=None, num_processes=None,
+                   process_id=None, local_device_ids=None):
+    """Bootstrap multi-host JAX — the analog of the reference's MPI
+    world setup (``orphics/mpi.py:62-74``: import mpi4py, fall back to
+    ``fakeMpiComm`` when absent).
+
+    On a real TPU pod slice (one process per host) call with no
+    arguments: the TPU runtime autodetects the coordinator and process
+    topology. Off-pod multi-process runs pass ``coordinator_address`` /
+    ``num_processes`` / ``process_id`` explicitly or set the standard
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` env vars. After this, ``jax.devices()`` is the
+    *global* device list, so :func:`get_mesh` meshes span the pod and
+    the ``psum``-reduced ensembles ride ICI/DCN unchanged.
+
+    Single-process runs (no coordinator configured, not on a pod) are a
+    no-op — the ``fakeMpiComm`` degradation. Calling twice is safe.
+    Returns ``(process_index, process_count)``.
+    """
+    import os
+
+    explicit = (coordinator_address
+                or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    on_pod = any(v in os.environ for v in (
+        "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+        "CLOUD_TPU_TASK_ID"))
+    if not (explicit or on_pod):
+        return 0, 1
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id,
+            local_device_ids=local_device_ids)
+    except RuntimeError as e:
+        # idempotence: a second initialize raises; anything else is real
+        if "already" not in str(e).lower():
+            raise
+    return jax.process_index(), jax.process_count()
 
 
 def get_mesh(shape=None, axis_names=("sims", "grid"), devices=None) -> Mesh:

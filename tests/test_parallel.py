@@ -388,3 +388,55 @@ class TestGridSharding:
         # genuinely distributed: one row block per device
         assert len(got.sharding.device_set) == 8
         np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10)
+
+
+class TestInitMultihost:
+    """init_multihost: the reference's MPI-or-fake world bootstrap
+    (orphics/mpi.py:62-74) on the jax.distributed runtime."""
+
+    ENV = ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+           "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID")
+
+    def test_single_process_noop(self, monkeypatch):
+        from orphics_tpu.parallel import init_multihost
+        for v in self.ENV:
+            monkeypatch.delenv(v, raising=False)
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        assert init_multihost() == (0, 1)
+        assert calls == []           # fakeMpiComm degradation: no init
+
+    def test_coordinator_env_triggers_initialize(self, monkeypatch):
+        from orphics_tpu.parallel import init_multihost
+        for v in self.ENV:
+            monkeypatch.delenv(v, raising=False)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        idx, cnt = init_multihost()
+        assert len(calls) == 1
+        assert (idx, cnt) == (jax.process_index(), jax.process_count())
+
+    def test_idempotent_on_reinit(self, monkeypatch):
+        from orphics_tpu.parallel import init_multihost
+
+        def boom(**kw):
+            raise RuntimeError("jax.distributed is already initialized")
+
+        for v in self.ENV:
+            monkeypatch.delenv(v, raising=False)
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        idx, cnt = init_multihost(coordinator_address="localhost:1234")
+        assert (idx, cnt) == (jax.process_index(), jax.process_count())
+
+    def test_real_errors_propagate(self, monkeypatch):
+        from orphics_tpu.parallel import init_multihost
+
+        def boom(**kw):
+            raise RuntimeError("connection refused")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="connection refused"):
+            init_multihost(coordinator_address="localhost:1234")
