@@ -145,6 +145,14 @@ def _dd_step(l, tabs, vals, carry):
     return (lam_pn, lam_n, lam_pnl, lam_nl, e), lam_n * w
 
 
+def _lstart(mtile):
+    """First l-chunk with any live lane in this m-tile: Lambda is
+    identically zero until the seed at l0 = max(m, |n|) >= m, so the
+    recurrence can start at the tile's base m — skipping on average
+    half of all (m, ring, l) steps across the m-grid."""
+    return pl.program_id(0) * (mtile // _UNROLL)
+
+
 def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
                 Gr, Gi, outr, outi, *, Lp, ttile, mtile):
     jt = pl.program_id(1)
@@ -177,7 +185,7 @@ def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
             outi[pl.ds(base, _UNROLL), :] + ri
         return carry
 
-    jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
+    jax.lax.fori_loop(_lstart(mtile), Lp // _UNROLL, chunk, carry0)
 
 
 def _syn_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
@@ -197,7 +205,7 @@ def _syn_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
             acci = acci + lw * ai[pl.ds(base + j, 1), :]
         return lam_carry + (accr, acci)
 
-    out = jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
+    out = jax.lax.fori_loop(_lstart(mtile), Lp // _UNROLL, chunk, carry0)
     outr[...] = out[5]
     outi[...] = out[6]
 
@@ -237,7 +245,7 @@ def _ana_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
             outi[:, pl.ds(base, _UNROLL), :] + ri
         return carry
 
-    jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
+    jax.lax.fori_loop(_lstart(mtile), Lp // _UNROLL, chunk, carry0)
 
 
 def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
@@ -259,7 +267,7 @@ def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
             acci = acci + lw[None] * ai[:, pl.ds(base + j, 1), :]
         return lam_carry + (accr, acci)
 
-    out = jax.lax.fori_loop(0, Lp // _UNROLL, chunk, carry0)
+    out = jax.lax.fori_loop(_lstart(mtile), Lp // _UNROLL, chunk, carry0)
     outr[...] = out[5]
     outi[...] = out[6]
 

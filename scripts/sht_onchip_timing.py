@@ -2,8 +2,11 @@
 
 Run in the default axon env: python scripts/sht_onchip_timing.py [lmaxes...]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
