@@ -17,3 +17,14 @@ from .models.grf import cmb_ps as power_from_theory
 # reference-compatible aliases
 loadTheorySpectraFromCAMB = load_theory_from_camb
 getAtmosphere = get_atmosphere
+from .models.cosmology import (unpack_cmb_theory,
+                               enmap_power_from_orphics_theory,
+                               loadTheorySpectraFromPycambResults,
+                               fk_comparison, pk_comparison, class_cls,
+                               ClassCosmology, save_glens_cls_from_ini,
+                               load_theory_from_glens, get_lss_cls,
+                               phi2kappa, get_camb_lens_obj, CAMB)
+from .models.noise import white_noise_with_atm_func
+from .models.foregrounds import dl_filler
+from .models.rsd import (growth_rate, Pgg_Pvv_Pgv, kmode_derivatives,
+                         kmode_fisher)

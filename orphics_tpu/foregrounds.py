@@ -8,3 +8,7 @@ from .models.szhalo import (compute_cl_yy, compute_tsz_power,  # noqa: F401
 __all__ = list(_fg_all) + ["compute_cl_yy", "compute_tsz_power",
                            "HaloModelYY", "battaglia_yl", "tinker_f",
                            "tinker_bias"]
+from .models.szhalo import (compton_y_cib_powers, clyy_classy_sz,  # noqa
+                            CIBHaloModel, clyy)
+__all__ += ["compton_y_cib_powers", "clyy_classy_sz", "CIBHaloModel",
+            "clyy"]

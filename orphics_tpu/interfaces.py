@@ -180,3 +180,17 @@ def agora_redshift_to_halocat_files(z_min, z_max, lensed=False):
     slice_start = max(int(d_min // 25) - 1, 4)
     slice_end = min(int(d_max // 25) + 1, 200)
     return [base.format(i) for i in range(slice_start, slice_end + 1)]
+
+
+def test():
+    """Demo of the CAMBInterface driver (reference ``interfaces.py:426``):
+    adds a third lensing source window to a template ini, runs the camb
+    binary and prints the Cl array shape."""
+    citest = CAMBInterface("params_test.ini", ".")
+    citest.set_param("num_redshiftwindows", "3")
+    citest.set_param("redshift(3)", "2")
+    citest.set_param("redshift_kind(3)", "lensing")
+    citest.set_param("redshift_sigma(3)", "0.03")
+    citest.call(suppress=False)
+    ells, cls = citest.get_cls()
+    print(cls.shape)

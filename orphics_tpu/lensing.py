@@ -14,3 +14,8 @@ flat_taylens = taylens
 sanitizePower = sanitize_power
 fillLowEll = fill_low_ell
 qest = QE
+from .models.lensing import FixedLens, validate_geometry
+from .models.nfwfit import (filter_bin_kappa1d, kappa_nfw_profiley1d,
+                            kappa_nfw_profiley, mass_estimate, lens_cov_pol,
+                            NFWMatchedFilterSN, rayleigh, kappa_from_rhofunc,
+                            kappa_nfw)

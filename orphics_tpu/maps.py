@@ -135,3 +135,21 @@ def binned_power(imap, bin_edges=None, binner: Bin2D = None, imap2=None,
     w2 = wfactor(2, jnp.broadcast_to(jnp.asarray(mask), (geom.ny, geom.nx)))
     cents, p1d = binner.bin(p2d / w2)
     return cents, p1d
+
+# --- full reference-name tail (same module path as orphics.maps) -----------
+from .models.mapstools import (
+    autofiltered_maps, fourier_stack, radial_window, apodize_profile,
+    radial_mask, block_smooth, field_variance, random_source_map,
+    psizemap, get_ecc, filter_alms, area_from_mask, flat_sim,
+    resample_fft, resampled_geometry, split_sky, slice_from_box, cutup,
+    bounds_from_list, spec1d_to_2d, get_lnlike, pixcov_sim, butterworth,
+    resolution, get_planck_cutout, interpolate_grid, init_deriv_window,
+    gauss_kern, gkern_interp, convolve_profile, convolve,
+    convolve_gaussian, get_grf_cmb, get_grf_realization, rgeo,
+    circular_mask, pixcov)
+from .models.curved import (MapRotatorEquator, get_rotated_pixels,
+                            cutout_gnomonic, galactic_mask_equ,
+                            north_galactic_mask, south_galactic_mask)
+from .models.ilc import (ilc_def_response, ilc_index, ilc_map_term,
+                         ilc_comb_a_b, apply_harmonic_coadd_weights)
+from .models.pixcov import rotate_pol_power

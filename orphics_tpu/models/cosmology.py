@@ -29,7 +29,7 @@ import jax.numpy as jnp
 __all__ = ["defaultConstants", "defaultCosmology", "Cosmology",
            "LimberCosmology", "LensForecast", "s8_from_as", "As_from_s8",
            "get_limber_clkk_flat_universe", "pkgrid_from_table",
-           "load_camb_pk"]
+           "load_camb_pk", "CAMB"]
 
 C_KM_S = 299792.458  # km/s
 
@@ -1130,3 +1130,60 @@ class ClassCosmology:
         raise NotImplementedError(
             "classy backend not available in this build; use "
             "Cosmology/LimberCosmology (native)")
+
+
+class CAMB:
+    """Driver for the python ``camb`` package with the reference's
+    parameter plumbing (reference ``cosmology.py:70``): accepts the
+    ``defaultCosmology`` dict schema (``theta100`` overrides ``H0``,
+    ``w0/wa`` dark energy, optional transfer/power computation) and
+    exposes ``.pars``, ``.results`` and — with ``perturbations`` —
+    ``.powers`` (raw Cls in muK^2).
+
+    Gated: ``camb`` is an optional dependency not shipped in this
+    build. The framework's native theory path is :class:`Cosmology` /
+    :class:`LimberCosmology` with the shipped high-accuracy tables
+    (``load_camb_pk`` / ``theory.default_theory``).
+    """
+
+    def __init__(self, params=None, perturbations=False, redshifts=(0.0,),
+                 nonlinear=True, kmax=2.0, lmax=2000,
+                 lens_potential_accuracy=1, raw_cl=True):
+        try:
+            import camb
+            from camb import model
+        except ImportError as e:
+            raise ImportError(
+                "the CAMB driver needs the python 'camb' package; the "
+                "native equivalents are Cosmology/LimberCosmology with "
+                "the shipped tables (see load_camb_pk, "
+                "theory.default_theory)") from e
+        p = dict(defaultCosmology)
+        p.update(params or {})
+        pars = camb.CAMBparams(want_zstar=True)
+        pars.set_dark_energy(w=p['w0'], wa=p['wa'])
+        theta = p.get('theta100')
+        pars.set_cosmology(
+            H0=None if theta is not None else p['H0'],
+            cosmomc_theta=theta / 100.0 if theta is not None else None,
+            ombh2=p['ombh2'], omch2=p['omch2'], mnu=p['mnu'],
+            tau=p['tau'], nnu=p['nnu'])
+        if perturbations:
+            pars.InitPower.set_params(ns=p['ns'], As=p['As'])
+            pars.WantTransfer = True
+            pars.NonLinear = (model.NonLinear_both if nonlinear
+                              else model.NonLinear_none)
+            pars.set_for_lmax(
+                lmax=lmax + 500,
+                lens_potential_accuracy=(lens_potential_accuracy
+                                         if nonlinear else 0))
+            pars.set_matter_power(redshifts=list(redshifts), kmax=kmax)
+        else:
+            pars.WantTransfer = False
+        self.pars = pars
+        self.results = camb.get_background(pars)
+        if perturbations:
+            self.results.calc_transfers(pars)
+            self.results.calc_power_spectra(pars)
+            self.powers = self.results.get_cmb_power_spectra(
+                pars, CMB_unit='muK', raw_cl=raw_cl)

@@ -35,7 +35,8 @@ __all__ = [
     "wfactor", "masked_cls", "cosine_stitch", "stitched_noise",
     "kspace_coadd_alms", "white_noise", "modulated_noise_map",
     "gal2equ_rotation", "pointing_rotation", "rotate_map", "MapRotator",
-    "galactic_mask", "pixsize_map",
+    "galactic_mask", "pixsize_map", "get_rotated_pixels",
+    "cutout_gnomonic",
 ]
 
 
@@ -324,6 +325,58 @@ def _geom_posang(geom: Geometry, dtype=jnp.float64):
     return jnp.meshgrid(dec, ix, indexing="ij")
 
 
+def get_rotated_pixels(geom_source: Geometry, geom_target: Geometry,
+                       inverse=False, rot=None, source_ra0=0.0,
+                       center_source=None, center_target=None):
+    """Fractional source-pixel positions (2, ny, nx) of every target
+    pixel after recentring the source patch onto the target patch
+    (reference ``get_rotated_pixels``, ``maps.py:1738``). ``rot``
+    overrides the recentring rotation; ``center_source``/
+    ``center_target`` override the (dec, ra) patch centers otherwise
+    taken from the geometries (Geometry carries the dec center as
+    ``y0``; the source RA origin enters as ``source_ra0``).
+    ``inverse`` swaps the sense of the recentring."""
+    if rot is None:
+        cs = ((geom_source.y0, source_ra0) if center_source is None
+              else center_source)
+        ct = ((geom_target.y0, 0.0) if center_target is None
+              else center_target)
+        if inverse:
+            cs, ct = ct, cs
+        rot = pointing_rotation(cs, ct)
+    if isinstance(rot, jax.core.Tracer):
+        # traced rotation: stay in jnp (accelerator fp32 — ~0.1 px noise)
+        rot = jnp.asarray(rot, jnp.float64)
+        dec_t, ra_t = _geom_posang(geom_target)
+        v = _ang2vec(dec_t, ra_t)
+        vs = jnp.einsum("ij,...j->...i", rot, v)
+        dec_s, ra_s = _vec2ang(vs)
+        ra_s = ra_s - source_ra0
+        ra_s = jnp.arctan2(jnp.sin(ra_s), jnp.cos(ra_s))
+        py = ((dec_s - geom_source.y0) / geom_source.dy
+              + (geom_source.ny - 1) / 2)
+        px = ra_s / geom_source.dx + (geom_source.nx - 1) / 2
+        return jnp.stack([py, px])
+    # concrete rotation (the common case): geometry-pair precompute on
+    # the HOST in float64 — sub-1e-6-pixel positions even when the
+    # device runs fp32; constant-folds into jitted consumers.
+    rot = np.asarray(rot, np.float64)
+    gt = geom_target
+    iy = (np.arange(gt.ny) - (gt.ny - 1) / 2) * float(gt.dy) + float(gt.y0)
+    ix = (np.arange(gt.nx) - (gt.nx - 1) / 2) * float(gt.dx)
+    dec_t, ra_t = np.meshgrid(iy, ix, indexing="ij")
+    v = np.stack([np.cos(dec_t) * np.cos(ra_t),
+                  np.cos(dec_t) * np.sin(ra_t), np.sin(dec_t)], -1)
+    vs = np.einsum("ij,...j->...i", rot, v)
+    dec_s = np.arcsin(np.clip(vs[..., 2], -1.0, 1.0))
+    ra_s = np.arctan2(vs[..., 1], vs[..., 0]) - source_ra0
+    ra_s = np.arctan2(np.sin(ra_s), np.cos(ra_s))
+    py = ((dec_s - float(geom_source.y0)) / float(geom_source.dy)
+          + (geom_source.ny - 1) / 2)
+    px = ra_s / float(geom_source.dx) + (geom_source.nx - 1) / 2
+    return jnp.asarray(np.stack([py, px]))
+
+
 @partial(jax.jit, static_argnames=("geom_source", "geom_target", "order",
                                    "source_ra0"))
 def rotate_map(imap, geom_source: Geometry, geom_target: Geometry,
@@ -342,20 +395,9 @@ def rotate_map(imap, geom_source: Geometry, geom_target: Geometry,
         raise NotImplementedError(
             "rotate_map implements order 0 (nearest) and 1 (bilinear); "
             "higher-order spline resampling is not available")
-    if rot is None:
-        rot = pointing_rotation((geom_source.y0, source_ra0),
-                                (geom_target.y0, 0.0))
-    rot = jnp.asarray(rot, jnp.float64)
-    dec_t, ra_t = _geom_posang(geom_target)
-    v = _ang2vec(dec_t, ra_t)
-    vs = jnp.einsum("ij,...j->...i", rot, v)
-    dec_s, ra_s = _vec2ang(vs)
-    # source fractional pixel coordinates, RA relative to the source
-    # patch center (wrap to (-pi, pi])
-    ra_s = ra_s - source_ra0
-    ra_s = jnp.arctan2(jnp.sin(ra_s), jnp.cos(ra_s))
-    py = (dec_s - geom_source.y0) / geom_source.dy + (geom_source.ny - 1) / 2
-    px = ra_s / geom_source.dx + (geom_source.nx - 1) / 2
+    pix = get_rotated_pixels(geom_source, geom_target, rot=rot,
+                             source_ra0=source_ra0)
+    py, px = pix[0], pix[1]
     if order == 0:
         py = jnp.round(py)
         px = jnp.round(px)
@@ -474,3 +516,87 @@ class MapRotatorEquator(MapRotator):
             out, _ = resample_fft(out, self.geom_target,
                                   self.downsample_pix_arcmin * ARCMIN)
         return out
+
+
+def cutout_gnomonic(hp_map, rot=None, coord=None, xsize=200, ysize=None,
+                    reso=1.5, nest=False, remove_dip=False,
+                    remove_mono=False, gal_cut=0, flip="astro"):
+    """Gnomonic (tangent-plane) cutout of a healpix map (reference
+    ``cutout_gnomonic``, ``maps.py:2425`` — a healpy.gnomview
+    derivative). Host-side viewer helper, numpy throughout.
+
+    ``rot`` is (lon, lat[, psi]) in degrees placing that point at the
+    cutout center with an extra ``psi`` rotation about the line of
+    sight; ``coord`` of 'G'/'C' (or a pair rotating first->second)
+    reinterprets the map's frame through the exact galactic<->equatorial
+    rotation; ``reso`` is the pixel size in arcmin; ``flip='astro'``
+    puts east on the left. Sampling is nearest-pixel, as in healpy's
+    projector. ``remove_mono``/``remove_dip`` subtract the monopole
+    (and dipole) fitted outside ``|b| < gal_cut`` degrees."""
+    hp_map = np.asarray(hp_map, np.float64)
+    from ..utils import healpix as hpx
+    nside = hpx.npix2nside(hp_map.size)
+
+    if remove_dip or remove_mono:
+        pix = np.arange(hp_map.size)
+        th, ph = hpx.pix2ang(nside, hpx.nest2ring(nside, pix)
+                             if nest else pix)
+        good = np.isfinite(hp_map)
+        if gal_cut > 0:
+            good &= np.abs(90.0 - np.degrees(th)) >= gal_cut
+        v = np.stack([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                      np.cos(th)], -1)
+        if remove_dip:
+            A = np.concatenate([np.ones((good.sum(), 1)), v[good]], 1)
+            coef, *_ = np.linalg.lstsq(A, hp_map[good], rcond=None)
+            hp_map = hp_map - coef[0] - v @ coef[1:]
+        else:
+            hp_map = hp_map - hp_map[good].mean()
+
+    if ysize is None:
+        ysize = xsize
+    if rot is None:
+        rot = (0.0, 0.0, 0.0)
+    rot = tuple(np.atleast_1d(rot).astype(np.float64)) + (0.0, 0.0)
+    lon0, lat0, psi = np.radians(rot[0]), np.radians(rot[1]), \
+        np.radians(rot[2])
+
+    # tangent-plane coordinates (radians); screen x rightward, y upward
+    step = np.radians(reso / 60.0)
+    xs = (np.arange(xsize) - (xsize - 1) / 2.0) * step
+    ys = (np.arange(ysize) - (ysize - 1) / 2.0) * step
+    X, Y = np.meshgrid(xs, ys)
+    if flip == "astro":
+        X = -X                       # east toward the left
+    if psi != 0.0:
+        c, s = np.cos(psi), np.sin(psi)
+        X, Y = c * X - s * Y, s * X + c * Y
+
+    # gnomonic inverse: direction = center + X e_east + Y e_north
+    n_hat = np.array([np.cos(lat0) * np.cos(lon0),
+                      np.cos(lat0) * np.sin(lon0), np.sin(lat0)])
+    e_east = np.array([-np.sin(lon0), np.cos(lon0), 0.0])
+    e_north = np.array([-np.sin(lat0) * np.cos(lon0),
+                        -np.sin(lat0) * np.sin(lon0), np.cos(lat0)])
+    d = (n_hat[None, None] + X[..., None] * e_east[None, None]
+         + Y[..., None] * e_north[None, None])
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    if coord is not None:
+        coord = [coord] if isinstance(coord, str) else list(coord)
+        if len(coord) == 2 and coord[0] != coord[1]:
+            # directions are in the SECOND frame; pull back to the map's
+            pair = (coord[0], coord[1])
+            R = np.asarray(gal2equ_rotation(inverse=(pair == ("C", "G"))))
+            if pair not in (("G", "C"), ("C", "G")):
+                raise NotImplementedError(
+                    "cutout_gnomonic supports G<->C rotations")
+            d = d @ R                # R^T applied to row vectors
+    theta = np.arccos(np.clip(d[..., 2], -1.0, 1.0))
+    phi = np.arctan2(d[..., 1], d[..., 0]) % (2 * np.pi)
+    pix = hpx.ang2pix(nside, theta.ravel(), phi.ravel())
+    if nest:
+        pix = hpx.ring2nest(nside, pix)
+    out = hp_map[pix].reshape(ysize, xsize)
+    # astro convention displays north up: row 0 at the bottom
+    return out[::-1] if flip == "astro" else out

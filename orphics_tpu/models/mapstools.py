@@ -38,7 +38,8 @@ __all__ = [
     "cosine_taper", "downsample_power", "SymMat", "symmat_from_data",
     "sanitize_beam", "gapfill_edge_conv_flat", "binary_mask", "area",
     "fsky", "area_sqdeg", "rescale", "rotate", "MapRotator",
-    "diagonal_cov", "ncov", "thumbnail_healpix", "galactic_mask",
+    "diagonal_cov", "ncov", "pixcov", "psizemap", "thumbnail_healpix",
+    "galactic_mask",
     "convolve", "convolve_gaussian", "convolve_profile", "pixcov_sim",
     "get_planck_cutout",
     "generate_correlated_alm", "ftrans", "real_space_filter", "rfilter",
@@ -575,6 +576,26 @@ def ncov(geom: Geometry, noise_uk_arcmin):
     """White-noise pixel covariance (reference ``orphics/maps.py:1810``)."""
     var = (noise_uk_arcmin * arcmin) ** 2 / geom.pixsize
     return jnp.eye(geom.npix) * var
+
+
+def pixcov(geom: Geometry, fourier_cov):
+    """Pixel-pixel covariance from a general (ncomp, ncomp, ny, nx, ny,
+    nx) Fourier-space covariance (reference ``orphics/maps.py:1817``):
+    normalized inverse FFT over the first grid pair, unnormalized
+    forward FFT over the second, times npix/area. For a Fourier-diagonal
+    power use ``diagonal_cov`` (the fused block-circulant path)."""
+    fc = jnp.asarray(fourier_cov, jnp.complex64)
+    out = jnp.fft.ifft2(fc, axes=(-4, -3))
+    out = jnp.fft.fft2(out, axes=(-2, -1)).real
+    return out * (geom.npix / geom.area)
+
+
+def psizemap(geom: Geometry, dtype=jnp.float64):
+    """Map of per-pixel solid angles in steradians for the cylindrical
+    geometry (reference ``orphics/maps.py:1228`` — exact
+    |sin(dec+dy/2)-sin(dec-dy/2)|*dra areas, which ``Geometry.
+    pixsizemap`` already computes natively)."""
+    return geom.pixsizemap(dtype)
 
 
 # ------------------------------------------------------------------

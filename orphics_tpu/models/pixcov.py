@@ -38,6 +38,7 @@ __all__ = [
     "save_geometries", "load_geometries", "map_ifft", "resolution",
     "get_regions", "paste", "pcov_from_ivar", "tpcov_from_ivar",
     "cinv_inpaint", "preload_geometries",
+    "corrfun_thumb", "corr_to_mat", "fcov_to_rcorr", "ncov_from_ivar",
 ]
 
 
@@ -315,6 +316,72 @@ def load_geometries(fname):
 def map_ifft(x, geom: Geometry = None):
     """Real part of the inverse FFT (reference ``pixcov.py:19``)."""
     return jnp.fft.ifft2(jnp.asarray(x)).real
+
+
+def corrfun_thumb(corr, n_y, n_x=None):
+    """Cut the (2 n_y, 2 n_x) separation thumbnail out of a full-map
+    correlation function (reference ``pixcov.py:21``): cyclic shifts
+    place separations ``[-n, n)`` contiguously before cropping, then
+    shift back so index 0 is zero separation again."""
+    if n_x is None:
+        n_x = n_y
+    corr = jnp.asarray(corr)
+    tmp = jnp.roll(jnp.roll(corr, n_x, -1)[..., :2 * n_x],
+                   n_y, -2)[..., :2 * n_y, :]
+    return jnp.roll(jnp.roll(tmp, -n_x, -1), -n_y, -2)
+
+
+def corr_to_mat(corr, n_y, n_x=None):
+    """(n_y*n_x per side) pixel-pixel matrix from a cyclic correlation
+    thumbnail: ``mat[i,j,k,l] = corr[(k-i) % H, (l-j) % W]`` (reference
+    ``pixcov.py:25`` — the double roll loop, done as one gather)."""
+    if n_x is None:
+        n_x = n_y
+    corr = jnp.asarray(corr)
+    h, w = corr.shape[-2:]
+    iy = np.arange(n_y)
+    ix = np.arange(n_x)
+    dy = (iy[None, :] - iy[:, None]) % h          # (i, k)
+    dx = (ix[None, :] - ix[:, None]) % w          # (j, l)
+    return corr[..., dy[:, None, :, None], dx[None, :, None, :]]
+
+
+def fcov_to_rcorr(geom: Geometry, p2d, n_y, n_x=None):
+    """(ncomp, ncomp, Ny, Nx) 2D power -> (ncomp, ncomp, n_y*n_x,
+    n_y*n_x) pixel covariance for an ``n_y x n_x`` thumbnail (reference
+    ``pixcov.py:87``): npix/area physical scaling, correlation via the
+    inverse FFT, cyclic thumbnail, separation gather. ``geom`` is the
+    geometry the power grid lives on (its shape must match p2d)."""
+    if n_x is None:
+        n_x = n_y
+    p2d = jnp.asarray(p2d)
+    if p2d.ndim == 2:
+        p2d = p2d[None, None]
+    ncomp = p2d.shape[0]
+    corr = jnp.fft.ifft2(p2d * (geom.npix / geom.area)).real
+    thumb = corrfun_thumb(corr, n_y, n_x)
+    mat = corr_to_mat(thumb, n_y, n_x)            # (nc, nc, ny, nx, ny, nx)
+    return mat.reshape(ncomp, ncomp, n_y * n_x, n_y * n_x)
+
+
+def ncov_from_ivar(ivar, ncomp: int = 3):
+    """Dense diagonal IQU noise covariance from an inverse-variance map
+    (reference ``pixcov.py:104``): var = 1/ivar with non-finite entries
+    replaced by the largest finite variance, QQ = UU = 2 II. Returns
+    (ncomp, ncomp, N, N) with N = ny*nx. The diagonal-vector form used
+    by the batched inpainting path is ``ncov_ivar_diag``."""
+    ivar = jnp.asarray(ivar)
+    if ivar.ndim != 2:
+        raise ValueError("ivar must be a 2D map")
+    iv = ivar.reshape(-1)
+    maxvar = 1.0 / jnp.max(jnp.where(iv > 0, iv, -jnp.inf))
+    var = jnp.where(iv > 0, 1.0 / jnp.where(iv > 0, iv, 1.0), maxvar)
+    n = var.shape[0]
+    out = jnp.zeros((ncomp, ncomp, n, n), var.dtype)
+    for c in range(ncomp):
+        fac = 1.0 if c == 0 else 2.0
+        out = out.at[c, c].set(jnp.diag(fac * var))
+    return out
 
 
 def resolution(geom: Geometry):

@@ -40,8 +40,8 @@ import numpy as np
 
 __all__ = ["tinker_f", "tinker_bias", "duffy_c200c", "m200c_to_m200m",
            "battaglia_yl", "HaloModelYY", "compute_cl_yy",
-           "compute_tsz_power", "clyy", "shang_sed", "subhalo_mf",
-           "CIBHaloModel", "compton_y_cib_powers"]
+           "compute_tsz_power", "clyy", "clyy_classy_sz", "shang_sed",
+           "subhalo_mf", "CIBHaloModel", "compton_y_cib_powers"]
 
 # cgs constants for the pressure -> y conversion
 _SIGMA_T = 6.6524587e-25          # cm^2
@@ -265,6 +265,18 @@ def clyy(ells, zmin=0.1, zmax=5.0, mmin=1e11, mmax=5e15, **kw):
     native halo model."""
     return compute_cl_yy(np.asarray(ells), M_min=mmin, M_max=mmax,
                          zmin=zmin, zmax=zmax, **kw)
+
+
+
+
+def clyy_classy_sz(ells, zmin=0.001, zmax=5.0, mmin=1e11, mmax=5e15, **kw):
+    """Exact-name parity for the reference's classy_sz 1-halo Cl_yy
+    wrapper (``foregrounds.py:629``), served by the native halo model.
+    ``zmin`` below the 0.1 low-z regulator is clamped — the exact
+    per-halo 1-halo term diverges as z->0 and the reference's backend
+    only avoids it through its coarse z grid (see module docstring)."""
+    return clyy(ells, zmin=max(zmin, 0.1), zmax=zmax, mmin=mmin,
+                mmax=mmax, **kw)
 
 
 # ---------------------------------------------------------------------------

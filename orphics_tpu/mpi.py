@@ -39,3 +39,5 @@ comm = fakeMpiComm()
 rank = 0
 numcores = 1
 disable_mpi_env = os.environ.get("DISABLE_MPI", "false")
+
+from .parallel.runtime import mpi_abort_on_exception  # noqa: E402

@@ -9,3 +9,7 @@ from .models.pixcov import (
 inpaint_uncorrelated_save_geometries = save_geometries
 inpaint_uncorrelated_from_saved_geometries = inpaint_stamps_batched
 extract_cutouts = extract_stamps
+from .models.pixcov import (map_ifft, corrfun_thumb, corr_to_mat, resolution,
+                            fcov_to_rcorr, ncov_from_ivar, pcov_from_ivar,
+                            tpcov_from_ivar, paste, cinv_inpaint, get_regions,
+                            preload_geometries)

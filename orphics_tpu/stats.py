@@ -15,3 +15,5 @@ from .utils.plot import corner_plot
 # reference-compatible aliases
 bin2D = Bin2D
 bin1D = bin1d
+from .utils.fitting import InverseTransformSampling2D, eig_analyze
+from .parallel.statistics import load_stats
