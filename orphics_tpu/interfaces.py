@@ -123,16 +123,20 @@ class CAMBInterface:
         with open(ini_template) as f:
             self._ini = f.read()
 
-    def set_param(self, name, value):
+    def set_param(self, name, value, add=False):
         import re
         # escape the name (CAMB keys like transfer_redshift(1) contain
         # regex metacharacters) and fail loudly when the template has
-        # no such key — a silent no-op runs CAMB with stale values
+        # no such key — a silent no-op runs CAMB with stale values.
+        # ``add=True`` appends a missing key instead (the reference's
+        # behavior, needed to add new source windows to a template).
         pat = rf"(?m)^{re.escape(name)}\s*=.*$"
         new, nsub = re.subn(pat, f"{name} = {value}", self._ini)
         if nsub == 0:
-            raise KeyError(f"parameter {name!r} not found in the ini "
-                           "template")
+            if not add:
+                raise KeyError(f"parameter {name!r} not found in the ini "
+                               "template (pass add=True to append)")
+            new = self._ini.rstrip("\n") + f"\n{name} = {value}\n"
         self._ini = new
 
     def call(self, workdir="."):
@@ -185,12 +189,15 @@ def agora_redshift_to_halocat_files(z_min, z_max, lensed=False):
 def test():
     """Demo of the CAMBInterface driver (reference ``interfaces.py:426``):
     adds a third lensing source window to a template ini, runs the camb
-    binary and prints the Cl array shape."""
-    citest = CAMBInterface("params_test.ini", ".")
-    citest.set_param("num_redshiftwindows", "3")
-    citest.set_param("redshift(3)", "2")
-    citest.set_param("redshift_kind(3)", "lensing")
-    citest.set_param("redshift_sigma(3)", "0.03")
-    citest.call(suppress=False)
-    ells, cls = citest.get_cls()
-    print(cls.shape)
+    binary and loads the resulting theory. Needs a ``params_test.ini``
+    template and a ``camb`` binary on PATH."""
+    citest = CAMBInterface("params_test.ini")
+    citest.set_param("num_redshiftwindows", "3", add=True)
+    citest.set_param("redshift(3)", "2", add=True)
+    citest.set_param("redshift_kind(3)", "lensing", add=True)
+    citest.set_param("redshift_sigma(3)", "0.03", add=True)
+    citest.call()
+    import re
+    m = re.search(r"(?m)^output_root\s*=\s*(\S+)", citest._ini)
+    theory = citest.get_cls(m.group(1) if m else "test")
+    print(theory)

@@ -530,9 +530,13 @@ def cutout_gnomonic(hp_map, rot=None, coord=None, xsize=200, ysize=None,
     sight; ``coord`` of 'G'/'C' (or a pair rotating first->second)
     reinterprets the map's frame through the exact galactic<->equatorial
     rotation; ``reso`` is the pixel size in arcmin; ``flip='astro'``
-    puts east on the left. Sampling is nearest-pixel, as in healpy's
-    projector. ``remove_mono``/``remove_dip`` subtract the monopole
-    (and dipole) fitted outside ``|b| < gal_cut`` degrees."""
+    puts east on the left (the flip only mirrors the x axis — rows
+    increase northward in both conventions, as in healpy's
+    ``return_projected_map``). Sampling is nearest-pixel, as in healpy's
+    projector; healpy UNSEEN sentinel values pass through unchanged.
+    ``remove_mono``/``remove_dip`` subtract the monopole (and dipole)
+    fitted over finite, non-UNSEEN pixels outside ``|b| < gal_cut``
+    degrees."""
     hp_map = np.asarray(hp_map, np.float64)
     from ..utils import healpix as hpx
     nside = hpx.npix2nside(hp_map.size)
@@ -541,7 +545,9 @@ def cutout_gnomonic(hp_map, rot=None, coord=None, xsize=200, ysize=None,
         pix = np.arange(hp_map.size)
         th, ph = hpx.pix2ang(nside, hpx.nest2ring(nside, pix)
                              if nest else pix)
-        good = np.isfinite(hp_map)
+        # exclude healpy's UNSEEN sentinel (finite but ~-1.6e30) as
+        # well as nan/inf from the fit, like healpy's mask_bad
+        good = np.isfinite(hp_map) & (np.abs(hp_map) < 1e25)
         if gal_cut > 0:
             good &= np.abs(90.0 - np.degrees(th)) >= gal_cut
         v = np.stack([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
@@ -597,6 +603,6 @@ def cutout_gnomonic(hp_map, rot=None, coord=None, xsize=200, ysize=None,
     pix = hpx.ang2pix(nside, theta.ravel(), phi.ravel())
     if nest:
         pix = hpx.ring2nest(nside, pix)
-    out = hp_map[pix].reshape(ysize, xsize)
-    # astro convention displays north up: row 0 at the bottom
-    return out[::-1] if flip == "astro" else out
+    # rows increase northward regardless of flip (healpy's projected-
+    # map convention; display with origin='lower')
+    return hp_map[pix].reshape(ysize, xsize)

@@ -366,8 +366,12 @@ def fcov_to_rcorr(geom: Geometry, p2d, n_y, n_x=None):
 
 def ncov_from_ivar(ivar, ncomp: int = 3):
     """Dense diagonal IQU noise covariance from an inverse-variance map
-    (reference ``pixcov.py:104``): var = 1/ivar with non-finite entries
-    replaced by the largest finite variance, QQ = UU = 2 II. Returns
+    (reference ``pixcov.py:104``): var = 1/ivar, with zero-ivar pixels
+    assigned ``1/max(ivar)`` — the variance of the *best*-measured
+    pixel, i.e. the reference's regularization (its stated aim is only
+    to avoid singular matrices; unobserved pixels end up maximally
+    trusted, so mask them upstream if that matters). QQ = UU = 2 II.
+    Returns
     (ncomp, ncomp, N, N) with N = ny*nx. The diagonal-vector form used
     by the batched inpainting path is ``ncov_ivar_diag``."""
     ivar = jnp.asarray(ivar)

@@ -106,15 +106,34 @@ class TestCutoutGnomonic:
         cut = curved.cutout_gnomonic(m, rot=(10.0, lat), xsize=9, reso=1.0)
         assert cut[4, 4] == pytest.approx(np.sin(np.radians(lat)), abs=0.02)
 
-    def test_astro_flip_orientation(self):
-        # map increasing with latitude: astro display puts north (larger
-        # values) at the TOP rows of the returned array
+    def test_rows_increase_northward_both_flips(self):
+        # healpy's projected-map convention: rows increase northward for
+        # BOTH flip conventions (flip only mirrors the x axis)
         nside = 32
         pix = np.arange(hpx.nside2npix(nside))
-        th, _ = hpx.pix2ang(nside, pix)
+        th, ph = hpx.pix2ang(nside, pix)
         m = np.cos(th)
-        cut = curved.cutout_gnomonic(m, rot=(0.0, 0.0), xsize=16, reso=30.0)
-        assert cut[0].mean() > cut[-1].mean()
+        for flip in ("astro", "geo"):
+            cut = curved.cutout_gnomonic(m, rot=(0.0, 0.0), xsize=16,
+                                         reso=30.0, flip=flip)
+            assert cut[-1].mean() > cut[0].mean()
+        # and flip mirrors east-west: a longitude dipole flips sign of
+        # the x gradient between the two conventions
+        mlon = np.sin(ph)
+        ca = curved.cutout_gnomonic(mlon, rot=(0.0, 0.0), xsize=16,
+                                    reso=30.0, flip="astro")
+        cg = curved.cutout_gnomonic(mlon, rot=(0.0, 0.0), xsize=16,
+                                    reso=30.0, flip="geo")
+        assert (ca[:, -1].mean() - ca[:, 0].mean()) * \
+               (cg[:, -1].mean() - cg[:, 0].mean()) < 0
+
+    def test_unseen_excluded_from_monopole_fit(self):
+        nside = 16
+        m = np.full(hpx.nside2npix(nside), 2.0)
+        m[:100] = -1.6375e30  # healpy UNSEEN sentinel
+        cut = curved.cutout_gnomonic(m, rot=(180.0, -45.0), xsize=8,
+                                     reso=5.0, remove_mono=True)
+        np.testing.assert_allclose(cut, 0.0, atol=1e-10)
 
     def test_monopole_removal(self):
         nside = 16
