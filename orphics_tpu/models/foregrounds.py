@@ -132,9 +132,14 @@ def dl_filler(ells, ls, cls, fill_type="extrapolate", fill_positive=False,
 
 
 def _dl_to_cl(ells, dls):
-    with np.errstate(divide="ignore", invalid="ignore"):
-        return dls * 2 * np.pi * np.nan_to_num(
-            1.0 / ells / (ells + 1.0))
+    # the monopole (and any ell<=0 entry) carries no D_l information:
+    # map it to Cl=0 rather than letting 1/0 -> inf -> 1.8e308 poison
+    # downstream covariances
+    ells = np.asarray(ells, np.float64)
+    fac = np.zeros(np.broadcast(ells, dls).shape, np.float64)
+    pos = ells > 0
+    fac[..., pos] = 2 * np.pi / (ells[pos] * (ells[pos] + 1.0))
+    return dls * fac
 
 
 from functools import lru_cache as _lru_cache
@@ -220,7 +225,9 @@ def power_cibc(ells, nu1, nu2=None, A_cibc=None, n_cib=None):
     mu0 = _cib_mu(default_constants['nu0'])
     f = _cib_mu(nu1) * _cib_mu(nu2) / mu0 ** 2
     with np.errstate(divide="ignore", invalid="ignore"):
-        dl = A * np.nan_to_num((ells / 3000.0) ** (2.0 - n))
+        # posinf=0: for n > 2 the ell=0 power-law is 0**neg -> inf,
+        # and the monopole must not carry 1.8e308 into covariances
+        dl = A * np.nan_to_num((ells / 3000.0) ** (2.0 - n), posinf=0.0)
     return _dl_to_cl(ells, dl) * f
 
 
@@ -482,7 +489,8 @@ def fg_cl(ell, p, nu_i, nu_j, cl_tsz_tmpl, freqs, pivot_cib=150.0,
         with np.errstate(divide="ignore"):
             out = out + (np.sqrt(Acib * (nu1 / pivot_cib) ** alpha
                                  * Acib * (nu2 / pivot_cib) ** alpha)
-                         * np.nan_to_num((ell / 3000.0) ** (-1.2)))
+                         * np.nan_to_num((ell / 3000.0) ** (-1.2),
+                                         posinf=0.0))
     if 'tsz' in components:
         out = out + cltsz(p["Atsz"], nu1, nu2, cl_tsz_tmpl)
     if 'dust' in components:

@@ -171,3 +171,30 @@ class TestKmodeSurface:
         assert FG[0, 0] == pytest.approx(expect, rel=1e-10)
         # joint Fisher is at least as informative as g alone
         assert F[0, 0] >= FG[0, 0]
+
+
+class TestForegroundMonopoleSanity:
+    def test_dl_to_cl_templates_finite_and_zero_at_monopole(self):
+        # regression: nan_to_num(inf)=1.8e308 used to leak a ~1e295
+        # Cl(0) into the low-ell ILC covariance
+        import warnings
+        from orphics_tpu.models import foregrounds as fg
+        ells = np.arange(0, 4000)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            y = fg.power_y_template(ells, silence=True)
+            cibc = fg.power_cibc(ells, 145.0, 145.0)
+        for cl in (np.asarray(y), np.asarray(cibc)):
+            assert np.isfinite(cl).all()
+            assert cl[0] == 0.0
+            assert cl[1:].max() < 1.0  # uK^2-scale, not 1e295
+
+    def test_ilc_power_low_ell_finite(self):
+        import warnings
+        from orphics_tpu.models import foregrounds as fg
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            ells, nell = fg.ilc_power(
+                beams=[5.1, 2.2], noises=[36., 8.], freqs=[39., 93.],
+                flux_limits_mJy=[10., 7.], ellmax=500)
+        assert np.isfinite(nell).all()
