@@ -84,7 +84,7 @@ def bench_headline():
     covsqrt = grf.spec2flat(geom, cltt[None, None], exp=0.5,
                             dtype=jnp.float32)[0, 0]
     edges = np.arange(80, 8000, 80.0)
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    binner = Bin2D(geom.modlmap_np(), edges)
     norm = jnp.float32(geom.area / geom.npix ** 2)
 
     impl = os.environ.get("BENCH_IMPL", "pallas")
@@ -95,7 +95,7 @@ def bench_headline():
         # columns in row_perm order; all static tables absorb it for free
         covsqrt_pp = jnp.asarray(np.asarray(covsqrt)[perm][:, perm]
                                  * np.sqrt(geom.npix).astype(np.float32))
-        ml = np.asarray(geom.modlmap(jnp.float64))
+        ml = geom.modlmap_np()
         binner_p = Bin2D(ml[perm][:, perm], edges)
         assert batch % 2 == 0
         npairs = batch // 2
@@ -345,7 +345,7 @@ def bench_qe_recon():
         from orphics_tpu.ops import pallas_fft as pf
         from orphics_tpu.ops.pallas_kernels import bin_matmul
         perm, _ = pf.row_perm(n)
-        ml_full = np.asarray(geom.modlmap(jnp.float64))
+        ml_full = geom.modlmap_np()
         c2d = np.interp(ml_full, ells, cltt, left=0, right=0)
         scale_pp = jnp.asarray(
             (np.sqrt(np.maximum(c2d, 0.0))
@@ -475,7 +475,7 @@ def bench_ilc():
                              (noises * arcmin) ** 2,
                              components=("tsz", "cibc", "ksz"),
                              fdict=fg.fg_dict(10.0 + 0 * freqs, freqs))
-    ml = np.asarray(geom.modlmap(jnp.float64))
+    ml = geom.modlmap_np()
     cinv1d = np.asarray(cinv1d)                  # (nf, nf, nells)
     cinv2d = np.zeros((nf, nf, n, n), np.float32)
     for i in range(nf):
@@ -602,7 +602,7 @@ def bench_stack():
     cc = cosmology.Cosmology()
     masses = np.geomspace(5e13, 8e14, 16)
     redges = np.arange(0.0, 10.0, 1.0) * arcmin
-    modr = np.asarray(gs.modrmap(jnp.float64))
+    modr = gs.modrmap_np()
     pbin = Bin2D(modr, redges)
     temps = []
     for m in masses:

@@ -46,7 +46,7 @@ cltt = np.asarray(th.lCl("TT", ells))
 mgen = grf.MapGen(geom, cltt[None, None])
 fc = maps.FourierCalc(geom)
 edges = np.arange(200, 2500, 200.0)
-binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+binner = Bin2D(geom.modlmap_np(), edges)
 
 
 def sim(key):

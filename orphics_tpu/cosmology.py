@@ -11,12 +11,12 @@ from .models.shear import LimberCosmicShear, gaussian_band_covariance
 GenericLimberCosmicShear = LimberCosmicShear
 from .models.theory import (TheorySpectra, default_theory, planck_theory,
                             load_theory_from_camb)
-from .models.noise import (noise_func, atm_factor, get_atmosphere)
+from .models.noise import (noise_func, atm_factor, get_atmosphere,
+                           getAtmosphere)
 from .models.grf import cmb_ps as power_from_theory
 
 # reference-compatible aliases
 loadTheorySpectraFromCAMB = load_theory_from_camb
-getAtmosphere = get_atmosphere
 from .models.cosmology import (unpack_cmb_theory,
                                enmap_power_from_orphics_theory,
                                loadTheorySpectraFromPycambResults,

@@ -120,6 +120,34 @@ class Geometry:
         ly, lx = self.laxes(jnp.float64 if dtype == jnp.float64 else jnp.float32)
         return jnp.sqrt(ly[:, None] ** 2 + lx[None, :] ** 2).astype(dtype)
 
+    # ----- host-precision (numpy float64) grids ---------------------
+    # Binner construction and other host-side precomputes must use these:
+    # on an x64-disabled runtime, ``modlmap(jnp.float64)`` silently
+    # truncates to float32 (and warns), which can move pixels that land
+    # exactly on a bin edge. These stay in numpy end-to-end.
+
+    def laxes_np(self):
+        ly = 2 * np.pi * np.fft.fftfreq(self.ny, d=self.dy)
+        lx = 2 * np.pi * np.fft.fftfreq(self.nx, d=self.dx)
+        return ly, lx
+
+    def modlmap_np(self):
+        """(ny, nx) |l| grid in numpy float64 (host; for binners)."""
+        ly, lx = self.laxes_np()
+        return np.hypot(ly[:, None], lx[None, :])
+
+    def modlmap_r_np(self):
+        """|l| on the rfft half-plane in numpy float64 (host)."""
+        ly = 2 * np.pi * np.fft.fftfreq(self.ny, d=self.dy)
+        lx = 2 * np.pi * np.fft.rfftfreq(self.nx, d=self.dx)
+        return np.hypot(ly[:, None], lx[None, :])
+
+    def modrmap_np(self):
+        """(ny, nx) radius grid in numpy float64 (host; for binners)."""
+        y = (np.arange(self.ny) - (self.ny - 1) / 2.0) * self.dy
+        x = (np.arange(self.nx) - (self.nx - 1) / 2.0) * self.dx
+        return np.hypot(y[:, None], x[None, :])
+
     def rlaxes(self, dtype=jnp.float32):
         """Wavenumbers for the rfft half-plane: full ly, half lx."""
         ly = 2 * np.pi * np.fft.fftfreq(self.ny, d=self.dy)

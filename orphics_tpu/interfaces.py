@@ -106,9 +106,30 @@ class PlanckLensing:
                                 unpack=True, usecols=[0, 1])
         return ells, nlkk
 
-    def load_mv_alms(self):
-        _require(os.path.join(self.root or "", "MV", "dat_klm.fits"))
-        raise NotImplementedError("requires the Planck PR3 product tree")
+    def load_mv_alms(self, est="MV", lmin=8, lmax=2048):
+        """Read the PR3 convergence alms (``<root>/<est>/dat_klm.fits``)
+        into healpy triangular ordering, band-limited to [lmin, lmax] —
+        the role of ``hp.read_alm`` + ``filter_alms`` in reference
+        ``interfaces.py:286-291`` ``_get_real``, via the native FITS
+        binary-table reader (a healpy alm file IS a bintable with
+        index/real/imag columns, index = l^2 + l + m + 1)."""
+        from .utils.fitsio import read_bintable
+        path = _require(os.path.join(self.root or "", est, "dat_klm.fits"))
+        cols = read_bintable(path)
+        get = {k.lower(): v for k, v in cols.items()}
+        idx = np.asarray(get["index"], dtype=np.int64).ravel()
+        re_ = np.asarray(get["real"], dtype=np.float64).ravel()
+        im_ = np.asarray(get["imag"], dtype=np.float64).ravel()
+        ls = np.floor(np.sqrt(idx - 1)).astype(np.int64)
+        ms = idx - 1 - ls * ls - ls
+        file_lmax = int(ls.max())
+        out_lmax = min(lmax, file_lmax)
+        nalm = (out_lmax + 1) * (out_lmax + 2) // 2
+        alm = np.zeros(nalm, dtype=np.complex128)
+        keep = (ls >= lmin) & (ls <= out_lmax) & (ms <= ls)
+        tri = (ms[keep] * (2 * out_lmax + 1 - ms[keep])) // 2 + ls[keep]
+        alm[tri] = re_[keep] + 1j * im_[keep]
+        return alm
 
 
 class CAMBInterface:

@@ -318,7 +318,7 @@ class BOSSMapper(CatMapper):
             if self.geom is not None:
                 from ..ops import fourier as F
                 sig = rand_sigma_arcmin * arcmin
-                ml = self.geom.modlmap(jnp.float64)
+                ml = jnp.asarray(self.geom.modlmap_np())
                 kern = jnp.exp(-0.5 * ml ** 2 * sig ** 2)
                 smap = np.asarray(F.kfilter(jnp.asarray(smap), kern,
                                             self.geom))

@@ -813,7 +813,7 @@ def get_lensed_cls(ells, ucltt, clkk, lmax=None, npix=2048,
         lmax = int(ells.max())
     d = px_res_arcmin * arcmin
     geom = Geometry(npix, npix, d, d)
-    ml = np.asarray(geom.modlmap(jnp.float64))
+    ml = geom.modlmap_np()
     with np.errstate(divide="ignore", invalid="ignore"):
         clphi = np.nan_to_num(4.0 * clkk / (ells * (ells + 1.0)) ** 2)
     C2 = np.interp(ml, ells, ucltt, left=0, right=0)
@@ -1109,27 +1109,64 @@ def save_glens_cls_from_ini(ini_file, out_name, glmax=8000):
 
 def class_cls(lmax, params=None, cosmo=None, zmin=None, zmax=None,
               bias=None, dndz_file=None):
-    """CLASS number-count Cls (reference ``cosmology.py``
-    ``class_cls``); requires the optional ``classy`` package like the
-    reference. For a dependency-free equivalent use
-    :func:`get_lss_cls` (native Limber)."""
+    """CLASS number-count Cls (reference ``cosmology.py:1361``
+    ``class_cls``): same parameter assembly (tophat selection from
+    [zmin, zmax], optional dN/dz file and param overrides) and the same
+    ``(retcls, cosmo, params)`` return with 'kg'/'kk'/'gg'/'ells' keys.
+    Runs when the optional ``classy`` package is installed; the
+    dependency-free equivalent is :func:`get_lss_cls` (native Limber).
+    """
     from classy import Class  # optional dep, same gate as reference
-    raise NotImplementedError(
-        "classy is importable but the wrapper is not maintained; "
-        "use get_lss_cls for the native Limber equivalent")
+    smean = (zmin + zmax) / 2.0
+    shalf = (zmax - zmin) / 2.0
+    oparams = {
+        "output": "tCl lCl dCl",
+        "l_max_scalars": lmax,
+        "lensing": "yes",
+        "A_s": 2.3e-9,
+        "n_s": 0.9624,
+        "h": 0.6711,
+        "omega_b": 0.022068,
+        "omega_cdm": 0.12029,
+        "selection": "tophat",
+        "selection_mean": f"{smean:f}",
+        "selection_width": f"{shalf:f}",
+        "selection_bias": f"{bias:f}",
+        "number count contributions": "density, rsd, lensing, gr",
+        "l_max_lss": lmax,
+    }
+    if dndz_file is not None:
+        oparams["dNdz_selection"] = str(dndz_file)
+    if params is not None:
+        oparams.update(params)
+    if cosmo is None:
+        cosmo = Class()
+        cosmo.set(oparams)
+        cosmo.compute()
+    cls = cosmo.density_cl(lmax)
+    cls2 = cosmo.lensed_cl(lmax)
+    ells = np.asarray(cls["ell"], dtype=float)
+    lfact = ells * (ells + 1.0) / 2.0
+    return ({"kg": np.asarray(cls["pd"][0]) * lfact,
+             "kk": np.asarray(cls2["pp"]) * lfact ** 2,
+             "gg": np.asarray(cls["dd"][0]),
+             "ells": ells}, cosmo, params)
 
 
 class ClassCosmology:
-    """Placeholder for the reference's CLASS-backed cosmology
-    (``cosmology.py`` ``ClassCosmology``); requires the optional
-    ``classy`` package. The native ``Cosmology``/``LimberCosmology``
-    cover the background/Limber functionality without CLASS."""
+    """Explicitly unsupported: the reference's ``ClassCosmology``
+    (``cosmology.py:1414``) is dead code upstream — its ``__init__``
+    references undefined names (``lmax``/``smean``/...) and raises
+    ``NameError`` on any instantiation, so there is no working behavior
+    to match. Use the native :class:`Cosmology` / :class:`LimberCosmology`
+    (background/growth/Limber without CLASS), or :func:`class_cls` for
+    the CLASS number-count spectra when ``classy`` is installed."""
 
     def __init__(self, *a, **kw):
-        from classy import Class  # noqa: F401 - same gate as reference
         raise NotImplementedError(
-            "classy backend not available in this build; use "
-            "Cosmology/LimberCosmology (native)")
+            "ClassCosmology is unsupported (broken in the reference "
+            "itself); use Cosmology/LimberCosmology (native) or "
+            "class_cls(...) with classy installed")
 
 
 class CAMB:

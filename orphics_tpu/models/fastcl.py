@@ -60,7 +60,7 @@ class FastCl:
         self.n = n
         self.interpret = bool(interpret)
         perm, inv = pf.row_perm(n)
-        ml = np.asarray(geom.modlmap(jnp.float64))
+        ml = geom.modlmap_np()
         # Bin2D used transiently for its digitize-table conventions;
         # not retained (its gather tables are ~50 MB at 2048^2 and the
         # fused passes never use them)

@@ -121,7 +121,7 @@ class FourierStack:
 
     def __init__(self, geom: Geometry, bin_edges):
         self.geom = geom
-        self.binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), bin_edges)
+        self.binner = Bin2D(geom.modlmap_np(), bin_edges)
         temp = get_normalized_center(geom)
         self.ktemp = F.fft2(temp, geom, "phys")
 
@@ -214,10 +214,10 @@ def iqu_to_pure_lteb(tmap, qmap, umap, geom: Geometry, windict,
     E-only Monte-Carlo: the pure B power is ~5e3 times below the standard
     estimator's leakage (tests/test_mapstools.py).
     """
-    ml = geom.modlmap(jnp.float64)
+    ml = jnp.asarray(geom.modlmap_np())
     ml = jnp.where(ml < 1.0, 1.0, ml)
-    lmap = geom.lmap(jnp.float64)
-    ang = jnp.arctan2(lmap[1], lmap[0])  # atan2(lx, ly)
+    _ly, _lx = geom.laxes_np()
+    ang = jnp.asarray(np.arctan2(_lx[None, :], _ly[:, None]))  # atan2(lx, ly)
     if iau:
         ang = -ang
     c2, s2 = jnp.cos(2 * ang), jnp.sin(2 * ang)
@@ -305,13 +305,13 @@ def inpaint_cg(imap, rand_map, mask, power2d, geom: Geometry, eps=1e-8,
 
 def analytical_tf(geom: Geometry, kfilter, bin_edges):
     """Binned k-mask transfer function (reference ``orphics/maps.py:89``)."""
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), bin_edges)
+    binner = Bin2D(geom.modlmap_np(), bin_edges)
     return binner.bin(jnp.asarray(kfilter).astype(jnp.float64))
 
 
 def minimum_ell(geom: Geometry) -> int:
     """Lowest nonzero |l| on the grid (reference ``orphics/maps.py:363``)."""
-    ml = np.asarray(geom.modlmap(jnp.float64))
+    ml = geom.modlmap_np()
     return int(ml[ml > 0].min())
 
 
@@ -744,7 +744,7 @@ def circular_mask(geom: Geometry, center_pix, radius_rad, apo_deg=None,
         mask = D.cosine_apodize(binary_mask(mask), geom, apo_deg)
     if smooth_fwhm_rad:
         fwhm_arcmin = float(smooth_fwhm_rad) * 180.0 * 60.0 / np.pi
-        bl2d = F.gauss_beam(geom.modlmap(jnp.float64), fwhm_arcmin)
+        bl2d = F.gauss_beam(jnp.asarray(geom.modlmap_np()), fwhm_arcmin)
         mask = F.kfilter(jnp.asarray(mask, dtype), bl2d.astype(dtype),
                          geom)
     return jnp.asarray(mask, dtype)
@@ -782,7 +782,7 @@ def gkern_interp(geom: Geometry, rs, bprof, fwhm_guess_arcmin,
         sy += 1
     if ((nx % 2 == 0) == (sx % 2 == 1)):
         sx += 1
-    rmap = crop_center(geom.modrmap(jnp.float64), sy, sx)
+    rmap = crop_center(jnp.asarray(geom.modrmap_np()), sy, sx)
     # fill_value=0 beyond the tabulated profile (reference
     # interp1d(..., fill_value=0)): a clamped last value would put a
     # constant pedestal under the whole kernel skirt
@@ -833,7 +833,7 @@ def random_source_map(key, geom: Geometry, nobj, fwhm=None, profile=None,
     srcmap = jnp.zeros((ny, nx), dtype).at[pix[:, 0], pix[:, 1]].add(
         jnp.asarray(amps, dtype))
     if fwhm is not None:
-        bl2d = F.gauss_beam(geom.modlmap(jnp.float64), fwhm)
+        bl2d = F.gauss_beam(jnp.asarray(geom.modlmap_np()), fwhm)
         return F.kfilter(srcmap, bl2d.astype(dtype), geom)
     if profile is not None:
         rs, bprof = profile
@@ -845,7 +845,7 @@ def random_source_map(key, geom: Geometry, nobj, fwhm=None, profile=None,
 def spec1d_like_profile_k(geom: Geometry, rs, bprof, dtype=jnp.float32):
     """k-space filter equal to the FFT of a radial real-space profile
     (helper for profile-convolved source maps)."""
-    r2d = geom.modrmap(jnp.float64)
+    r2d = jnp.asarray(geom.modrmap_np())
     prof2d = jnp.interp(r2d.reshape(-1), jnp.asarray(rs),
                         jnp.asarray(bprof), right=0.0).reshape(r2d.shape)
     k = jnp.fft.fft2(jnp.fft.ifftshift(prof2d))
@@ -912,7 +912,7 @@ def flat_sim(deg, px, lmax=6000, lensed=True, pol=False):
         ps[2, 2] = cfun("BB", ells)
     else:
         ps = np.asarray(cfun("TT", ells))[None, None]
-    return geom, geom.modlmap(jnp.float64), th, MapGen(geom, ps)
+    return geom, jnp.asarray(geom.modlmap_np()), th, MapGen(geom, ps)
 
 
 def resampled_geometry(geom: Geometry, res_rad):
@@ -1037,7 +1037,7 @@ def get_grf_cmb(key, geom: Geometry, theory, spec):
     """GRF with a theory spectrum painted on this geometry's modlmap
     (reference ``maps.py:2836``: interp the 1D Cl onto modlmap and
     hand get_grf_realization the (1, 1, ny, nx) power plane)."""
-    ml = np.asarray(geom.modlmap(jnp.float64))
+    ml = geom.modlmap_np()
     lmax = int(ml.max())
     ells = np.arange(lmax + 1)
     cl = np.asarray(theory.gCl(spec, ells))

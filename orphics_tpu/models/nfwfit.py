@@ -186,7 +186,7 @@ def kappa_2h_map(geom: Geometry, mass, z, cc, z_s=1100.0,
     Signed-mass templates (``fit_nfw_profile``'s null-test scans):
     the bias is evaluated at |M| and the 2-halo term carries the sign
     of the mass, mirroring ``nfw_kappa``'s convention."""
-    modr = np.asarray(geom.modrmap(jnp.float64))
+    modr = geom.modrmap_np()
     ths = np.geomspace(max(modr[modr > 0].min() * 0.5, 1e-7),
                        modr.max() * 1.05, 128)
     sgn = -1.0 if float(mass) < 0 else 1.0
@@ -208,8 +208,8 @@ def binned_nfw(mass, z, conc, cc, geom: Geometry, bin_edges_arcmin,
     Rayleigh miscentering convolution
     (:func:`kappa_nfw_profiley1d`) — together the reference's
     ``improved=True`` path via hmvec, natively."""
-    modrmap = geom.modrmap(jnp.float64)
-    binner = Bin2D(np.asarray(modrmap), np.asarray(bin_edges_arcmin) * arcmin)
+    modrmap = geom.modrmap_np()
+    binner = Bin2D(modrmap, np.asarray(bin_edges_arcmin) * arcmin)
     if sigma_mis is not None and float(sigma_mis) > 0:
         # zero/None width means centered: rayleigh(., 0) is 0/0 NaN
         com_mpc = float(cc.comoving_radial_distance(z))
@@ -254,8 +254,8 @@ def fit_nfw_profile(profile_data, profile_cov, masses, z, conc, cc,
         k2h_unit = kappa_2h_map(geom, 1.0, z, cc, critical=critical,
                                 overdensity=overdensity,
                                 at_cluster_z=at_cluster_z, bias=1.0)
-        modrmap = geom.modrmap(jnp.float64)
-        b2 = Bin2D(np.asarray(modrmap),
+        modrmap = geom.modrmap_np()
+        b2 = Bin2D(modrmap,
                    np.asarray(bin_edges_arcmin) * arcmin)
         _, p2h = b2.bin(F.kfilter(k2h_unit, kmask_eff, geom))
         p2h_unit = np.asarray(p2h)
@@ -306,7 +306,7 @@ def filter_bin_kappa2d(omap, geom: Geometry, fls=None, lmin=200, lmax=6000,
         kfilt = kmask
     fmap = F.kfilter(jnp.asarray(omap) * taper, kfilt, geom)
     edges = np.arange(rmin, rmax, rwidth)
-    binner = Bin2D(np.asarray(geom.modrmap(jnp.float64)), edges)
+    binner = Bin2D(geom.modrmap_np(), edges)
     return binner.bin(fmap)
 
 
@@ -317,7 +317,7 @@ def filter_bin_kappa1d(thetas, kappas, fls=None, lmin=200, lmax=6000,
     ``lensing.py:108``)."""
     n = int(rstamp / res)
     g = Geometry(n, n, res, res)
-    modr = np.asarray(g.modrmap(jnp.float64))
+    modr = g.modrmap_np()
     omap = jnp.asarray(np.interp(modr, np.asarray(thetas),
                                  np.asarray(kappas)))
     return filter_bin_kappa2d(omap, g, fls=fls, lmin=lmin, lmax=lmax,
@@ -434,7 +434,7 @@ def mass_estimate(kappa_recon, kappa_noise_2d, geom: Geometry,
     from .mapstools import MatchedFilter
     if cc is None:
         cc = Cosmology()
-    modr = geom.modrmap(jnp.float64)
+    modr = jnp.asarray(geom.modrmap_np())
     m = float(mass_guess)
     for _ in range(niter):
         temp = nfw_kappa(m, modr, cc, zL=z,
@@ -506,7 +506,7 @@ def kappa_nfw_profiley(geom: Geometry, mass=2e14, conc=3.0, z=0.7,
     """2D miscentered NFW kappa stamp on a geometry (reference
     ``lensing.py`` ``kappa_nfw_profiley``): paints the 1D profile of
     :func:`kappa_nfw_profiley1d` on the distance-to-center map."""
-    modr = geom.modrmap(jnp.float64)
+    modr = jnp.asarray(geom.modrmap_np())
     ths = jnp.asarray(np.geomspace(
         max(float(modr[modr > 0].min()) * 0.5, 1e-7),
         float(modr.max()) * 1.05, 256))
@@ -538,8 +538,8 @@ def NFWMatchedFilterSN(cc, log10Moverh, c, z, ells, Nls, kellmax,
     g = Geometry(n, n, px_stamp * arcmin, px_stamp * arcmin)
     kellmin = 2.0 * np.pi / (arc_stamp * arcmin)
 
-    modrmap = np.asarray(g.modrmap(jnp.float64))
-    modlmap = np.asarray(g.modlmap(jnp.float64))
+    modrmap = g.modrmap_np()
+    modlmap = g.modlmap_np()
 
     if win_at_lens is None:  # CMB lensing source plane
         comS = cc.comoving_radial_distance(cc.cmbZ) * cc.h

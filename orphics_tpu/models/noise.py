@@ -17,7 +17,7 @@ from ..ops import fourier as F
 __all__ = ["atm_factor", "rednoise", "ivar", "rms_from_ivar", "white_noise",
            "white_noise_with_atm_func",
            "modulated_noise_map", "get_masked_ivar", "noise_func",
-           "get_atmosphere"]
+           "get_atmosphere", "getAtmosphere"]
 
 
 def atm_factor(ells, lknee, alpha):
@@ -35,7 +35,7 @@ def rednoise(ells, rms_noise, lknee=0.0, alpha=1.0):
     return (atm_factor(ells, lknee, alpha) + 1.0) * rms ** 2
 
 
-def noise_func(ell, fwhm, rms_noise, lknee=0.0, alpha=1.0, dimensionless=False,
+def noise_func(ell, fwhm, rms_noise, lknee=0.0, alpha=0.0, dimensionless=False,
                TCMB=2.7255e6):
     """Beam-deconvolved noise power (reference ``orphics/cosmology.py:1143``)."""
     atm = atm_factor(ell, lknee, alpha)
@@ -77,6 +77,22 @@ def get_atmosphere(beam_fwhm_arcmin):
             else np.full(np.shape(beam_fwhm_arcmin), tt_alpha))
     return (interp_extrap(tt_lknee), tt_a,
             interp_extrap(pp_lknee), interp_extrap(pp_alpha))
+
+
+def getAtmosphere(beamFWHMArcmin=None, returnFunctions=False):
+    """Reference-signature alias for :func:`get_atmosphere`
+    (``orphics/cosmology.py:1173``): accepts the reference's kwarg
+    spellings and, with ``returnFunctions=True``, returns the four
+    callables ``(lknee_T(b), alpha_T(b), lknee_P(b), alpha_P(b))``
+    instead of values at a specific beam."""
+    if beamFWHMArcmin is None:
+        assert returnFunctions, "need a beam FWHM or returnFunctions=True"
+    if not returnFunctions:
+        return get_atmosphere(beamFWHMArcmin)
+    return (lambda b: get_atmosphere(b)[0],
+            lambda b: get_atmosphere(b)[1],
+            lambda b: get_atmosphere(b)[2],
+            lambda b: get_atmosphere(b)[3])
 
 
 def ivar(geom: Geometry, noise_muK_arcmin, ipsizemap=None):

@@ -92,7 +92,7 @@ def scov_from_theory(geom_stamp: Geometry, theory, beam_fn=None,
     """Signal stamp covariance from a TheorySpectra + beam function
     (reference ``pixcov.py:117``), flattened to component-major
     (ncomp n^2, ncomp n^2)."""
-    modlmap = geom_stamp.modlmap(jnp.float64)
+    modlmap = geom_stamp.modlmap_np()
     ells = np.arange(theory.lpad + 1)
 
     def cl2d(spec):
@@ -257,7 +257,7 @@ def inpaint(imap, coords_pix, geom: Geometry, theory, beam_fn,
     # hole/context selection from the STAMP's own (possibly
     # anisotropic) physical distance map, so the partition and the
     # covariance agree for dy != dx geometries
-    m1, m2 = get_regions(ncomp, np.asarray(gstamp.modrmap(jnp.float64)),
+    m1, m2 = get_regions(ncomp, gstamp.modrmap_np(),
                          hole_radius_arcmin * arcmin)
     coords_pix = np.asarray(coords_pix)
     # skip sources whose context stamp would overlap the map edge:
@@ -427,7 +427,7 @@ def pcov_from_ivar(n, ivar_stamp, theory_fn, beam_fn, geom_stamp: Geometry,
     with np.errstate(divide="ignore"):
         var = 1.0 / ivar
     var[~np.isfinite(var)] = 1.0 / ivar[ivar > 0].max()
-    modlmap = np.asarray(geom_stamp.modlmap(jnp.float64))
+    modlmap = geom_stamp.modlmap_np()
     cmb2d = np.zeros((3, 3, n, n))
     for i, s in enumerate(("TT", "EE", "BB")):
         cmb2d[i, i] = theory_fn(s, modlmap)
@@ -452,7 +452,7 @@ def tpcov_from_ivar(n, ivar_stamp, theory_fn, beam_fn,
     with np.errstate(divide="ignore"):
         var = 1.0 / ivar
     var[~np.isfinite(var)] = 1.0 / ivar[ivar > 0].max()
-    modlmap = np.asarray(geom_stamp.modlmap(jnp.float64))
+    modlmap = geom_stamp.modlmap_np()
     cmb2d = np.zeros((1, 1, n, n))
     cmb2d[0, 0] = theory_fn("TT", modlmap)
     tcov = stamp_pixcov_from_theory(geom_stamp, jnp.asarray(cmb2d),
@@ -475,7 +475,7 @@ def cinv_inpaint(imap, geom: Geometry, mask=None, lpower_total=None,
         mask = np.asarray(mask, bool).reshape(-1)
         m1 = np.where(mask)[0]
         m2 = np.where(~mask)[0]
-        p2d = np.interp(np.asarray(geom.modlmap(jnp.float64)),
+        p2d = np.interp(geom.modlmap_np(),
                         np.arange(len(lpower_total)), lpower_total)
         pcov = ps2d_to_mat(jnp.asarray(p2d), geom)
         covsqrt, meanmul = make_geometry(pcov, jnp.asarray(m1),

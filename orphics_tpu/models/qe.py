@@ -106,7 +106,7 @@ class QE:
                 "passed would be silently ignored otherwise)")
         self.field_masks = None if field_masks is None else {
             k: jnp.asarray(v, dtype) for k, v in field_masks.items()}
-        modlmap = geom.modlmap(jnp.float64)
+        modlmap = geom.modlmap_np()
         ells = np.arange(theory.lpad + 1)
         self.cl2d = {}
         for spec in ("TT", "EE", "BB", "TE"):
@@ -677,7 +677,7 @@ def lensing_noise_2d(geom: Geometry, theory, beam_arcmin, noise_t_uk_arcmin,
     """
     if noise_p_uk_arcmin is None:
         noise_p_uk_arcmin = np.sqrt(2.0) * noise_t_uk_arcmin
-    modlmap = geom.modlmap(jnp.float64)
+    modlmap = geom.modlmap_np()
     ells = np.arange(theory.lpad + 1)
     b2 = np.asarray(F.gauss_beam(modlmap, beam_arcmin)) ** 2
     out = {}
@@ -697,7 +697,7 @@ class NlGenerator:
     def __init__(self, geom: Geometry, theory, bin_edges, dtype=jnp.float32):
         self.geom = geom
         self.theory = theory
-        self.binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), bin_edges)
+        self.binner = Bin2D(geom.modlmap_np(), bin_edges)
         self.dtype = dtype
         self._qe = None
 

@@ -8,13 +8,18 @@ __all__ = ["vectorized_bisection_search"]
 
 
 def vectorized_bisection_search(x, inv_func, ybounds, monotonicity,
-                                rtol=1e-4, max_iter=200):
+                                rtol=1e-4, max_iter=200, verbose=False,
+                                hang_check_num_iter=None):
     """Find y(x) given the inverse x(y) by elementwise bisection.
 
     Jittable: a ``lax.while_loop`` over the whole vector with a hard
     iteration cap replaces the reference's Python loop + hang warning
-    (``algorithms.py:32``).
+    (``algorithms.py:32``). ``verbose`` and ``hang_check_num_iter`` are
+    accepted for reference call-compatibility (``algorithms.py:4``); the
+    hang check is subsumed by ``max_iter``.
     """
+    if hang_check_num_iter is not None:
+        max_iter = max(max_iter, 10 * hang_check_num_iter)
     if monotonicity not in ("increasing", "decreasing"):
         raise ValueError(monotonicity)
     inc = monotonicity == "increasing"

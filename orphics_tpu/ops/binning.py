@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Bin2D", "bin1d", "bin_in_annuli"]
+__all__ = ["Bin2D", "bin1d", "bin1D", "bin_in_annuli"]
 
 
 def _default_strategy():
@@ -243,6 +243,33 @@ def bin1d(x, y, bin_edges):
     with np.errstate(invalid="ignore", divide="ignore"):
         means = sums / cnts
     return cents, means
+
+
+class bin1D:
+    """Reference-shaped 1D binner (``orphics/stats.py:815``): constructed
+    with bin edges, ``bin(x, y, stat)`` returns (centers, binned). Host
+    numpy via scipy ``binned_statistic`` — used for theory curves, not on
+    the device hot path (that is :class:`Bin2D`)."""
+
+    def __init__(self, bin_edges):
+        self.update_bin_edges(bin_edges)
+
+    def update_bin_edges(self, bin_edges):
+        self.bin_edges = np.asarray(bin_edges)
+        self.numbins = len(bin_edges) - 1
+        self.cents = (self.bin_edges[:-1] + self.bin_edges[1:]) / 2.0
+        self.bin_edges_min = self.bin_edges.min()
+        self.bin_edges_max = self.bin_edges.max()
+
+    def bin(self, ix, iy, stat=np.nanmean):
+        from scipy.stats import binned_statistic
+        x = np.asarray(ix).copy()
+        y = np.asarray(iy).astype(float).copy()
+        y[x < self.bin_edges_min] = 0
+        y[x > self.bin_edges_max] = 0
+        means = binned_statistic(x, y, bins=self.bin_edges,
+                                 statistic=stat)[0]
+        return self.cents, means
 
 
 def bin_in_annuli(data2d, modrmap, bin_edges):

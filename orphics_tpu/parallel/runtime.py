@@ -86,8 +86,10 @@ def get_mesh(shape=None, axis_names=("sims", "grid"), devices=None) -> Mesh:
 
 def mpi_distribute(num_tasks: int, num_cores: int, allow_empty: bool = False):
     """Contiguous task chunking with the remainder on the *last* ranks —
-    same assignment policy as reference ``orphics/mpi.py:78`` (rank 0 is
-    never overloaded). Returns a list of task-index lists per core."""
+    same assignment policy AND return signature as reference
+    ``orphics/mpi.py:78`` (rank 0 is never overloaded). Returns
+    ``(num_each, task_dist)``: a per-core count array and a list of
+    task-index lists per core."""
     if not allow_empty:
         assert num_cores <= num_tasks, "fewer tasks than cores"
     base = num_tasks // num_cores
@@ -97,7 +99,7 @@ def mpi_distribute(num_tasks: int, num_cores: int, allow_empty: bool = False):
     for c in counts:
         out.append(list(range(start, start + c)))
         start += c
-    return out
+    return np.asarray(counts), out
 
 
 def distribute(nsims: int, key=None, mesh: Optional[Mesh] = None):

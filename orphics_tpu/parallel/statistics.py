@@ -256,23 +256,36 @@ class Stats(Statistics):
         for k, v in self.state.items():
             if v.ss is None:
                 continue
+            cov = np.asarray(v.cov())
+            err = np.sqrt(np.diag(cov))
+            n = int(v.n)
+            # reference key set/semantics (``orphics/stats.py:859``):
+            # err = per-sample scatter, errmean = standard error of mean
             self.stats[k] = {
                 "mean": np.asarray(v.mean()),
-                "cov": np.asarray(v.cov()),
+                "cov": cov,
+                "covmean": cov / n,
                 "corr": np.asarray(v.corr()),
-                "err": np.asarray(v.err()),
-                "N": int(v.n),
+                "err": err,
+                "errmean": err / np.sqrt(n),
+                "N": n,
             }
         return self.stats
 
 
 def get_stats(binned_vectors):
-    """mean/cov/corr/err of a (nsamples, dim) array — reference
-    ``orphics/stats.py:859``."""
+    """mean/cov/covmean/err/errmean/corr of a (nsamples, dim) array —
+    same keys and semantics as reference ``orphics/stats.py:859``:
+    ``err`` is the per-sample scatter sqrt(diag cov) and ``errmean`` is
+    the standard error of the mean err/sqrt(N)."""
     x = jnp.asarray(binned_vectors)
     st = SuffStats.zeros(x.shape[-1], dtype=x.dtype).add(x)
-    return {"mean": st.mean(), "cov": st.cov(), "corr": st.corr(),
-            "err": st.err(), "N": int(st.n)}
+    n = int(st.n)
+    cov = st.cov()
+    err = jnp.sqrt(jnp.diag(cov))
+    return {"mean": st.mean(), "cov": cov, "covmean": cov / n,
+            "err": err, "errmean": err / np.sqrt(n),
+            "corr": st.corr(), "N": n}
 
 
 def dump_stats(stats: "Statistics", path: str):

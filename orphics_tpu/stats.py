@@ -1,5 +1,5 @@
 """Facade mirroring reference ``orphics.stats``."""
-from .ops.binning import Bin2D, RfftBin2D, bin1d, bin_in_annuli
+from .ops.binning import Bin2D, RfftBin2D, bin1d, bin1D, bin_in_annuli
 from .parallel.statistics import SuffStats, Statistics, Stats, get_stats
 from .utils.fitting import (fit_linear_model, fit_linear_model_pte_from_sims,
                             fit_cltt_power,
@@ -14,6 +14,5 @@ from .utils.plot import corner_plot
 
 # reference-compatible aliases
 bin2D = Bin2D
-bin1D = bin1d
 from .utils.fitting import InverseTransformSampling2D, eig_analyze
 from .parallel.statistics import load_stats

@@ -164,18 +164,25 @@ def fit_gauss(x, y, mu_guess=None, sigma_guess=None):
     return popt[0], abs(popt[1]), ynorm, yn
 
 
-def get_sigma2(ells, cls, w0, fsky, ell0=0, alpha=1, beam=0.0):
-    """Knox per-ell variance of a TT spectrum with white+red noise
-    (reference ``stats.py:133``)."""
-    from ..ops.fourier import gauss_beam
+def get_sigma2(ells, cls, w0, delta_ells, fsky, ell0=0, alpha=1,
+               w0p=None, ell0p=0, alphap=1, clxx=None, clyy=None):
+    """Knox per-bandpower variance of an auto or cross spectrum with
+    atmospheric (red) noise — same signature and semantics as reference
+    ``stats.py:133``: the noise term is the red component alone
+    ``(w0 rad)^2 (ell0/l)^{-alpha}`` (zero when ``ell0`` is), and the
+    result is divided by the bandpower width ``delta_ells``."""
     from ..geometry import arcmin
-    ells = np.asarray(ells)
-    sw0 = w0 * arcmin
-    nl = sw0 ** 2 * (1 + (np.where(ells > 0, ell0 / np.where(ells == 0, 1, ells), 0)) ** alpha
-                     if ell0 > 1e-3 else 1.0)
-    nl = nl / np.asarray(gauss_beam(ells, beam)) ** 2 if beam > 0 else nl
-    tot = np.asarray(cls) + nl
-    return 2.0 * tot ** 2 / (2 * ells + 1) / fsky
+    ells = np.asarray(ells, dtype=float)
+    afact = ((ell0 / ells) ** (-alpha)) if ell0 > 1e-3 else 0.0 * ells
+    nlxx = (w0 * arcmin) ** 2 * afact
+    if clxx is not None:
+        afact = ((ell0p / ells) ** (-alphap)) if ell0 > 1e-3 else 0.0 * ells
+        nlyy = (w0p * arcmin) ** 2 * afact
+        tcl2 = np.asarray(cls) ** 2 + (clxx + nlxx) * (clyy + nlyy)
+    else:
+        assert clyy is None and w0p is None
+        tcl2 = 2.0 * (np.asarray(cls) + nlxx) ** 2
+    return tcl2 / (2 * ells + 1) / fsky / delta_ells
 
 
 # ------------------------------------------------------------------
@@ -262,7 +269,7 @@ def sm_update(Ainv, u, v=None):
     Ainv = jnp.asarray(Ainv)
     u = jnp.asarray(u).reshape(-1, 1)
     v = u if v is None else jnp.asarray(v).reshape(-1, 1)
-    ldot = float(v.T @ (Ainv @ u))
+    ldot = float(jnp.squeeze(v.T @ (Ainv @ u)))
     det_update = 1.0 + ldot
     ans = Ainv - (Ainv @ (u @ v.T) @ Ainv) / det_update
     return ans, det_update
@@ -277,7 +284,8 @@ class CinvUpdater:
         self.logdets = logdets
         u = jnp.asarray(profile).reshape(-1, 1)
         self.update_unnormalized = [c @ (u @ u.T) @ c for c in self.cinvs]
-        self.det_unnormalized = [float(u.T @ (c @ u)) for c in self.cinvs]
+        self.det_unnormalized = [float(jnp.squeeze(u.T @ (c @ u)))
+                                 for c in self.cinvs]
 
     def get_cinv(self, index, amplitude):
         det_update = 1.0 + amplitude ** 2 * self.det_unnormalized[index]

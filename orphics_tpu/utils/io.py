@@ -50,14 +50,25 @@ def load_pickle(fname):
 
 # ---- hashing (reference io.py:120-130) --------------------------------
 
-def get_hash(arr):
-    return hashlib.md5(np.ascontiguousarray(np.asarray(arr)).tobytes()).hexdigest()
+def get_hash(arr_or_path):
+    """MD5 hex digest. Given a path to an existing file, hashes the file
+    contents — byte-identical to reference ``io.py:120`` ``get_hash``.
+    Given an array, hashes its contiguous buffer (an extension the
+    reference does not have)."""
+    if isinstance(arr_or_path, (str, os.PathLike)) and os.path.isfile(arr_or_path):
+        with open(arr_or_path, "rb") as f:
+            return hashlib.md5(f.read()).hexdigest()
+    return hashlib.md5(
+        np.ascontiguousarray(np.asarray(arr_or_path)).tobytes()).hexdigest()
 
 
 def hash_dict(d):
-    items = sorted((str(k), get_hash(np.asarray(v)) if hasattr(v, "__len__")
-                    else str(v)) for k, v in d.items())
-    return hashlib.md5(str(items).encode()).hexdigest()
+    """Order-independent dict hash — same algorithm as reference
+    ``io.py:130`` (sha256 of compact sorted-key JSON), so digests are
+    directly comparable across the two codebases."""
+    import json
+    serialized = json.dumps(d, sort_keys=True, separators=(",", ":"))
+    return hashlib.sha256(serialized.encode("utf-8")).hexdigest()
 
 
 def mkdir(dirpath, comm=None):
@@ -84,12 +95,15 @@ def config_from_yaml(fname):
 
 
 def config_from_file(fname):
-    """INI file -> nested dict (reference io.py:257)."""
+    """INI file -> ConfigParser (reference io.py:257). Supports both the
+    reference's ``Config.get(section, name)``/``getfloat`` API and
+    mapping access ``config[section][name]``."""
     import configparser
+    assert os.path.isfile(fname)
     cp = configparser.ConfigParser()
     cp.optionxform = str
     cp.read(fname)
-    return {s: dict(cp[s]) for s in cp.sections()}
+    return cp
 
 
 def load_path_config(fname=None):

@@ -91,14 +91,14 @@ def test_pow2cat_correlation():
         return cross, autd, autk
 
     from orphics_tpu.ops.binning import Bin2D
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)),
+    binner = Bin2D(geom.modlmap_np(),
                    np.arange(200, 1200, 200.0))
     keys = jax.random.split(jax.random.PRNGKey(1), nsims)
     cr, ad, ak = jax.vmap(one)(keys)
     _, crb = binner.bin(jnp.asarray(np.asarray(cr).mean(axis=0)))
     _, akb = binner.bin(jnp.asarray(np.asarray(ak).mean(axis=0)))
     _, thkg = binner.bin(jnp.asarray(np.interp(
-        np.asarray(geom.modlmap(jnp.float64)), ells, clkg)))
+        geom.modlmap_np(), ells, clkg)))
     ratio = np.asarray(crb) / np.asarray(thkg)
     assert np.all(np.abs(ratio - 1) < 0.3), ratio
 

@@ -80,7 +80,7 @@ def test_lensed_sims_power(geom, th):
     fls = lensing.FlatLensingSims(geom, th, beam_arcmin=0.0,
                                   noise_uk_arcmin=0.0, lens_order=5)
     edges = np.arange(400, 3000, 200.0)
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    binner = Bin2D(geom.modlmap_np(), edges)
     norm = geom.area / geom.npix ** 2
 
     @jax.jit
@@ -99,7 +99,7 @@ def test_lensed_sims_power(geom, th):
     mean = p1ds.mean(axis=0)
     err = p1ds.std(axis=0, ddof=1) / np.sqrt(nsims)
     ells = np.arange(th.lpad + 1)
-    ml = jnp.asarray(np.asarray(geom.modlmap(jnp.float64)))
+    ml = jnp.asarray(geom.modlmap_np())
     lcl = np.asarray(binner.bin(jnp.asarray(np.interp(
         np.asarray(ml), ells, np.asarray(th.lCl("TT", ells)))))[1])
     ucl = np.asarray(binner.bin(jnp.asarray(np.interp(
@@ -130,7 +130,7 @@ def test_qe_cross_ratio(geom, th, est):
     kmask = F.mask_kspace(geom, lmin=40, lmax=500)
     q = qe.QE(geom, th, ctot, xmask=xmask, kmask=kmask, dtype=jnp.float64)
     edges = np.arange(60, 480, 80.0)
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    binner = Bin2D(geom.modlmap_np(), edges)
     kbeam = F.gauss_beam(geom.modlmap(jnp.float64), beam)
     norm = geom.area / geom.npix ** 2
 
@@ -180,7 +180,7 @@ def test_n0_matches_recon_power(geom, th):
     kmask = F.mask_kspace(geom, lmin=40, lmax=600)
     q = qe.QE(geom, th, ctot, xmask=xmask, kmask=kmask, dtype=jnp.float64)
     edges = np.arange(80, 560, 80.0)
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    binner = Bin2D(geom.modlmap_np(), edges)
     kbeam = F.gauss_beam(geom.modlmap(jnp.float64), beam)
     norm = geom.area / geom.npix ** 2
     # unlensed (Gaussian, lensed-spectrum) sims with the same total power

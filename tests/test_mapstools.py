@@ -76,7 +76,7 @@ def test_pure_b_leakage_suppression(geom, th):
     window = window.astype(jnp.float64)
     pur = mt.Purify(geom, window)
     edges = np.arange(300, 2500, 200.0)
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    binner = Bin2D(geom.modlmap_np(), edges)
     norm = geom.area / geom.npix ** 2
 
     @jax.jit
@@ -106,7 +106,7 @@ def test_inpaint_cg_constrained_realization(geom, th):
     noise = 1e-4 * cltt.max()
     p2d = F.interp1d_to_2d(ells, cltt, geom, dtype=jnp.float64) + noise
     mgen = grf.MapGen(geom, (cltt + noise)[None, None], dtype=jnp.float64)
-    modr = np.asarray(geom.modrmap(jnp.float64))
+    modr = geom.modrmap_np()
     mask = jnp.asarray((modr > 10 * arcmin).astype(np.float64))
 
     @jax.jit
@@ -121,7 +121,7 @@ def test_inpaint_cg_constrained_realization(geom, th):
         return ((kf.conj() * kf).real * norm, (ko.conj() * ko).real * norm)
 
     edges = np.arange(300, 2500, 300.0)
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    binner = Bin2D(geom.modlmap_np(), edges)
     nsims = 8
     pf, po = jax.vmap(one)(jax.random.split(jax.random.PRNGKey(3), nsims))
     _, bf = binner.bin(jnp.asarray(np.asarray(pf).mean(axis=0)))
@@ -166,7 +166,7 @@ def test_gapfill_smooth(geom, th):
     cltt = np.asarray(th.lCl("TT", ells))
     mgen = grf.MapGen(geom, cltt[None, None], dtype=jnp.float64)
     imap = mgen.get_map(jax.random.PRNGKey(6))
-    modr = np.asarray(geom.modrmap(jnp.float64))
+    modr = geom.modrmap_np()
     badmask = jnp.asarray(modr < 8 * arcmin)
     filled = mt.gapfill_edge_conv_flat(imap, badmask, geom)
     # good region untouched; hole values within the map's range
@@ -286,7 +286,7 @@ class TestMapsTail:
         assert m.sum() == 10.0  # delta amplitudes, no beam
 
     def test_get_ecc_circle_vs_ellipse(self, geom64):
-        r = np.asarray(geom64.modrmap(jnp.float64))
+        r = geom64.modrmap_np()
         circ = np.exp(-(r / (10 * ARC)) ** 2)
         assert mt.get_ecc(circ) < 0.05
         yy = np.asarray(geom64.lmap(jnp.float64)[0]) * 0 + \
@@ -342,7 +342,7 @@ class TestMapsTail:
         ps = 1.0 / (ells + 10.0)
         p2d = np.asarray(mt.spec1d_to_2d(geom64, ps,
                                                 dtype=jnp.float64))
-        ml = np.asarray(geom64.modlmap(jnp.float64))
+        ml = geom64.modlmap_np()
         want = np.interp(ml, ells, ps)
         sel = ml < 2500
         np.testing.assert_allclose(p2d[sel], want[sel], rtol=1e-3)

@@ -13,12 +13,14 @@ from orphics_tpu.parallel import (SuffStats, Statistics, get_stats, get_mesh,
 
 
 def test_mpi_distribute_policy():
-    """Remainder goes to the last ranks (reference orphics/mpi.py:83)."""
-    chunks = mpi_distribute(10, 4)
+    """Remainder goes to the last ranks (reference orphics/mpi.py:83);
+    return signature is the reference's (num_each, task_dist) tuple."""
+    counts, chunks = mpi_distribute(10, 4)
+    assert list(counts) == [2, 2, 3, 3]
     assert [len(c) for c in chunks] == [2, 2, 3, 3]
     assert sum(chunks, []) == list(range(10))
-    chunks = mpi_distribute(8, 4)
-    assert [len(c) for c in chunks] == [2, 2, 2, 2]
+    counts, chunks = mpi_distribute(8, 4)
+    assert list(counts) == [2, 2, 2, 2]
 
 
 def test_suffstats_mean_cov_closed_form():
@@ -101,7 +103,10 @@ def test_get_stats_dict():
     x = rng.standard_normal((50, 3))
     d = get_stats(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(d["mean"]), x.mean(axis=0), rtol=1e-4, atol=1e-6)
+    # reference semantics: err = per-sample scatter, errmean = SEM
     np.testing.assert_allclose(np.asarray(d["err"]),
+                               x.std(axis=0, ddof=1), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d["errmean"]),
                                x.std(axis=0, ddof=1) / np.sqrt(50), rtol=1e-3)
 
 
@@ -341,7 +346,7 @@ class TestGridSharding:
         taper, _ = get_taper(geom, taper_percent=12.0)
         taper = np.asarray(taper, np.float32)
         edges = np.arange(80, 8000, 400.0)
-        ml = np.asarray(geom.modlmap(jnp.float64))
+        ml = geom.modlmap_np()
         dig = np.digitize(ml, edges).astype(np.int32)
         dig[dig == len(edges)] = 0          # overflow -> out of range
         nbins = len(edges) - 1

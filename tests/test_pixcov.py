@@ -89,7 +89,7 @@ def test_inpaint_full_pipeline_statistics(th):
 
     from orphics_tpu.ops.binning import Bin2D
     edges = np.arange(300, 3000, 300.0)
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    binner = Bin2D(geom.modlmap_np(), edges)
     from orphics_tpu.models.noise import white_noise
 
     def one(key):

@@ -73,7 +73,7 @@ class TestKappaTTPallas:
         zi = jnp.asarray(Z.imag[:, perm][:, :, perm].astype(np.float32))
         our, oui = q.kappa_tt_pallas(zr, zi, interpret=True)
         p_pp = (our ** 2 + oui ** 2) * norm
-        ml = np.asarray(geom.modlmap(jnp.float64))[perm][:, perm]
+        ml = geom.modlmap_np()[perm][:, perm]
         dig = np.digitize(ml, edges).astype(np.int32)
         dig[dig == len(edges)] = 0
         nseg = len(edges)  # nbins + 1 segments incl out-of-range 0

@@ -239,7 +239,7 @@ class TestLensingTail:
         from orphics_tpu.ops import fourier as F
         from orphics_tpu.ops.binning import Bin2D
         from orphics_tpu.geometry import arcmin
-        b2 = Bin2D(np.asarray(geom.modrmap(jnp.float64)),
+        b2 = Bin2D(geom.modrmap_np(),
                    np.asarray(edges) * arcmin)
         _, p2h = b2.bin(F.kfilter(
             k2h_unit, F.mask_kspace(geom, lmin=200, lmax=6000), geom))
@@ -310,7 +310,7 @@ class TestPixcovTail:
         d0 = float(pc[0, 0, 5, 5] - tp[0, 0, 5, 5])
         assert abs(d0) < 1e-8  # same TT block
         m1, m2 = pixcov.get_regions(
-            1, np.asarray(gs.modrmap(jnp.float64)), 6 * arcmin)
+            1, gs.modrmap_np(), 6 * arcmin)
         st = pixcov.paste(jnp.zeros((n, n)), m1, jnp.ones(len(m1)))
         assert float(st.sum()) == len(m1)
 

@@ -303,3 +303,40 @@ def test_fits_logical_and_tzero_columns(tmp_path):
     assert out["FLAG"].dtype == bool
     assert list(out["FLAG"]) == flags
     assert list(out["UID"]) == uids
+
+
+class TestPlanckLensingAlms:
+    def test_load_mv_alms_roundtrip(self, tmp_path):
+        """load_mv_alms reads a healpy-format alm bintable (index =
+        l^2+l+m+1) into healpy triangular ordering with the reference's
+        [lmin, lmax] band-limit (interfaces.py:286-291)."""
+        from orphics_tpu.utils import fitsio
+        from orphics_tpu.interfaces import PlanckLensing
+        rng = np.random.default_rng(0)
+        lmax_file = 32
+        ls, ms = [], []
+        for m in range(lmax_file + 1):
+            for l in range(m, lmax_file + 1):
+                ls.append(l); ms.append(m)
+        ls = np.asarray(ls); ms = np.asarray(ms)
+        idx = ls * ls + ls + ms + 1
+        re_ = rng.standard_normal(len(ls))
+        im_ = rng.standard_normal(len(ls))
+        d = tmp_path / "MV"
+        d.mkdir()
+        fitsio.write_bintable(str(d / "dat_klm.fits"),
+                              {"index": idx.astype(np.int64),
+                               "real": re_, "imag": im_})
+        pl = PlanckLensing(root=str(tmp_path))
+        alm = pl.load_mv_alms(lmin=8, lmax=24)
+        out_lmax = 24
+        assert alm.shape == ((out_lmax + 1) * (out_lmax + 2) // 2,)
+        # spot-check a few (l, m) against the healpy triangular index
+        for (l, m) in [(8, 0), (12, 5), (24, 24), (20, 3)]:
+            tri = m * (2 * out_lmax + 1 - m) // 2 + l
+            src = np.where((ls == l) & (ms == m))[0][0]
+            assert alm[tri] == re_[src] + 1j * im_[src]
+        # band limit: l < 8 and l > 24 are zero
+        for (l, m) in [(2, 0), (7, 7)]:
+            tri = m * (2 * out_lmax + 1 - m) // 2 + l
+            assert alm[tri] == 0

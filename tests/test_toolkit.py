@@ -94,7 +94,7 @@ def test_noise_from_splits_recovers_noise(geom, th):
     mgen = grf.MapGen(geom, cltt[None, None])
     noise_level = 20.0
     edges = np.arange(300, 4000, 300.0)
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    binner = Bin2D(geom.modlmap_np(), edges)
 
     @jax.jit
     def sim(key):
@@ -133,7 +133,7 @@ def test_split_calc_consistency(geom, th):
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5)
     # both estimators should agree on average within noise scatter
     edges = np.arange(500, 3500, 500.0)
-    binner = Bin2D(np.asarray(geom.modlmap(jnp.float64)), edges)
+    binner = Bin2D(geom.modlmap_np(), edges)
     _, b1 = binner.bin(c1)
     _, b2 = binner.bin(c2)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=0.2, atol=1e-8)

@@ -93,7 +93,7 @@ class TestOnChipFFT:
         from orphics_tpu.ops.binning import Bin2D
         n = 512
         geom = _geom(n)
-        ml = np.asarray(geom.modlmap(jnp.float64))
+        ml = geom.modlmap_np()
         edges = np.arange(100, 4000, 100.0)
         data = jax.random.normal(jax.random.PRNGKey(3), (4, n, n),
                                  jnp.float32) ** 2
@@ -125,7 +125,7 @@ class TestSpectralRecovery:
         # expectation = annulus mean of the 2D theory (NOT theory at the
         # bin center: for steep spectra those differ by several %)
         from orphics_tpu.ops.binning import Bin2D
-        ml = np.asarray(geom.modlmap(jnp.float64))
+        ml = geom.modlmap_np()
         cl2d = np.interp(ml, ells, cltt)
         _, thb = Bin2D(ml, edges, strategy="rowcum").bin(jnp.asarray(cl2d))
         ratio = mean / np.asarray(thb)
