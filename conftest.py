@@ -41,9 +41,37 @@ def pytest_configure(config):
         "markers",
         "tpu: requires a real TPU chip (run: ORPHICS_TPU_TESTS=1 "
         "python -m pytest tests/ -m tpu -q)")
+    config.addinivalue_line(
+        "markers", "slow: multi-process / large-shape tests")
+    config.addinivalue_line(
+        "markers",
+        "quick: fast regression tier (python -m pytest tests/ -m quick)")
+
+
+# Known-heavy tests that must not represent their module in the quick
+# tier (jit-compile-bound or large-shape).
+_QUICK_EXCLUDE = (
+    "4096", "multichip", "two_process", "example_runs", "checkpoint",
+    "lensed_cls", "roundtrip_lmax", "pallas",
+)
 
 
 def pytest_collection_modifyitems(config, items):
+    # `-m quick` regression tier: the first non-slow, non-tpu test of
+    # every module is auto-marked quick (plus anything explicitly
+    # marked). One test per module keeps the tier under ~2 min.
+    seen = set()
+    for it in items:
+        mod = getattr(it, "module", None)
+        name = getattr(mod, "__name__", None)
+        if name is None or name in seen:
+            continue
+        if "slow" in it.keywords or "tpu" in it.keywords:
+            continue
+        if any(tok in it.name.lower() for tok in _QUICK_EXCLUDE):
+            continue
+        seen.add(name)
+        it.add_marker(pytest.mark.quick)
     if RUN_TPU:
         skip = pytest.mark.skip(
             reason="CPU-mesh test skipped in ORPHICS_TPU_TESTS mode")

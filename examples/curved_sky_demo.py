@@ -27,8 +27,9 @@ from orphics_tpu.models import theory, curved
 from orphics_tpu.ops import sht
 from orphics_tpu.ops import alm as almops
 
-lmax = 255
-nsims = 16
+_QUICK = __import__("os").environ.get("ORPHICS_TPU_EXAMPLE_QUICK") == "1"
+lmax = 63 if _QUICK else 255
+nsims = 4 if _QUICK else 16
 rings = sht.gauss_legendre_rings(lmax)
 th = theory.default_theory()
 ells = np.arange(lmax + 1)

@@ -25,8 +25,9 @@ from orphics_tpu import maps, io
 from orphics_tpu.models import theory, grf
 from orphics_tpu.stats import bin2D
 
-nsims = 64
-geom = maps.rect_geometry(width_deg=20.0, px_res_arcmin=2.0)
+_QUICK = __import__("os").environ.get("ORPHICS_TPU_EXAMPLE_QUICK") == "1"
+nsims = 8 if _QUICK else 64
+geom = maps.rect_geometry(width_deg=5.0 if _QUICK else 20.0, px_res_arcmin=2.0)
 th = theory.default_theory()
 ells = np.arange(th.lpad + 1)
 cltt = np.asarray(th.lCl("TT", ells))

@@ -37,7 +37,8 @@ print(f"mesh: {dict(mesh.shape)} on {ndev} {jax.default_backend()} "
       f"device(s)")
 
 # a 2048^2 CMB map (rows divide the grid axis; >=4096^2 on real chips)
-N = 2048
+_QUICK = __import__("os").environ.get("ORPHICS_TPU_EXAMPLE_QUICK") == "1"
+N = 512 if _QUICK else 2048
 res = 0.5  # arcmin
 geom = rect_geometry(width_arcmin=N * res, px_res_arcmin=res)
 th = theory.default_theory()

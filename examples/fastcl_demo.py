@@ -30,7 +30,8 @@ from orphics_tpu.models.fastcl import FastCl
 from orphics_tpu.ops.windows import get_taper
 
 interpret = jax.default_backend() == "cpu"  # Pallas interpret off-TPU
-n = 512
+_QUICK = __import__("os").environ.get("ORPHICS_TPU_EXAMPLE_QUICK") == "1"
+n = 256 if _QUICK else 512
 geom = rect_geometry(width_arcmin=n * 2.0, px_res_arcmin=2.0)
 th = theory.default_theory()
 ells = np.arange(th.lpad + 1)
@@ -39,7 +40,7 @@ edges = np.arange(100, 4000, 80.0)
 fc = FastCl(geom, ells, cltt, bin_edges=edges, interpret=interpret)
 
 # 1) simulate straight to bandpowers (no map ever returned)
-nsims = 32
+nsims = 8 if _QUICK else 32
 bp = np.asarray(fc.sim_bandpowers(3, nsims))      # int seed: on-chip PRNG
 mean, err = bp.mean(0), bp.std(0, ddof=1) / np.sqrt(nsims)
 

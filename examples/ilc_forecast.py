@@ -29,7 +29,8 @@ beams = np.array([5.1, 2.2, 1.4, 1.0, 0.9, 0.8])
 noises = np.array([36.0, 8.0, 10.0, 22.0, 54.0, 100.0])
 fluxes = np.array([10.0, 7.0, 10.0, 10.0, 10.0, 10.0])
 
-ellmax = 8000
+_QUICK = __import__("os").environ.get("ORPHICS_TPU_EXAMPLE_QUICK") == "1"
+ellmax = 2000 if _QUICK else 8000
 ells = np.arange(2, ellmax)
 th = theory.default_theory()
 cltt = np.asarray(th.lCl("TT", ells))

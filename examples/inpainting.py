@@ -26,7 +26,8 @@ from orphics_tpu.ops import fourier as F
 from orphics_tpu.models import theory, grf
 from orphics_tpu.models.noise import white_noise
 
-geom = maps.rect_geometry(width_deg=8.0, px_res_arcmin=2.0)
+_QUICK = __import__("os").environ.get("ORPHICS_TPU_EXAMPLE_QUICK") == "1"
+geom = maps.rect_geometry(width_deg=4.0 if _QUICK else 8.0, px_res_arcmin=2.0)
 th = theory.default_theory()
 noise_level = 15.0
 beam_fn = lambda ells: F.gauss_beam(ells, 1.4)

@@ -22,7 +22,9 @@ from orphics_tpu import maps, io
 from orphics_tpu.models import theory, qe
 from orphics_tpu.interfaces import PlanckLensing
 
-geom = maps.rect_geometry(width_deg=10.0, px_res_arcmin=1.5)
+_QUICK = __import__("os").environ.get("ORPHICS_TPU_EXAMPLE_QUICK") == "1"
+geom = maps.rect_geometry(width_deg=5.0 if _QUICK else 10.0,
+                          px_res_arcmin=3.0 if _QUICK else 1.5)
 th = theory.default_theory()
 edges = np.arange(40, 2000, 60.0)
 nlg = qe.NlGenerator(geom, th, edges)

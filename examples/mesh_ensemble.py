@@ -39,7 +39,8 @@ print(f"mesh: {dict(mesh.shape)} on {mesh.devices.size} "
       f"{jax.default_backend()} device(s)")
 
 # --- data-parallel ensemble with psum-reduced sufficient statistics ----
-geom = rect_geometry(width_deg=10.0, px_res_arcmin=4.0)
+_QUICK = __import__("os").environ.get("ORPHICS_TPU_EXAMPLE_QUICK") == "1"
+geom = rect_geometry(width_deg=5.0 if _QUICK else 10.0, px_res_arcmin=4.0)
 th = theory.default_theory()
 ells = np.arange(th.lpad + 1)
 cltt = np.asarray(th.lCl("TT", ells))
@@ -54,7 +55,7 @@ def sim(key):
     return {"p1d": binner.bin(p2d)[1]}
 
 
-nsims = 8 * mesh.shape["sims"]
+nsims = (2 if _QUICK else 8) * mesh.shape["sims"]
 st = ensemble_stats(sim, nsims=nsims, key=jax.random.PRNGKey(0),
                     mesh=mesh, chunk=2)
 mean = np.asarray(st["p1d"].mean())
@@ -68,7 +69,7 @@ print(f"{nsims} sims over the mesh: max |mean - theory|/err = "
       f"{np.nanmax(nsig[:-2]):.2f} sigma")
 
 # --- ring-distributed SHT over the same axis --------------------------
-lmax = 64
+lmax = 32 if _QUICK else 64
 rings = sht.gauss_legendre_rings(lmax)
 m = curved_map = np.asarray(
     jax.random.normal(jax.random.PRNGKey(1), rings.shape))

@@ -27,7 +27,8 @@ from orphics_tpu.models import theory, qe
 
 DATA = os.path.join(os.path.dirname(__file__), "..", "orphics_tpu", "data")
 
-geom = rect_geometry(width_arcmin=128 * 8.0, px_res_arcmin=8.0)
+_QUICK = __import__("os").environ.get("ORPHICS_TPU_EXAMPLE_QUICK") == "1"
+geom = rect_geometry(width_arcmin=(64 if _QUICK else 128) * 8.0, px_res_arcmin=8.0)
 th = theory.default_theory()
 edges = np.arange(40, 1000, 60.0)
 gen = qe.NlGenerator(geom, th, edges, dtype=jnp.float64)

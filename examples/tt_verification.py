@@ -29,7 +29,8 @@ from orphics_tpu.ops import fourier as F
 from orphics_tpu.models import theory, lensing, qe
 from orphics_tpu.stats import bin2D
 
-nsims = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+_QUICK = __import__("os").environ.get("ORPHICS_TPU_EXAMPLE_QUICK") == "1"
+nsims = int(sys.argv[1]) if len(sys.argv) > 1 else (8 if _QUICK else 64)
 beam, noise = 1.5, 1.0
 geom = maps.rect_geometry(width_deg=6.4, px_res_arcmin=3.0)  # 128^2
 th = theory.default_theory()
