@@ -59,6 +59,48 @@ the n = -s / +s syntheses of ``a_+`` / ``a_-``), so
 :func:`alm2map_spin_pl` / :func:`map2alm_spin_pl` are two kernel
 launches with n-specific tables plus O(M T) combination arithmetic —
 no (W, X) mixing inside the kernel (cf. ``sht._alm2map_spin_impl``).
+
+North-south FOLD (spin-0 default on symmetric grids): Lambda_lm(pi-th)
+= (-1)^(l+m) Lambda_lm(th), so the recurrence runs over the NORTHERN
+rings only. Analysis contracts the even/odd north-south combinations
+Ge/Go — pre-selected per m-lane parity into two tiles S0/S1 outside
+the kernel, so the kernel just alternates tiles by the STATIC parity
+of the unrolled step (zero extra per-step cost). Synthesis keeps two
+accumulators (north, south-with-sign) per map; the wrapper unfolds.
+On top, a host-static DEAD-TILE table (:func:`_lend_table`) zeroes
+the l-loop for (m-tile, ring-tile) programs entirely below the
+Legendre turning point (l sin th < m, the libsharp/ducc ring skip):
+~14% of tiles / ~6% of remaining work at lmax 2047. Spin transforms
+stay unfolded (the Wigner-d reflection couples n -> -n across the two
+kernel launches; folding them needs a paired launch — future work).
+
+ROOFLINE (measured v5e-1, this kernel, 2026-08):
+  * work: one l-step of the dd recurrence = ~59 VPU ops
+    (3 TwoProd=6 + 3 TwoSum=18 + lo/pe channels=14 + seed injection=6
+    + extended-exponent rescale=14 + weighting=1), + 4 ops/map for the
+    contraction. Step count after fold+_lstart+dead-tiles =
+    ~(lmax+1)^3/4: 2.15e9 per direction at lmax 2047.
+  * measured: 443 ms / roundtrip at lmax 2047 (2.25 rt/s; the scan
+    path's 2 x 2.1 s, round-3 unfolded kernel 1.115 rt/s) ->
+    2 x 2.15e9 x 63 ops / 0.443 s = 6.1e11 VPU ops/s = ~16% of the
+    v5e VPU peak (8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz =
+    3.85e12 fp32 ops/s). Packed batch-16 at lmax 1023: 159 ms
+    roundtrip = 100.6 maps/s (round 3: 61).
+  * NOT HBM-bound: per direction the kernel moves ~160 MB at lmax
+    2047 (6 l-tables + G + out, each read/written once) = ~0.2 ms at
+    819 GB/s, 0.1% of the runtime. The binding constraint is Mosaic's
+    schedule of the select-heavy dd step: 6 dynamic-sublane (1, 128)
+    table-row reads per step, int32 compare/select chains (seed +
+    rescale) that do not dual-issue with fp math, and the cross-
+    sublane sum per (l, map) on the analysis side.
+  * recorded improvement paths, in expected-return order: (1) hot/cold
+    chunk bodies — drop seed+rescale logic (20/63 ops) via lax.cond
+    once the tile's exponent counters quiesce (equatorial tiles spend
+    >90% of steps there); (2) per-(ring, m) first-significant-l bounds
+    (ducc's ring skip, finer than the tile-granular _lend_table);
+    (3) restructure the 3-term recurrence as blocked matrix products
+    to ride the MXU (libsharp's SIMD blocking taken to systolic form —
+    large rewrite, highest ceiling).
 """
 from __future__ import annotations
 
@@ -272,6 +314,165 @@ def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
     outi[...] = out[6]
 
 
+# ---------------------------------------------------------------------
+# North-south folded kernels: Lambda_lm(pi-theta) = (-1)^(l+m)
+# Lambda_lm(theta), so on a symmetric ring grid the recurrence only
+# needs the northern half. The wrapper pre-selects, per m-lane parity,
+# which of the even/odd G combinations each l-parity contracts
+# (S0 for even l, S1 for odd l) — the kernel just alternates between
+# two resident tiles by the STATIC parity of the unrolled step, so the
+# per-step cost is identical to the unfolded kernels while the total
+# (m, ring, l) step count halves.
+# ---------------------------------------------------------------------
+
+def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
+                  lend, S0r, S0i, S1r, S1i, outr, outi, *,
+                  Lp, ttile, mtile):
+    jt = pl.program_id(1)
+
+    @pl.when(jt == 0)
+    def _init():
+        outr[...] = jnp.zeros((Lp, mtile), jnp.float32)
+        outi[...] = jnp.zeros((Lp, mtile), jnp.float32)
+
+    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    g = ((S0r[:], S0i[:]), (S1r[:], S1i[:]))
+    z = jnp.zeros((ttile, mtile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
+
+    def chunk(ic, carry):
+        base = ic * _UNROLL
+        accr = []
+        acci = []
+        for j in range(_UNROLL):
+            carry, lw = _dd_step(base + j, tabs, vals, carry)
+            gr, gi = g[j % 2]               # static: base is even
+            accr.append(jnp.sum(lw * gr, axis=0, keepdims=True))
+            acci.append(jnp.sum(lw * gi, axis=0, keepdims=True))
+        outr[pl.ds(base, _UNROLL), :] = \
+            outr[pl.ds(base, _UNROLL), :] + jnp.concatenate(accr, axis=0)
+        outi[pl.ds(base, _UNROLL), :] = \
+            outi[pl.ds(base, _UNROLL), :] + jnp.concatenate(acci, axis=0)
+        return carry
+
+    jax.lax.fori_loop(_lstart(mtile),
+                      lend[pl.program_id(0), pl.program_id(1)],
+                      chunk, carry0)
+
+
+def _syn_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
+                  lend, sgn0, ar, ai, outNr, outNi, outSr, outSi, *,
+                  Lp, ttile, mtile):
+    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    sg = sgn0[:]                             # (1, mtile): +1 even m, -1 odd
+    z = jnp.zeros((ttile, mtile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32),
+              z, z, z, z)
+
+    def chunk(ic, carry):
+        lam_carry = carry[:5]
+        aNr, aNi, aSr, aSi = carry[5:]
+        base = ic * _UNROLL
+        for j in range(_UNROLL):
+            lam_carry, lw = _dd_step(base + j, tabs, vals, lam_carry)
+            cr = lw * ar[pl.ds(base + j, 1), :]
+            ci = lw * ai[pl.ds(base + j, 1), :]
+            aNr = aNr + cr
+            aNi = aNi + ci
+            # south sign (-1)^(l+m): sgn0 for even l, -sgn0 for odd l
+            if j % 2 == 0:
+                aSr = aSr + sg * cr
+                aSi = aSi + sg * ci
+            else:
+                aSr = aSr - sg * cr
+                aSi = aSi - sg * ci
+        return lam_carry + (aNr, aNi, aSr, aSi)
+
+    out = jax.lax.fori_loop(
+        _lstart(mtile), lend[pl.program_id(0), pl.program_id(1)],
+        chunk, carry0)
+    outNr[...] = out[5]
+    outNi[...] = out[6]
+    outSr[...] = out[7]
+    outSi[...] = out[8]
+
+
+def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
+                   lend, S0r, S0i, S1r, S1i, outr, outi, *,
+                   Lp, ttile, mtile, nmaps):
+    jt = pl.program_id(1)
+
+    @pl.when(jt == 0)
+    def _init():
+        outr[...] = jnp.zeros((nmaps, Lp, mtile), jnp.float32)
+        outi[...] = jnp.zeros((nmaps, Lp, mtile), jnp.float32)
+
+    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    g = ((S0r[:], S0i[:]), (S1r[:], S1i[:]))   # (nmaps, ttile, mtile)
+    z = jnp.zeros((ttile, mtile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
+
+    def chunk(ic, carry):
+        base = ic * _UNROLL
+        accr = []
+        acci = []
+        for j in range(_UNROLL):
+            carry, lw = _dd_step(base + j, tabs, vals, carry)
+            gr, gi = g[j % 2]
+            accr.append(jnp.sum(lw[None] * gr, axis=1, keepdims=True))
+            acci.append(jnp.sum(lw[None] * gi, axis=1, keepdims=True))
+        outr[:, pl.ds(base, _UNROLL), :] = \
+            outr[:, pl.ds(base, _UNROLL), :] + jnp.concatenate(accr, axis=1)
+        outi[:, pl.ds(base, _UNROLL), :] = \
+            outi[:, pl.ds(base, _UNROLL), :] + jnp.concatenate(acci, axis=1)
+        return carry
+
+    jax.lax.fori_loop(_lstart(mtile),
+                      lend[pl.program_id(0), pl.program_id(1)],
+                      chunk, carry0)
+
+
+def _syn_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
+                   lend, sgn0, ar, ai, outNr, outNi, outSr, outSi, *,
+                   Lp, ttile, mtile, nmaps):
+    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    sg = sgn0[:]
+    z = jnp.zeros((ttile, mtile), jnp.float32)
+    zb = jnp.zeros((nmaps, ttile, mtile), jnp.float32)
+    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32),
+              zb, zb, zb, zb)
+
+    def chunk(ic, carry):
+        lam_carry = carry[:5]
+        aNr, aNi, aSr, aSi = carry[5:]
+        base = ic * _UNROLL
+        for j in range(_UNROLL):
+            lam_carry, lw = _dd_step(base + j, tabs, vals, lam_carry)
+            cr = lw[None] * ar[:, pl.ds(base + j, 1), :]
+            ci = lw[None] * ai[:, pl.ds(base + j, 1), :]
+            aNr = aNr + cr
+            aNi = aNi + ci
+            if j % 2 == 0:
+                aSr = aSr + sg[None] * cr
+                aSi = aSi + sg[None] * ci
+            else:
+                aSr = aSr - sg[None] * cr
+                aSi = aSi - sg[None] * ci
+        return lam_carry + (aNr, aNi, aSr, aSi)
+
+    out = jax.lax.fori_loop(
+        _lstart(mtile), lend[pl.program_id(0), pl.program_id(1)],
+        chunk, carry0)
+    outNr[...] = out[5]
+    outNi[...] = out[6]
+    outSr[...] = out[7]
+    outSi[...] = out[8]
+
+
 def _tiles(lmax):
     """m rides the full 128 LANES at every lmax (the l-tables' VMEM
     block is (Lp, 128) regardless of how many m-lanes are live, so
@@ -281,7 +482,7 @@ def _tiles(lmax):
     return 128, 256
 
 
-def _vmem_limit(lmax, nmaps=1):
+def _vmem_limit(lmax, nmaps=1, extra_tm=0):
     """Scoped-VMEM request for one kernel launch: 6 (Lp, 128) fp32
     l-tables + the (nmaps, Lp, 128) x2 alm-side blocks dominate; the
     request doubles that (pipeline double-buffering) plus working
@@ -293,14 +494,22 @@ def _vmem_limit(lmax, nmaps=1):
     budget."""
     Lp = -(-(lmax + 1) // _UNROLL) * _UNROLL
     blocks = (6 + 4 * nmaps) * Lp * 128 * 4
-    need = 2 * blocks + 8 * 1024 * 1024
+    # folded kernels carry extra (nmaps, ttile, 128) ring-side blocks
+    # (ana: S1 input tiles; syn: 4 output accumulators), and Mosaic's
+    # stack accounting includes the full output buffers at small Lp —
+    # measured: (lmax 255, nmaps 5) folded syn needs 19.9M where the
+    # r3 formula granted 17M. Budget the extra blocks double-buffered
+    # plus a larger base headroom whenever the fold is active.
+    blocks += extra_tm * nmaps * 256 * 128 * 4
+    head = (14 if extra_tm else 8) * 1024 * 1024
+    need = 2 * blocks + head
     if need <= 16 * 1024 * 1024:
         return None
     return min(need, 120 * 1024 * 1024)
 
 
-def _cparams(lmax, nmaps=1):
-    lim = _vmem_limit(lmax, nmaps)
+def _cparams(lmax, nmaps=1, extra_tm=0):
+    lim = _vmem_limit(lmax, nmaps, extra_tm)
     return (pltpu.CompilerParams(vmem_limit_bytes=lim)
             if lim is not None else None)
 
@@ -332,14 +541,35 @@ def _prep_raw(lmax, rings, ns):
     return tab, theta, mant, e_np
 
 
-def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0):
+@functools.lru_cache(maxsize=8)
+def _rings_symmetric(rings):
+    """True when the ring grid is north-south symmetric
+    (theta[T-1-i] == pi - theta[i]): Gauss-Legendre and Clenshaw-Curtis
+    grids are, by construction. Symmetric grids take the folded kernels
+    (half the Legendre recurrence work — Lambda_lm(pi - theta) =
+    (-1)^(l+m) Lambda_lm(theta))."""
+    try:
+        th = np.asarray(rings.theta_array(), np.float64)
+    except Exception:
+        return False
+    return bool(np.allclose(th + th[::-1], np.pi, rtol=0, atol=1e-12))
+
+
+def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0, fold=False):
     """Host tables in the kernel layout: l-tables (Lp, Mp) — l on
     sublanes so the per-l row slice is a legal dynamic sublane access —
     ring/seed tiles (Tp, Mp), x as a (Tp, 1) column. ``ns``/``ni``
     select the Wigner n column (spin-s uses ns=(-s, s) with
-    ni = 0 / 1)."""
+    ni = 0 / 1). With ``fold`` the ring tiles cover only the northern
+    half (incl. the equator for odd T) — the folded kernels contract
+    even/odd north-south combinations there."""
     tab, theta, mant, e_np = _prep_raw(lmax, rings, ns)
-    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
+    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile,
+                                         fold=fold)
+    if fold:
+        theta = theta[:T]
+        mant = {ni: mant[ni][:, :T]}
+        e_np = {ni: e_np[ni][:, :T]}
 
     def padlm(A):                           # (L1, M1) -> (Lp, Mp)
         return np.pad(A, ((0, Lp - L1), (0, Mp - M1))).astype(np.float32)
@@ -355,6 +585,7 @@ def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0):
         return np.pad(A.T, ((0, Tp - T), (0, Mp - M1))).astype(dtype)
 
     return dict(
+        lend=_lend_table(lmax, theta, mtile, ttile, Lp, Tp),
         Ah=padlm(A64.astype(np.float32)),
         Bh=padlm(B64.astype(np.float32)),
         Ch=padlm(C64.astype(np.float32)),
@@ -373,30 +604,33 @@ def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0):
     ), L1, M1, Lp, Mp, T, Tp
 
 
-def _prep_shapes(lmax, rings, mtile, ttile):
-    """Shape bookkeeping only (cheap, trace-safe)."""
+def _prep_shapes(lmax, rings, mtile, ttile, fold=False):
+    """Shape bookkeeping only (cheap, trace-safe). With ``fold``, T is
+    the northern-half ring count (equator included for odd totals)."""
     L1 = M1 = lmax + 1
     Lp = -(-L1 // _UNROLL) * _UNROLL
     Mp = -(-M1 // mtile) * mtile
     T = rings.ntheta
+    if fold:
+        T = (T + 1) // 2
     Tp = -(-T // ttile) * ttile
     return L1, M1, Lp, Mp, T, Tp
 
 
 @functools.lru_cache(maxsize=8)
-def _prep_host(lmax, rings, mtile, ttile, ns=(0,), ni=0):
-    host, *_ = _prep(lmax, rings, mtile, ttile, ns, ni)
+def _prep_host(lmax, rings, mtile, ttile, ns=(0,), ni=0, fold=False):
+    host, *_ = _prep(lmax, rings, mtile, ttile, ns, ni, fold)
     return host
 
 
 @functools.lru_cache(maxsize=8)
-def _prep_dev_cached(lmax, rings, mtile, ttile, ns, ni):
+def _prep_dev_cached(lmax, rings, mtile, ttile, ns, ni, fold):
     return {k: jnp.asarray(v)
             for k, v in _prep_host(lmax, rings, mtile, ttile,
-                                   ns, ni).items()}
+                                   ns, ni, fold).items()}
 
 
-def _prep_dev(lmax, rings, mtile, ttile, ns=(0,), ni=0):
+def _prep_dev(lmax, rings, mtile, ttile, ns=(0,), ni=0, fold=False):
     """Device tables, cached so the O(lmax^2) transfer happens once and
     the tables enter compiled programs as arguments, not constants.
     Inside an active trace (the wrapper called under an outer jit),
@@ -405,8 +639,8 @@ def _prep_dev(lmax, rings, mtile, ttile, ns=(0,), ni=0):
     if _sht._tracing_active():
         return {k: jnp.asarray(v)
                 for k, v in _prep_host(lmax, rings, mtile, ttile,
-                                       ns, ni).items()}
-    return _prep_dev_cached(lmax, rings, mtile, ttile, ns, ni)
+                                       ns, ni, fold).items()}
+    return _prep_dev_cached(lmax, rings, mtile, ttile, ns, ni, fold)
 
 
 def supported(lmax, rings, dtype):
@@ -466,26 +700,109 @@ def map2alm_pl(maps, rings, lmax: int, interpret: bool = False):
     """Pallas analysis: (..., ntheta, nphi) fp32 map -> healpy-packed
     alm (parity with :func:`..sht.map2alm` in "full" mode)."""
     mtile, ttile = _tiles(lmax)
-    tabs = _prep_dev(lmax, rings, mtile, ttile)
+    fold = _rings_symmetric(rings)
+    tabs = _prep_dev(lmax, rings, mtile, ttile, fold=fold)
     nalm = (lmax + 1) * (lmax + 2) // 2
     return _batched(
         lambda m: _map2alm_pl_impl(m, tabs, rings=rings, lmax=lmax,
-                                   interpret=interpret),
+                                   interpret=interpret, fold=fold),
         lambda m: _map2alm_pl_b_impl(m, tabs, rings=rings, lmax=lmax,
-                                     interpret=interpret),
+                                     interpret=interpret, fold=fold),
         (_check_f32(jnp.asarray(maps), "maps").astype(jnp.float32),),
         (2,), lmax,
         lambda bshape: jnp.zeros(bshape + (nalm,), jnp.complex64))
 
 
-def _leg_ana(G, tabs, rings, lmax, interpret):
+def _fold_G(G, Tfull, M1):
+    """(..., T, M) -> (S0, S1) on the northern half (equator kept for
+    odd T): S0 is contracted on even-l steps, S1 on odd-l steps. Built
+    from the even/odd north-south combinations Ge/Go with the m-lane
+    parity select folded in (see the folded-kernel comment)."""
+    Th = (Tfull + 1) // 2
+    half = Tfull // 2                       # southern ring count
+    Gn = G[..., :Th, :]
+    Gs = jnp.flip(G[..., Th:, :], axis=-2)  # row i <-> ring Tfull-1-i
+    Ge = jnp.concatenate([Gn[..., :half, :] + Gs, Gn[..., half:, :]],
+                         axis=-2)
+    Go = jnp.concatenate([Gn[..., :half, :] - Gs,
+                          jnp.zeros_like(Gn[..., half:, :])], axis=-2)
+    m_even = (jnp.arange(G.shape[-1]) % 2 == 0)
+    S0 = jnp.where(m_even, Ge, Go)
+    S1 = jnp.where(m_even, Go, Ge)
+    return S0, S1
+
+
+def _unfold_acc(accN, accS, Tfull):
+    """Northern accumulators -> full (..., T, M) ring block: ring
+    T-1-i is the southern accumulator at northern row i."""
+    half = Tfull // 2
+    south = accS[..., half - 1::-1, :] if half else accS[..., :0, :]
+    return jnp.concatenate([accN, south], axis=-2)
+
+
+def _lend_table(lmax, theta, mtile, ttile, Lp, Tp):
+    """(n_im, n_jt) int32 chunk-count table for the dead-tile skip:
+    Lambda_lm(theta) is negligible (Airy decay below the turning point
+    l sin(theta) ~ m) whenever the tile's smallest m exceeds
+    lmax * max(sin theta) by a safety margin, so such (m-tile,
+    ring-tile) programs run ZERO l-chunks — the libsharp/ducc
+    ring-skipping strategy as a host-static loop bound. The margin
+    (2% + 256) keeps the dropped contributions ~< 1e-30, far below the
+    kernel's 2e-7 roundtrip accuracy (pinned by the parity tests)."""
+    th = np.asarray(theta, np.float64)
+    n_im = -(-(lmax + 1) // mtile)
+    n_jt = Tp // ttile
+    nch = Lp // _UNROLL
+    out = np.full((n_im, n_jt), nch, np.int32)
+    for jt in range(n_jt):
+        rows = th[jt * ttile: min((jt + 1) * ttile, len(th))]
+        if len(rows) == 0:
+            out[:, jt] = 0
+            continue
+        sinmax = float(np.max(np.sin(rows)))
+        for im in range(n_im):
+            if im * mtile > lmax * sinmax * 1.02 + 256:
+                out[im, jt] = 0
+    return out
+
+
+def _sgn0_row(Mp):
+    """(1, Mp) +1/-1 by m parity (the south-hemisphere sign for even
+    l; odd l flips it)."""
+    return np.where(np.arange(Mp) % 2 == 0, 1.0, -1.0) \
+        .astype(np.float32).reshape(1, -1)
+
+
+def _leg_ana(G, tabs, rings, lmax, interpret, fold=False):
     """Core Legendre analysis: weighted ring-coefficient matrix
     G (T, M+1) complex -> (L+1, M+1) complex64 a-matrix."""
     mtile, ttile = _tiles(lmax)
-    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
+    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile,
+                                         fold=fold)
+    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
+    if fold:
+        S0, S1 = _fold_G(G, rings.ntheta, M1)
+        ops = [jnp.pad(p, ((0, Tp - T), (0, Mp - M1)))
+               .astype(jnp.float32)
+               for p in (jnp.real(S0), jnp.imag(S0),
+                         jnp.real(S1), jnp.imag(S1))]
+        lendspec = pl.BlockSpec((Mp // mtile, Tp // ttile),
+                                lambda im, jt: (0, 0),
+                                memory_space=pltpu.SMEM)
+        outr, outi = pl.pallas_call(
+            functools.partial(_ana_kernel_f, Lp=Lp, ttile=ttile,
+                              mtile=mtile),
+            grid=(Mp // mtile, Tp // ttile),
+            in_specs=in_specs + [lendspec, tm, tm, tm, tm],
+            out_specs=[tablm, tablm],
+            out_shape=[jax.ShapeDtypeStruct((Lp, Mp), jnp.float32)] * 2,
+            compiler_params=_cparams(lmax, extra_tm=2),
+            interpret=interpret,
+        )(*_lambda_args(tabs), tabs["lend"], *ops)
+        return (outr[:L1, :M1] + 1j * outi[:L1, :M1]) \
+            .astype(jnp.complex64)
     Gr = jnp.pad(jnp.real(G), ((0, Tp - T), (0, Mp - M1)))
     Gi = jnp.pad(jnp.imag(G), ((0, Tp - T), (0, Mp - M1)))
-    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
     outr, outi = pl.pallas_call(
         functools.partial(_ana_kernel, Lp=Lp, ttile=ttile, mtile=mtile),
         grid=(Mp // mtile, Tp // ttile),
@@ -500,16 +817,37 @@ def _leg_ana(G, tabs, rings, lmax, interpret):
         .astype(jnp.complex64)                       # (L+1, M+1)
 
 
-def _leg_syn(mat, tabs, rings, lmax, interpret):
+def _leg_syn(mat, tabs, rings, lmax, interpret, fold=False):
     """Core Legendre synthesis: (L+1, M+1) complex a-matrix ->
     (T, M+1) complex64 ring-coefficient matrix."""
     mtile, ttile = _tiles(lmax)
-    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
+    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile,
+                                         fold=fold)
     ar = jnp.pad(jnp.real(mat),
                  ((0, Lp - L1), (0, Mp - M1))).astype(jnp.float32)
     ai = jnp.pad(jnp.imag(mat),
                  ((0, Lp - L1), (0, Mp - M1))).astype(jnp.float32)
     in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
+    if fold:
+        mrow = pl.BlockSpec((1, mtile), lambda im, jt: (0, im),
+                            memory_space=pltpu.VMEM)
+        lendspec = pl.BlockSpec((Mp // mtile, Tp // ttile),
+                                lambda im, jt: (0, 0),
+                                memory_space=pltpu.SMEM)
+        aNr, aNi, aSr, aSi = pl.pallas_call(
+            functools.partial(_syn_kernel_f, Lp=Lp, ttile=ttile,
+                              mtile=mtile),
+            grid=(Mp // mtile, Tp // ttile),
+            in_specs=in_specs + [lendspec, mrow, tablm, tablm],
+            out_specs=[tm, tm, tm, tm],
+            out_shape=[jax.ShapeDtypeStruct((Tp, Mp), jnp.float32)] * 4,
+            compiler_params=_cparams(lmax, extra_tm=4),
+            interpret=interpret,
+        )(*_lambda_args(tabs), tabs["lend"], jnp.asarray(_sgn0_row(Mp)),
+          ar, ai)
+        accr = _unfold_acc(aNr[:T], aSr[:T], rings.ntheta)
+        acci = _unfold_acc(aNi[:T], aSi[:T], rings.ntheta)
+        return (accr[:, :M1] + 1j * acci[:, :M1]).astype(jnp.complex64)
     accr, acci = pl.pallas_call(
         functools.partial(_syn_kernel, Lp=Lp, ttile=ttile, mtile=mtile),
         grid=(Mp // mtile, Tp // ttile),
@@ -523,19 +861,42 @@ def _leg_syn(mat, tabs, rings, lmax, interpret):
         .astype(jnp.complex64)                       # (T, M+1)
 
 
-def _leg_ana_b(G, tabs, rings, lmax, interpret):
+def _leg_ana_b(G, tabs, rings, lmax, interpret, fold=False):
     """Packed Legendre analysis: G (nmaps, T, M+1) complex ->
     (nmaps, L+1, M+1) complex64 (one recurrence, nmaps contractions)."""
     nmaps = G.shape[0]
     mtile, ttile = _tiles(lmax)
-    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
-    Gr = jnp.pad(jnp.real(G), ((0, 0), (0, Tp - T), (0, Mp - M1)))
-    Gi = jnp.pad(jnp.imag(G), ((0, 0), (0, Tp - T), (0, Mp - M1)))
+    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile,
+                                         fold=fold)
     in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
     btm = pl.BlockSpec((nmaps, ttile, mtile), lambda im, jt: (0, jt, im),
                        memory_space=pltpu.VMEM)
     btab = pl.BlockSpec((nmaps, Lp, mtile), lambda im, jt: (0, 0, im),
                         memory_space=pltpu.VMEM)
+    if fold:
+        S0, S1 = _fold_G(G, rings.ntheta, M1)
+        ops = [jnp.pad(p, ((0, 0), (0, Tp - T), (0, Mp - M1)))
+               .astype(jnp.float32)
+               for p in (jnp.real(S0), jnp.imag(S0),
+                         jnp.real(S1), jnp.imag(S1))]
+        lendspec = pl.BlockSpec((Mp // mtile, Tp // ttile),
+                                lambda im, jt: (0, 0),
+                                memory_space=pltpu.SMEM)
+        outr, outi = pl.pallas_call(
+            functools.partial(_ana_kernel_fb, Lp=Lp, ttile=ttile,
+                              mtile=mtile, nmaps=nmaps),
+            grid=(Mp // mtile, Tp // ttile),
+            in_specs=in_specs + [lendspec, btm, btm, btm, btm],
+            out_specs=[btab, btab],
+            out_shape=[jax.ShapeDtypeStruct((nmaps, Lp, Mp),
+                                            jnp.float32)] * 2,
+            compiler_params=_cparams(lmax, nmaps, extra_tm=2),
+            interpret=interpret,
+        )(*_lambda_args(tabs), tabs["lend"], *ops)
+        return (outr[:, :L1, :M1] + 1j * outi[:, :L1, :M1]) \
+            .astype(jnp.complex64)
+    Gr = jnp.pad(jnp.real(G), ((0, 0), (0, Tp - T), (0, Mp - M1)))
+    Gi = jnp.pad(jnp.imag(G), ((0, 0), (0, Tp - T), (0, Mp - M1)))
     outr, outi = pl.pallas_call(
         functools.partial(_ana_kernel_b, Lp=Lp, ttile=ttile,
                           mtile=mtile, nmaps=nmaps),
@@ -552,12 +913,13 @@ def _leg_ana_b(G, tabs, rings, lmax, interpret):
         .astype(jnp.complex64)                       # (nmaps, L+1, M+1)
 
 
-def _leg_syn_b(mat, tabs, rings, lmax, interpret):
+def _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=False):
     """Packed Legendre synthesis: (nmaps, L+1, M+1) complex a-matrices
     -> (nmaps, T, M+1) complex64 ring coefficients."""
     nmaps = mat.shape[0]
     mtile, ttile = _tiles(lmax)
-    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile)
+    L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile,
+                                         fold=fold)
     ar = jnp.pad(jnp.real(mat), ((0, 0), (0, Lp - L1), (0, Mp - M1))) \
         .astype(jnp.float32)
     ai = jnp.pad(jnp.imag(mat), ((0, 0), (0, Lp - L1), (0, Mp - M1))) \
@@ -567,6 +929,28 @@ def _leg_syn_b(mat, tabs, rings, lmax, interpret):
                        memory_space=pltpu.VMEM)
     btab = pl.BlockSpec((nmaps, Lp, mtile), lambda im, jt: (0, 0, im),
                         memory_space=pltpu.VMEM)
+    if fold:
+        mrow = pl.BlockSpec((1, mtile), lambda im, jt: (0, im),
+                            memory_space=pltpu.VMEM)
+        lendspec = pl.BlockSpec((Mp // mtile, Tp // ttile),
+                                lambda im, jt: (0, 0),
+                                memory_space=pltpu.SMEM)
+        aNr, aNi, aSr, aSi = pl.pallas_call(
+            functools.partial(_syn_kernel_fb, Lp=Lp, ttile=ttile,
+                              mtile=mtile, nmaps=nmaps),
+            grid=(Mp // mtile, Tp // ttile),
+            in_specs=in_specs + [lendspec, mrow, btab, btab],
+            out_specs=[btm, btm, btm, btm],
+            out_shape=[jax.ShapeDtypeStruct((nmaps, Tp, Mp),
+                                            jnp.float32)] * 4,
+            compiler_params=_cparams(lmax, nmaps, extra_tm=4),
+            interpret=interpret,
+        )(*_lambda_args(tabs), tabs["lend"], jnp.asarray(_sgn0_row(Mp)),
+          ar, ai)
+        accr = _unfold_acc(aNr[:, :T], aSr[:, :T], rings.ntheta)
+        acci = _unfold_acc(aNi[:, :T], aSi[:, :T], rings.ntheta)
+        return (accr[..., :M1] + 1j * acci[..., :M1]) \
+            .astype(jnp.complex64)
     accr, acci = pl.pallas_call(
         functools.partial(_syn_kernel_b, Lp=Lp, ttile=ttile,
                           mtile=mtile, nmaps=nmaps),
@@ -582,35 +966,38 @@ def _leg_syn_b(mat, tabs, rings, lmax, interpret):
         .astype(jnp.complex64)                       # (nmaps, T, M+1)
 
 
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
+                                              "fold"))
 def _map2alm_pl_impl(maps, tabs, *, rings, lmax: int,
-                     interpret: bool = False):
+                     interpret: bool = False, fold: bool = False):
     w = jnp.asarray(rings.weights_array(), jnp.float32) \
         * jnp.float32(2.0 * np.pi / rings.nphi)
     F = _sht._ring_analysis(maps, rings, lmax)       # (T, M+1)
     G = F * w[:, None]                               # (T, M+1)
-    mat = _leg_ana(G, tabs, rings, lmax, interpret)
+    mat = _leg_ana(G, tabs, rings, lmax, interpret, fold=fold)
     return _sht._mat2alm(mat, lmax)
 
 
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
+                                              "fold"))
 def _map2alm_pl_b_impl(maps, tabs, *, rings, lmax: int,
-                       interpret: bool = False):
+                       interpret: bool = False, fold: bool = False):
     """Packed analysis of (nmaps, ntheta, nphi) maps."""
     w = jnp.asarray(rings.weights_array(), jnp.float32) \
         * jnp.float32(2.0 * np.pi / rings.nphi)
     F = _sht._ring_analysis(maps, rings, lmax)       # (nmaps, T, M+1)
     G = F * w[None, :, None]                         # (nmaps, T, M+1)
-    mat = _leg_ana_b(G, tabs, rings, lmax, interpret)
+    mat = _leg_ana_b(G, tabs, rings, lmax, interpret, fold=fold)
     return _sht._mat2alm(mat, lmax)
 
 
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
+                                              "fold"))
 def _alm2map_pl_b_impl(alm, tabs, *, rings, lmax: int,
-                       interpret: bool = False):
+                       interpret: bool = False, fold: bool = False):
     """Packed synthesis of (nmaps, nalm) alms."""
     mat = _sht._alm2mat(alm, lmax)                   # (nmaps, L+1, M+1)
-    acc = _leg_syn_b(mat, tabs, rings, lmax, interpret)
+    acc = _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=fold)
     return _sht._ring_synthesis(acc, rings, real=True) \
         .astype(jnp.float32)
 
@@ -623,22 +1010,24 @@ def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False):
     if lmax is None:
         lmax = almops.getlmax(alm.shape[-1])
     mtile, ttile = _tiles(lmax)
-    tabs = _prep_dev(lmax, rings, mtile, ttile)
+    fold = _rings_symmetric(rings)
+    tabs = _prep_dev(lmax, rings, mtile, ttile, fold=fold)
     return _batched(
         lambda a: _alm2map_pl_impl(a, tabs, rings=rings, lmax=lmax,
-                                   interpret=interpret),
+                                   interpret=interpret, fold=fold),
         lambda a: _alm2map_pl_b_impl(a, tabs, rings=rings, lmax=lmax,
-                                     interpret=interpret),
+                                     interpret=interpret, fold=fold),
         (alm,), (1,), lmax,
         lambda bshape: jnp.zeros(
             bshape + (rings.ntheta, rings.nphi), jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
+                                              "fold"))
 def _alm2map_pl_impl(alm, tabs, *, rings, lmax: int,
-                     interpret: bool = False):
+                     interpret: bool = False, fold: bool = False):
     mat = _sht._alm2mat(alm, lmax)                   # (L+1, M+1)
-    acc = _leg_syn(mat, tabs, rings, lmax, interpret)
+    acc = _leg_syn(mat, tabs, rings, lmax, interpret, fold=fold)
     return _sht._ring_synthesis(acc, rings, real=True) \
         .astype(jnp.float32)
 

@@ -549,3 +549,77 @@ class TestValidation:
         for i in range(3):
             np.testing.assert_allclose(
                 cls[i], np.asarray(almops.alm2cl(alms[i])), rtol=1e-12)
+
+
+class TestFoldedKernel:
+    """North-south folded Pallas kernels (round 4): parity vs the scan
+    path at both ring-count parities, dead-tile table sanity, and the
+    asymmetric-grid fallback."""
+
+    def test_fold_engages_on_symmetric_grids(self):
+        from orphics_tpu.ops import pallas_sht as ps
+        assert ps._rings_symmetric(sht.gauss_legendre_rings(33))
+        assert ps._rings_symmetric(sht.clenshaw_curtis_rings(33))
+
+    def test_asymmetric_rings_fall_back_unfolded(self):
+        from orphics_tpu.ops import pallas_sht as ps
+        rings = sht.gauss_legendre_rings(16)
+        th = np.asarray(rings.theta_array())
+        th[0] *= 0.9                       # break the symmetry
+        bad = sht.RingGeom(theta=tuple(th.tolist()),
+                           weights=rings.weights,
+                           nphi=rings.nphi)
+        assert not ps._rings_symmetric(bad)
+
+    @pytest.mark.parametrize("lmax", [33, 64])   # even + odd ntheta
+    def test_fold_matches_scan_both_parities(self, lmax):
+        from orphics_tpu.ops import pallas_sht as ps
+        rings = sht.gauss_legendre_rings(lmax)
+        assert rings.ntheta % 2 == (1 if lmax % 2 == 0 else 0)
+        rng = np.random.default_rng(0)
+        m = jnp.asarray(rng.standard_normal(rings.shape).astype(np.float32))
+        a_pl = ps.map2alm_pl(m, rings, lmax, interpret=True)
+        a_sc = sht.map2alm(m, rings, lmax)
+        assert float(jnp.abs(a_pl - a_sc).max()
+                     / jnp.abs(a_sc).max()) < 2e-6
+        m_pl = ps.alm2map_pl(a_sc, rings, lmax, interpret=True)
+        m_sc = sht.alm2map(a_sc, rings, lmax)
+        assert float(jnp.abs(m_pl - m_sc).max()
+                     / jnp.abs(m_sc).max()) < 2e-6
+
+    def test_packed_fold_matches_scan(self):
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 48
+        rings = sht.gauss_legendre_rings(lmax)
+        rng = np.random.default_rng(1)
+        mb = jnp.asarray(rng.standard_normal(
+            (3,) + rings.shape).astype(np.float32))
+        ab = ps.map2alm_pl(mb, rings, lmax, interpret=True)
+        ab_s = sht.map2alm(mb, rings, lmax)
+        assert float(jnp.abs(ab - ab_s).max()
+                     / jnp.abs(ab_s).max()) < 2e-6
+        mb_pl = ps.alm2map_pl(ab_s, rings, lmax, interpret=True)
+        mb_s = sht.alm2map(ab_s, rings, lmax)
+        assert float(jnp.abs(mb_pl - mb_s).max()
+                     / jnp.abs(mb_s).max()) < 2e-6
+
+    def test_dead_tile_table(self):
+        """At large lmax some polar-ring-tile x high-m-tile programs are
+        marked dead; every live tile runs the full chunk count; and the
+        margin keeps everything below the turning point."""
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 2047
+        rings = sht.gauss_legendre_rings(lmax)
+        tab = ps._prep_host(lmax, rings, 128, 256, fold=True)["lend"]
+        nch = -(-(lmax + 1) // ps._UNROLL)
+        assert set(np.unique(tab)) <= {0, nch}
+        assert (tab == 0).any()            # some dead tiles at 2047
+        # equatorial ring tile (last jt) is never dead
+        assert np.all(tab[:, -1] == nch)
+        # dead only where the whole tile sits below the turning point
+        th = np.asarray(rings.theta_array())[: (rings.ntheta + 1) // 2]
+        for im in range(tab.shape[0]):
+            for jt in range(tab.shape[1]):
+                if tab[im, jt] == 0:
+                    rows = th[jt * 256: (jt + 1) * 256]
+                    assert im * 128 > lmax * np.max(np.sin(rows))
