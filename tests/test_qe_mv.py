@@ -264,3 +264,82 @@ class TestQERobustness:
         with pytest.raises(ValueError, match="field_masks"):
             qe.QE(geom, th, ctot, xmask=m,
                   field_masks={"T": m, "E": m, "B": m})
+
+
+class TestRDN0:
+    """Realization-dependent N0 (round-4 stretch): for Gaussian data
+    with spectra matched to the fiducial, MCN0 and RDN0 both converge
+    to the analytic N_L^kk; RDN0 responds linearly to the data power.
+    Setup mirrors tests/test_lensing.py::test_n0_matches_recon_power
+    (the validated N0 normalization)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import jax
+        from orphics_tpu.geometry import rect_geometry, arcmin
+        from orphics_tpu.models import theory, grf, qe as qemod
+        from orphics_tpu.ops import fourier as F
+        from orphics_tpu.ops.binning import Bin2D
+        geom = rect_geometry(width_arcmin=128 * 3.0, px_res_arcmin=3.0)
+        th = theory.default_theory()
+        beam, noise = 1.5, 5.0
+        ctot = qemod.lensing_noise_2d(geom, th, beam, noise)
+        q = qemod.QE(geom, th, ctot,
+                     xmask=F.mask_kspace(geom, lmin=100, lmax=3000),
+                     kmask=F.mask_kspace(geom, lmin=40, lmax=600),
+                     dtype=jnp.float64)
+        ells = np.arange(th.lpad + 1)
+        cltt = np.asarray(th.lCl("TT", ells))
+        mgen = grf.MapGen(geom, cltt[None, None], dtype=jnp.float64)
+        kbeam = F.gauss_beam(jnp.asarray(geom.modlmap_np()), beam)
+        sigma = (noise * arcmin) / np.sqrt(geom.pixsize)
+
+        @jax.jit
+        def simk(key):
+            kc, kn = jax.random.split(key)
+            cmb = jnp.squeeze(mgen.get_map(kc))
+            observed = (F.kfilter(cmb, kbeam, geom)
+                        + sigma * jax.random.normal(kn, geom.shape,
+                                                    jnp.float64))
+            return jnp.fft.fft2(observed) / jnp.maximum(kbeam, 1e-8)
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 9)
+        kmaps = jnp.stack([simk(k) for k in keys])
+        edges = np.arange(80, 560, 80.0)
+        binner = Bin2D(geom.modlmap_np(), edges)
+        n0_th = np.asarray(binner.bin(q.N_L_kk("TT"))[1])
+        return q, kmaps, edges, n0_th
+
+    def test_mcn0_matches_analytic(self, setup):
+        from orphics_tpu.models.qe import mcn0
+        q, kmaps, edges, n0_th = setup
+        cents, n0_mc = mcn0(q, "TT", kmaps[1:], edges)
+        sel = n0_th > 0
+        ratio = n0_mc[sel] / n0_th[sel]
+        # 8 sim pairs: per-bin scatter ~10-20%, band mean much tighter
+        assert abs(np.mean(ratio) - 1.0) < 0.1, ratio
+        assert np.all(np.abs(ratio - 1.0) < 0.35), ratio
+
+    def test_rdn0_matches_analytic_for_matched_data(self, setup):
+        from orphics_tpu.models.qe import rdn0
+        q, kmaps, edges, n0_th = setup
+        cents, rd, n0_mc = rdn0(q, "TT", kmaps[0], kmaps[1:], edges)
+        sel = n0_th > 0
+        ratio = rd[sel] / n0_th[sel]
+        # RDN0 is data-anchored: one realization adds ~sqrt(2/modes)
+        # scatter on top of the sim average
+        assert abs(np.mean(ratio) - 1.0) < 0.2, ratio
+
+    def test_rdn0_tracks_data_power(self, setup):
+        """Scaling the data map by alpha scales the data-anchored terms
+        by alpha^2: RDN0(alpha d) + MCN0 = alpha^2 (RDN0(d) + MCN0)."""
+        from orphics_tpu.models.qe import rdn0
+        q, kmaps, edges, n0_th = setup
+        _, rd1, mc1 = rdn0(q, "TT", kmaps[0], kmaps[1:5], edges)
+        alpha = 1.5
+        _, rd2, mc2 = rdn0(q, "TT", alpha * kmaps[0], kmaps[1:5], edges)
+        np.testing.assert_allclose(mc1, mc2, rtol=1e-8)
+        sel = mc1 > 0
+        np.testing.assert_allclose((rd2 + mc2)[sel],
+                                   alpha ** 2 * (rd1 + mc1)[sel],
+                                   rtol=1e-6)
