@@ -69,7 +69,19 @@ class Cosmology:
     def __init__(self, params: Dict = None, constants: Dict = None,
                  zmax: float = 1200.0, nz: int = 4096,
                  pkgrid_override: Optional[Callable] = None,
-                 transfer: str = "eisenhu_osc"):
+                 transfer: str = "eisenhu_osc",
+                 lmax: int = None, pickling: bool = False,
+                 dimensionless: bool = False, skipCls: bool = False,
+                 skipPower: bool = False, skip_growth: bool = False,
+                 low_acc: bool = False, verbose: bool = False):
+        # lmax/pickling/dimensionless/skip*/low_acc/verbose are the
+        # reference constructor's CAMB-solve knobs
+        # (``cosmology.py:111``): accepted for tutorial call
+        # compatibility; the native object has no Boltzmann solve to
+        # configure (theory Cls come from shipped tables /
+        # default_theory), so they are recorded but inert.
+        self.lmax = lmax
+        self.dimensionless = bool(dimensionless)
         p = dict(defaultCosmology)
         p.update(params or {})
         self.params = p
