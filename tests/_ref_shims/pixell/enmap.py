@@ -44,6 +44,12 @@ class ndmap(np.ndarray):
     def posmap(self):
         return posmap(self.shape, self.wcs)
 
+    def lmap(self):
+        return lmap(self.shape, self.wcs)
+
+    def extent(self):
+        return extent(self.shape, self.wcs)
+
     def pixsize(self):
         return pixsize(self.shape, self.wcs)
 
@@ -178,7 +184,7 @@ def pixmap(shape, wcs):
     return ndmap(np.stack([iy, ix]), wcs)
 
 
-def sky2pix(shape, wcs, coords):
+def sky2pix(shape, wcs, coords, safe=True, corner=False):
     coords = np.asarray(coords)
     dy, dx = _pixshape_rad(wcs)
     dec0 = wcs.wcs.crval[1] * _degree
@@ -210,18 +216,34 @@ def scale_geometry(shape, wcs, scale):
 
 def fft(emap, omap=None, nthread=0, normalize=True, **kw):
     res = np.fft.fft2(np.asarray(emap), axes=(-2, -1))
+    npix = np.prod(emap.shape[-2:])
     if normalize is True:
-        res = res / np.prod(emap.shape[-2:]) ** 0.5
+        res = res / npix ** 0.5
+    elif normalize in ("phy", "phys", "physical"):
+        res = res / npix ** 0.5 * pixsize(emap.shape, emap.wcs) ** 0.5
     return samewcs(res, emap)
 
 
 def ifft(kmap, omap=None, nthread=0, normalize=True, **kw):
     res = np.fft.ifft2(np.asarray(kmap), axes=(-2, -1))
+    npix = np.prod(kmap.shape[-2:])
     if normalize is True:
-        res = res * np.prod(kmap.shape[-2:]) ** 0.5
+        res = res * npix ** 0.5
+    elif normalize in ("phy", "phys", "physical"):
+        res = res * npix ** 0.5 / pixsize(kmap.shape, kmap.wcs) ** 0.5
     else:
-        res = res * np.prod(kmap.shape[-2:])
+        res = res * npix
     return samewcs(res, kmap)
+
+
+def grad(emap):
+    """(2, ny, nx) [d/dy, d/dx] via Fourier derivatives (the pixell
+    flat-sky gradient)."""
+    k = fft(emap)
+    ly, lx = laxes(emap.shape, emap.wcs)
+    gy = ifft(samewcs(1j * ly[:, None] * np.asarray(k), emap)).real
+    gx = ifft(samewcs(1j * lx[None, :] * np.asarray(k), emap)).real
+    return ndmap(np.stack([np.asarray(gy), np.asarray(gx)]), emap.wcs)
 
 
 def rand_gauss(shape, wcs):
