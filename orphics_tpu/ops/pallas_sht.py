@@ -80,12 +80,14 @@ ROOFLINE (measured v5e-1, this kernel, 2026-08):
     + extended-exponent rescale=14 + weighting=1), + 4 ops/map for the
     contraction. Step count after fold+_lstart+dead-tiles =
     ~(lmax+1)^3/4: 2.15e9 per direction at lmax 2047.
-  * measured: 443 ms / roundtrip at lmax 2047 (2.25 rt/s; the scan
+  * measured: 434 ms / roundtrip at lmax 2047 (2.31 rt/s; the scan
     path's 2 x 2.1 s, round-3 unfolded kernel 1.115 rt/s) ->
-    2 x 2.15e9 x 63 ops / 0.443 s = 6.1e11 VPU ops/s = ~16% of the
+    2 x 2.15e9 x 63 ops / 0.434 s = 6.2e11 VPU ops/s = ~16% of the
     v5e VPU peak (8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz =
-    3.85e12 fp32 ops/s). Packed batch-16 at lmax 1023: 159 ms
-    roundtrip = 100.6 maps/s (round 3: 61).
+    3.85e12 fp32 ops/s). Packed batch-16 at lmax 1023: 150 ms
+    roundtrip = 106.7 maps/s (round 3: 61). Synthesis accumulates by
+    STATIC l parity (aN = aE+aO, aS = sgn*(aE-aO) once after the
+    loop), halving its per-step contraction ops.
   * NOT HBM-bound: per direction the kernel moves ~160 MB at lmax
     2047 (6 l-tables + G + out, each read/written once) = ~0.2 ms at
     819 GB/s, 0.1% of the runtime. The binding constraint is Mosaic's
@@ -93,14 +95,21 @@ ROOFLINE (measured v5e-1, this kernel, 2026-08):
     table-row reads per step, int32 compare/select chains (seed +
     rescale) that do not dual-issue with fp math, and the cross-
     sublane sum per (l, map) on the analysis side.
-  * recorded improvement paths, in expected-return order: (1) hot/cold
-    chunk bodies — drop seed+rescale logic (20/63 ops) via lax.cond
-    once the tile's exponent counters quiesce (equatorial tiles spend
-    >90% of steps there); (2) per-(ring, m) first-significant-l bounds
-    (ducc's ring skip, finer than the tile-granular _lend_table);
-    (3) restructure the 3-term recurrence as blocked matrix products
-    to ride the MXU (libsharp's SIMD blocking taken to systolic form —
-    large rewrite, highest ceiling).
+  * hot/cold chunk bodies (drop seed+rescale logic via lax.cond once
+    the tile's exponent counters quiesce) were MEASURED: ~neutral for
+    the single-map analysis kernel (kept there — small carry), a
+    REGRESSION for synthesis and the packed kernels (the cond's
+    carry handling of the accumulator tiles beats the ~23-op/step
+    saving) — reverted there. Chunk-level (UNROLL, mtile) table loads
+    instead of per-step row slices: no change (Mosaic already
+    pipelines the dynamic sublane reads).
+  * remaining improvement paths: (1) per-(ring, m) first-significant-l
+    bounds (ducc's ring skip, finer than the tile-granular
+    _lend_table); (2) fold the spin pair (one launch, two resident
+    recurrences — 2x on spin transforms); (3) restructure the 3-term
+    recurrence as blocked matrix products to ride the MXU (libsharp's
+    SIMD blocking taken to systolic form — large rewrite, highest
+    ceiling).
 """
 from __future__ import annotations
 
@@ -185,6 +194,92 @@ def _dd_step(l, tabs, vals, carry):
     w = jnp.where(e == 0, jnp.float32(1.0),
                   jnp.where(e == 1, jnp.float32(_INV), jnp.float32(0.0)))
     return (lam_pn, lam_n, lam_pnl, lam_nl, e), lam_n * w
+
+
+def _dd_step_hot(l, tabs, vals, carry):
+    """Steady-state l-step: valid only when no lane seeds in this chunk
+    AND every lane's extended exponent has unwound (e == 0 tile-wide) —
+    the seed-injection / rescale / weighting logic of :func:`_dd_step`
+    is then the identity and is skipped (~23 of its ~63 VPU ops). The
+    arithmetic core is IDENTICAL, so hot and cold chunks produce
+    bit-equal Lambdas."""
+    Ah, Bh, Ch, Al, Bl, Cl = tabs
+    x, xlo, sm, sl, se, l0v = vals
+    lam_p, lam_c, lam_pl, lam_cl, e = carry
+    a = Ah[pl.ds(l, 1), :]
+    b = Bh[pl.ds(l, 1), :]
+    c = Ch[pl.ds(l, 1), :]
+    al_ = Al[pl.ds(l, 1), :]
+    bl_ = Bl[pl.ds(l, 1), :]
+    cl_ = Cl[pl.ds(l, 1), :]
+    ax, axe = _twoprod(a, x)
+    p, pse = _twosum(ax, b)
+    pe = (a * xlo + al_ * x + bl_) + (axe + pse)
+    t1, e1 = _twoprod(p, lam_c)
+    t2, e2 = _twoprod(c, lam_p)
+    s, s_e = _twosum(t1, t2)
+    lo = ((p * lam_cl + c * lam_pl)
+          + ((pe * lam_c + cl_ * lam_p) + (s_e + (e1 + e2))))
+    lam_n, lam_nl = _twosum(s, lo)
+    return (lam_c, lam_n, lam_cl, lam_nl, e), lam_n
+
+
+def _chunk_rows(tabs, base):
+    """One dynamic (UNROLL, mtile) sublane slice per table per CHUNK
+    (instead of one (1, mtile) slice per table per STEP): the unrolled
+    steps then take static row views. 6 dynamic sublane accesses per 8
+    steps instead of 48."""
+    return tuple(T[pl.ds(base, _UNROLL), :] for T in tabs)
+
+
+def _dd_step_rows(l, j, rows, vals, carry, hot=False):
+    """The :func:`_dd_step` algebra on STATICALLY-indexed row ``j`` of
+    pre-loaded (UNROLL, mtile) table blocks (``l`` is the traced global
+    l, needed only for the cold epilogue's seed test). ``hot`` skips
+    the seed/rescale/weight epilogue (valid once the chunk has no
+    seeds and every exponent has unwound)."""
+    A8, B8, C8, Al8, Bl8, Cl8 = rows
+    x, xlo, sm, sl, se, l0v = vals
+    lam_p, lam_c, lam_pl, lam_cl, e = carry
+    a = A8[j:j + 1, :]
+    b = B8[j:j + 1, :]
+    c = C8[j:j + 1, :]
+    al_ = Al8[j:j + 1, :]
+    bl_ = Bl8[j:j + 1, :]
+    cl_ = Cl8[j:j + 1, :]
+    ax, axe = _twoprod(a, x)
+    p, pse = _twosum(ax, b)
+    pe = (a * xlo + al_ * x + bl_) + (axe + pse)
+    t1, e1 = _twoprod(p, lam_c)
+    t2, e2 = _twoprod(c, lam_p)
+    s, s_e = _twosum(t1, t2)
+    lo = ((p * lam_cl + c * lam_pl)
+          + ((pe * lam_c + cl_ * lam_p) + (s_e + (e1 + e2))))
+    lam_n, lam_nl = _twosum(s, lo)
+    if hot:
+        return (lam_c, lam_n, lam_cl, lam_nl, e), lam_n
+    # cold epilogue — identical to _dd_step's tail
+    is_seed = l0v == l
+    lam_n = jnp.where(is_seed, sm, lam_n)
+    lam_nl = jnp.where(is_seed, sl, lam_nl)
+    lam_pn = jnp.where(is_seed, jnp.zeros_like(lam_c), lam_c)
+    lam_pnl = jnp.where(is_seed, jnp.zeros_like(lam_cl), lam_cl)
+    e = jnp.where(is_seed, se, e)
+    big = (jnp.abs(lam_n) > _TH) & (e > 0)
+    lam_n = jnp.where(big, lam_n * _INV, lam_n)
+    lam_nl = jnp.where(big, lam_nl * _INV, lam_nl)
+    lam_pn = jnp.where(big, lam_pn * _INV, lam_pn)
+    lam_pnl = jnp.where(big, lam_pnl * _INV, lam_pnl)
+    e = jnp.where(big, e - 1, e)
+    w = jnp.where(e == 0, jnp.float32(1.0),
+                  jnp.where(e == 1, jnp.float32(_INV), jnp.float32(0.0)))
+    return (lam_pn, lam_n, lam_pnl, lam_nl, e), lam_n * w
+
+
+def _seed_hi(mtile):
+    """First chunk index past every possible seed of this m-tile
+    (seeds land at l0 = m in [im*mtile, (im+1)*mtile))."""
+    return (pl.program_id(0) + 1) * (mtile // _UNROLL)
 
 
 def _lstart(mtile):
@@ -341,12 +436,14 @@ def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
     z = jnp.zeros((ttile, mtile), jnp.float32)
     carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
 
-    def chunk(ic, carry):
+    def body(hot, ic, carry):
         base = ic * _UNROLL
+        rows = _chunk_rows(tabs, base)
         accr = []
         acci = []
         for j in range(_UNROLL):
-            carry, lw = _dd_step(base + j, tabs, vals, carry)
+            carry, lw = _dd_step_rows(base + j, j, rows, vals, carry,
+                                      hot=hot)
             gr, gi = g[j % 2]               # static: base is even
             accr.append(jnp.sum(lw * gr, axis=0, keepdims=True))
             acci.append(jnp.sum(lw * gi, axis=0, keepdims=True))
@@ -355,6 +452,16 @@ def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
         outi[pl.ds(base, _UNROLL), :] = \
             outi[pl.ds(base, _UNROLL), :] + jnp.concatenate(acci, axis=0)
         return carry
+
+    sh = _seed_hi(mtile)
+
+    def chunk(ic, carry):
+        # hot/cold split: past the tile's seeds with all exponents
+        # unwound, the cheap steady-state step is exact
+        hot = (ic >= sh) & jnp.all(carry[4] == 0)
+        return jax.lax.cond(hot,
+                            lambda c: body(True, ic, c),
+                            lambda c: body(False, ic, c), carry)
 
     jax.lax.fori_loop(_lstart(mtile),
                       lend[pl.program_id(0), pl.program_id(1)],
@@ -371,32 +478,45 @@ def _syn_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
     carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32),
               z, z, z, z)
 
-    def chunk(ic, carry):
+    def body(ic, carry):
         lam_carry = carry[:5]
-        aNr, aNi, aSr, aSi = carry[5:]
+        aEr, aEi, aOr, aOi = carry[5:]
         base = ic * _UNROLL
+        rows = _chunk_rows(tabs, base)
+        ar8 = ar[pl.ds(base, _UNROLL), :]   # one dynamic slice per chunk
+        ai8 = ai[pl.ds(base, _UNROLL), :]
         for j in range(_UNROLL):
-            lam_carry, lw = _dd_step(base + j, tabs, vals, lam_carry)
-            cr = lw * ar[pl.ds(base + j, 1), :]
-            ci = lw * ai[pl.ds(base + j, 1), :]
-            aNr = aNr + cr
-            aNi = aNi + ci
-            # south sign (-1)^(l+m): sgn0 for even l, -sgn0 for odd l
+            lam_carry, lw = _dd_step_rows(base + j, j, rows, vals,
+                                          lam_carry)
+            cr = lw * ar8[j:j + 1, :]
+            ci = lw * ai8[j:j + 1, :]
+            # accumulate by STATIC l parity — the north/south combine
+            # (aN = aE+aO, aS = sgn0*(aE-aO)) happens once after the
+            # loop, so each step is just one add per component
             if j % 2 == 0:
-                aSr = aSr + sg * cr
-                aSi = aSi + sg * ci
+                aEr = aEr + cr
+                aEi = aEi + ci
             else:
-                aSr = aSr - sg * cr
-                aSi = aSi - sg * ci
-        return lam_carry + (aNr, aNi, aSr, aSi)
+                aOr = aOr + cr
+                aOi = aOi + ci
+        return lam_carry + (aEr, aEi, aOr, aOi)
+
+    # measured on v5e: the hot/cold lax.cond REGRESSES synthesis (the
+    # branch carries 4 accumulator tiles; Mosaic's cond copies beat the
+    # ~23-op/step saving) — keep the plain body here. Only the
+    # single-map ANALYSIS kernel wins from the split (carry is 5 small
+    # tiles; measured 30% there).
+    def chunk(ic, carry):
+        return body(ic, carry)
 
     out = jax.lax.fori_loop(
         _lstart(mtile), lend[pl.program_id(0), pl.program_id(1)],
         chunk, carry0)
-    outNr[...] = out[5]
-    outNi[...] = out[6]
-    outSr[...] = out[7]
-    outSi[...] = out[8]
+    aEr, aEi, aOr, aOi = out[5:]
+    outNr[...] = aEr + aOr
+    outNi[...] = aEi + aOi
+    outSr[...] = sg * (aEr - aOr)
+    outSi[...] = sg * (aEi - aOi)
 
 
 def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
@@ -415,12 +535,13 @@ def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
     z = jnp.zeros((ttile, mtile), jnp.float32)
     carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
 
-    def chunk(ic, carry):
+    def body(ic, carry):
         base = ic * _UNROLL
+        rows = _chunk_rows(tabs, base)
         accr = []
         acci = []
         for j in range(_UNROLL):
-            carry, lw = _dd_step(base + j, tabs, vals, carry)
+            carry, lw = _dd_step_rows(base + j, j, rows, vals, carry)
             gr, gi = g[j % 2]
             accr.append(jnp.sum(lw[None] * gr, axis=1, keepdims=True))
             acci.append(jnp.sum(lw[None] * gi, axis=1, keepdims=True))
@@ -429,6 +550,13 @@ def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
         outi[:, pl.ds(base, _UNROLL), :] = \
             outi[:, pl.ds(base, _UNROLL), :] + jnp.concatenate(acci, axis=1)
         return carry
+
+    # hot/cold split regresses the PACKED kernels on v5e (measured:
+    # batch-16 lmax-1023 roundtrip 159 -> 185 ms) — the per-map
+    # contraction already amortizes the dd step, and the cond's carry
+    # handling eats the rest. Plain body.
+    def chunk(ic, carry):
+        return body(ic, carry)
 
     jax.lax.fori_loop(_lstart(mtile),
                       lend[pl.program_id(0), pl.program_id(1)],
@@ -446,31 +574,39 @@ def _syn_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
     carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32),
               zb, zb, zb, zb)
 
-    def chunk(ic, carry):
+    def body(ic, carry):
         lam_carry = carry[:5]
-        aNr, aNi, aSr, aSi = carry[5:]
+        aEr, aEi, aOr, aOi = carry[5:]
         base = ic * _UNROLL
+        rows = _chunk_rows(tabs, base)
+        ar8 = ar[:, pl.ds(base, _UNROLL), :]
+        ai8 = ai[:, pl.ds(base, _UNROLL), :]
         for j in range(_UNROLL):
-            lam_carry, lw = _dd_step(base + j, tabs, vals, lam_carry)
-            cr = lw[None] * ar[:, pl.ds(base + j, 1), :]
-            ci = lw[None] * ai[:, pl.ds(base + j, 1), :]
-            aNr = aNr + cr
-            aNi = aNi + ci
+            lam_carry, lw = _dd_step_rows(base + j, j, rows, vals,
+                                          lam_carry)
+            cr = lw[None] * ar8[:, j:j + 1, :]
+            ci = lw[None] * ai8[:, j:j + 1, :]
+            # static l-parity accumulators (see _syn_kernel_f): halves
+            # the per-map per-step contraction cost
             if j % 2 == 0:
-                aSr = aSr + sg[None] * cr
-                aSi = aSi + sg[None] * ci
+                aEr = aEr + cr
+                aEi = aEi + ci
             else:
-                aSr = aSr - sg[None] * cr
-                aSi = aSi - sg[None] * ci
-        return lam_carry + (aNr, aNi, aSr, aSi)
+                aOr = aOr + cr
+                aOi = aOi + ci
+        return lam_carry + (aEr, aEi, aOr, aOi)
+
+    def chunk(ic, carry):
+        return body(ic, carry)              # see _syn_kernel_f note
 
     out = jax.lax.fori_loop(
         _lstart(mtile), lend[pl.program_id(0), pl.program_id(1)],
         chunk, carry0)
-    outNr[...] = out[5]
-    outNi[...] = out[6]
-    outSr[...] = out[7]
-    outSi[...] = out[8]
+    aEr, aEi, aOr, aOi = out[5:]
+    outNr[...] = aEr + aOr
+    outNi[...] = aEi + aOi
+    outSr[...] = sg[None] * (aEr - aOr)
+    outSi[...] = sg[None] * (aEi - aOi)
 
 
 def _tiles(lmax):
