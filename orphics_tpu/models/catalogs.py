@@ -150,22 +150,57 @@ class Pow2Cat:
         return counts, kappa
 
 
-def split_samples(values, split_points):
-    """Partition sample indices by thresholds (reference
-    ``catalogs.py:769``)."""
+def split_samples(in_samples, split_points):
+    """Per-bin (S/N, mean, N) for a sample split at the given edges —
+    the reference's exact semantics (``catalogs.py:769``): S/N is the
+    bin mean times sqrt(count); bins are (a, b] like the reference's
+    ``A > a & A <= b``. Verified against the live reference in
+    tests/test_reference_parity_catalogs.py."""
+    split_points = np.asarray(split_points)
+    assert np.all(np.diff(split_points) > 0), \
+        "Split points should be monotonically increasing."
+    A = np.asarray(in_samples)
+    sns, means, Ns = [], [], []
+    for a, b in zip(split_points[:-1], split_points[1:]):
+        sel = (A > a) & (A <= b)
+        n = int(sel.sum())
+        mean = A[sel].mean() if n else np.nan
+        means.append(mean)
+        Ns.append(n)
+        sns.append(mean * np.sqrt(n))
+    return np.asarray(sns), np.asarray(means), np.asarray(Ns)
+
+
+def split_sample_indices(values, split_points):
+    """Index groups partitioned at thresholds (utility; the round-3
+    behavior of ``split_samples`` before the reference-semantics
+    alignment)."""
     values = np.asarray(values)
     edges = [-np.inf] + list(split_points) + [np.inf]
-    out = []
-    for lo, hi in zip(edges[:-1], edges[1:]):
-        out.append(np.where((values >= lo) & (values < hi))[0])
-    return out
+    return [np.where((values >= lo) & (values < hi))[0]
+            for lo, hi in zip(edges[:-1], edges[1:])]
 
 
-def optimize_splits(values, nsplits: int):
-    """Split points giving equal-count subsamples (reference
-    ``catalogs.py:810``)."""
-    qs = np.linspace(0, 100, nsplits + 1)[1:-1]
-    return np.percentile(np.asarray(values), qs)
+def optimize_splits(in_samples, in_splits):
+    """Re-place the interior bin edges so the per-bin S/N variance is
+    minimized, keeping the outermost edges fixed — the reference's
+    ``fmin`` formulation (``catalogs.py:810``)."""
+    from scipy.optimize import fmin
+    in_splits = np.asarray(in_splits, dtype=float)
+
+    def cost(x):
+        x = np.asarray(x).ravel()
+        if np.any(np.diff(x) < 0):
+            return np.inf
+        edges = np.concatenate([[in_splits[0]], x, [in_splits[-1]]])
+        if np.any(np.diff(edges) <= 0):
+            return np.inf
+        sns, _, _ = split_samples(in_samples, edges)
+        return np.var(sns)
+
+    res = fmin(cost, in_splits[1:-1], disp=False)
+    return np.concatenate([[in_splits[0]], np.ravel(res),
+                           [in_splits[-1]]])
 
 
 def select_based_on_mask(ras_deg, decs_deg, mask, geom: Geometry = None,
@@ -628,12 +663,13 @@ def convert_hilton_catalog_to_enplot_annotate_file(fits_file, annot_fname,
         fits_file, annot_fname, ra_name="RADeg", dec_name="decDeg", **kw)
 
 
-def load_fits(fits_file, column_names, hdu_num=1):
-    """Columns from a FITS binary table as a list of arrays (reference
-    ``catalogs.py`` ``load_fits``; native FITS reader, no astropy)."""
+def load_fits(fits_file, column_names, hdu_num=1, Nmax=None):
+    """Columns from a FITS binary table as a {name: array} dict — the
+    reference's return shape (``catalogs.py:428``); native FITS reader,
+    no astropy."""
     from ..utils.fitsio import read_bintable
     tab = read_bintable(fits_file, hdu=hdu_num)
-    return [np.asarray(tab[name]) for name in column_names]
+    return {name: np.asarray(tab[name])[:Nmax] for name in column_names}
 
 
 def dndz(z, z0=1.0 / 3.0):
