@@ -103,13 +103,21 @@ ROOFLINE (measured v5e-1, this kernel, 2026-08):
     saving) — reverted there. Chunk-level (UNROLL, mtile) table loads
     instead of per-step row slices: no change (Mosaic already
     pipelines the dynamic sublane reads).
+  * SPIN transforms fold too (round 4, wrapper-level): the Wigner-d
+    reflection d(pi-th) = (-1)^(l+m) d_{n->-n}(th) couples n <-> -n,
+    so each half-ring launch contracts [own-n north, other-n flipped
+    south] as a packed pair and the wrapper assembles both n outputs —
+    zero new kernel code (_map2alm_spin_pl_fold_b_impl). Measured
+    (v5e, lmax 1023): single Q/U roundtrip 197 ms vs 230 unfolded
+    (1.17x), batch-8 218 vs 234 ms (1.07x) — muted relative to the 2x
+    recurrence saving because the packed kernel's 3D blocks cost more
+    per step than the single-map kernel, and batched spin is
+    contraction-dominated. On-chip accuracy identical to the scan.
   * remaining improvement paths: (1) per-(ring, m) first-significant-l
     bounds (ducc's ring skip, finer than the tile-granular
-    _lend_table); (2) fold the spin pair (one launch, two resident
-    recurrences — 2x on spin transforms); (3) restructure the 3-term
-    recurrence as blocked matrix products to ride the MXU (libsharp's
-    SIMD blocking taken to systolic form — large rewrite, highest
-    ceiling).
+    _lend_table); (2) restructure the 3-term recurrence as blocked
+    matrix products to ride the MXU (libsharp's SIMD blocking taken to
+    systolic form — large rewrite, highest ceiling).
 """
 from __future__ import annotations
 
@@ -806,13 +814,13 @@ def _lambda_args(tabs):
             tabs["se"], tabs["l0"])
 
 
-def _batched(fn_one, fn_pack, xs, ndim_cores, lmax, empty):
+def _batched(fn_one, fn_pack, xs, ndim_cores, lmax, empty, pack=None):
     """Run over leading batch dims shared by the arrays in ``xs``:
     single elements go through the unbatched kernel; batches chunk
-    into groups of :func:`_pack` maps, each group one packed-kernel
-    launch (the l-recurrence amortizes across the group). ``fn_pack``
-    may return an array or a tuple (spin pairs); ``empty(bshape)``
-    supplies the zero-batch result."""
+    into groups of :func:`_pack` maps (or ``pack`` if given), each
+    group one packed-kernel launch (the l-recurrence amortizes across
+    the group). ``fn_pack`` may return an array or a tuple (spin
+    pairs); ``empty(bshape)`` supplies the zero-batch result."""
     x0 = xs[0]
     bshape = x0.shape[: x0.ndim - ndim_cores[0]]
     if bshape == ():
@@ -821,7 +829,7 @@ def _batched(fn_one, fn_pack, xs, ndim_cores, lmax, empty):
              for x, nc in zip(xs, ndim_cores)]
     if flats[0].shape[0] == 0:
         return empty(bshape)
-    P = _pack(lmax)
+    P = pack or _pack(lmax)
     outs = [fn_pack(*[f[i: i + P] for f in flats])
             for i in range(0, flats[0].shape[0], P)]
 
@@ -997,13 +1005,16 @@ def _leg_syn(mat, tabs, rings, lmax, interpret, fold=False):
         .astype(jnp.complex64)                       # (T, M+1)
 
 
-def _leg_ana_b(G, tabs, rings, lmax, interpret, fold=False):
+def _leg_ana_b(G, tabs, rings, lmax, interpret, fold=False, half=False):
     """Packed Legendre analysis: G (nmaps, T, M+1) complex ->
-    (nmaps, L+1, M+1) complex64 (one recurrence, nmaps contractions)."""
+    (nmaps, L+1, M+1) complex64 (one recurrence, nmaps contractions).
+    ``half``: G covers only the NORTHERN rings and the plain kernel
+    runs on half-ring tables (no parity combination — the spin fold
+    assembles the n <-> -n reflection in its wrapper)."""
     nmaps = G.shape[0]
     mtile, ttile = _tiles(lmax)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile,
-                                         fold=fold)
+                                         fold=fold or half)
     in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
     btm = pl.BlockSpec((nmaps, ttile, mtile), lambda im, jt: (0, jt, im),
                        memory_space=pltpu.VMEM)
@@ -1049,13 +1060,16 @@ def _leg_ana_b(G, tabs, rings, lmax, interpret, fold=False):
         .astype(jnp.complex64)                       # (nmaps, L+1, M+1)
 
 
-def _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=False):
+def _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=False,
+               half=False):
     """Packed Legendre synthesis: (nmaps, L+1, M+1) complex a-matrices
-    -> (nmaps, T, M+1) complex64 ring coefficients."""
+    -> (nmaps, T, M+1) complex64 ring coefficients. ``half``: run on
+    northern-half tables, returning (nmaps, Th, M+1) (see
+    :func:`_leg_ana_b`)."""
     nmaps = mat.shape[0]
     mtile, ttile = _tiles(lmax)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile,
-                                         fold=fold)
+                                         fold=fold or half)
     ar = jnp.pad(jnp.real(mat), ((0, 0), (0, Lp - L1), (0, Mp - M1))) \
         .astype(jnp.float32)
     ai = jnp.pad(jnp.imag(mat), ((0, 0), (0, Lp - L1), (0, Mp - M1))) \
@@ -1168,6 +1182,16 @@ def _alm2map_pl_impl(alm, tabs, *, rings, lmax: int,
         .astype(jnp.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def _parity_grid_np(lmax):
+    s = (-1.0) ** np.arange(lmax + 1)
+    return np.outer(s, s).astype(np.float32)      # (-1)^(l+m)
+
+
+def _parity_grid(lmax):
+    return jnp.asarray(_parity_grid_np(lmax))
+
+
 _SPIN_NS = lambda spin: (-spin, spin)
 
 
@@ -1178,11 +1202,30 @@ def map2alm_spin_pl(qmap, umap, rings, lmax: int, spin: int = 2,
     convention parity with :func:`..sht.map2alm_spin`."""
     ns = _SPIN_NS(spin)
     mtile, ttile = _tiles(lmax)
-    tabs_m = _prep_dev(lmax, rings, mtile, ttile, ns, 0)
-    tabs_p = _prep_dev(lmax, rings, mtile, ttile, ns, 1)
     q = jnp.asarray(qmap, jnp.float32)
     u = jnp.asarray(umap, jnp.float32)
     nalm = (lmax + 1) * (lmax + 2) // 2
+    if _rings_symmetric(rings):
+        # folded pair: each half-ring launch contracts 2 maps per input
+        # map (north + the OTHER n's flipped south), assembling the
+        # Wigner-d reflection d(pi-th) = (-1)^(l+m) d_{n->-n}(th) in
+        # the wrapper — the recurrence work halves with ZERO new
+        # kernel code (see module docstring).
+        tabs0 = _prep_dev(lmax, rings, mtile, ttile, ns, 0, fold=True)
+        tabs1 = _prep_dev(lmax, rings, mtile, ttile, ns, 1, fold=True)
+        par = _parity_grid(lmax)
+        fn = lambda qq, uu: _map2alm_spin_pl_fold_b_impl(
+            qq, uu, tabs0, tabs1, par, rings=rings, lmax=lmax,
+            interpret=interpret)
+        return _batched(
+            lambda qq, uu: jax.tree_util.tree_map(
+                lambda o: o[0], fn(qq[None], uu[None])),
+            fn, (q, u), (2, 2), lmax,
+            lambda bshape: (jnp.zeros(bshape + (nalm,),
+                                      jnp.complex64),) * 2,
+            pack=max(1, _pack(lmax) // 2))
+    tabs_m = _prep_dev(lmax, rings, mtile, ttile, ns, 0)
+    tabs_p = _prep_dev(lmax, rings, mtile, ttile, ns, 1)
     return _batched(
         lambda qq, uu: _map2alm_spin_pl_impl(
             qq, uu, tabs_m, tabs_p, rings=rings, lmax=lmax,
@@ -1220,6 +1263,72 @@ def _map2alm_spin_pl_b_impl(qmap, umap, tabs_m, tabs_p, *, rings,
             _sht._mat2alm(0.5j * (ap - am), lmax))
 
 
+def _north_south(G, T):
+    """(nmaps, T, M) -> northern rows and flipped-southern rows, both
+    padded to Th = ceil(T/2) (the equator pad row is zero: its southern
+    contraction must not double-count)."""
+    Th = (T + 1) // 2
+    half = T // 2
+    Gn = G[:, :Th, :]
+    Gs = jnp.flip(G[:, Th:, :], axis=1)
+    if Th != half:
+        Gs = jnp.concatenate(
+            [Gs, jnp.zeros_like(G[:, : Th - half, :])], axis=1)
+    return Gn, Gs
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _map2alm_spin_pl_fold_b_impl(qmap, umap, tabs0, tabs1, par, *,
+                                 rings, lmax: int,
+                                 interpret: bool = False):
+    """Folded packed spin analysis: a_n = sum_N Lambda_n G_n^N
+    + (-1)^(l+m) sum_N Lambda_{-n} Gflip_n^S — two half-ring launches,
+    each contracting [own-n north, other-n flipped south]."""
+    nmaps = qmap.shape[0]
+    Fp, Fm, w = _sht._spin_ring_analysis(qmap, umap, rings, lmax)
+    Gp = Fp * w[None, :, None]
+    Gm = Fm * w[None, :, None]
+    T = rings.ntheta
+    Gpn, Gps = _north_south(Gp, T)
+    Gmn, Gms = _north_south(Gm, T)
+    out0 = _leg_ana_b(jnp.concatenate([Gpn, Gms]), tabs0, rings, lmax,
+                      interpret, half=True)
+    out1 = _leg_ana_b(jnp.concatenate([Gmn, Gps]), tabs1, rings, lmax,
+                      interpret, half=True)
+    ap = out0[:nmaps] + par[None] * out1[nmaps:]
+    am = out1[:nmaps] + par[None] * out0[nmaps:]
+    return (_sht._mat2alm(-0.5 * (ap + am), lmax),
+            _sht._mat2alm(0.5j * (ap - am), lmax))
+
+
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+def _alm2map_spin_pl_fold_b_impl(ealm, balm, tabs0, tabs1, par, *,
+                                 rings, lmax: int,
+                                 interpret: bool = False):
+    """Folded packed spin synthesis: southern rows of S_n come from the
+    OTHER n's half-ring synthesis of the parity-signed a-matrix."""
+    nmaps = ealm.shape[0]
+    emat = _sht._alm2mat(ealm, lmax)
+    bmat = _sht._alm2mat(balm, lmax)
+    ap = -(emat + 1j * bmat)
+    am = -(emat - 1j * bmat)
+    T = rings.ntheta
+    half = T // 2
+    out0 = _leg_syn_b(jnp.concatenate([ap, par[None] * am]), tabs0,
+                      rings, lmax, interpret, half=True)
+    out1 = _leg_syn_b(jnp.concatenate([am, par[None] * ap]), tabs1,
+                      rings, lmax, interpret, half=True)
+    Sp = jnp.concatenate(
+        [out0[:nmaps], jnp.flip(out1[nmaps:, :half, :], axis=1)], axis=1)
+    Sm = jnp.concatenate(
+        [out1[:nmaps], jnp.flip(out0[nmaps:, :half, :], axis=1)], axis=1)
+    q_m = 0.5 * (Sp + Sm)
+    u_m = -0.5j * (Sp - Sm)
+    q = _sht._ring_synthesis(q_m, rings, real=True)
+    u = _sht._ring_synthesis(u_m, rings, real=True)
+    return q.astype(jnp.float32), u.astype(jnp.float32)
+
+
 def alm2map_spin_pl(ealm, balm, rings, lmax: int = None, spin: int = 2,
                     interpret: bool = False):
     """Pallas spin-s synthesis: (E, B) alms -> (Q, U) fp32 maps.
@@ -1233,6 +1342,20 @@ def alm2map_spin_pl(ealm, balm, rings, lmax: int = None, spin: int = 2,
         lmax = almops.getlmax(ealm.shape[-1])
     ns = _SPIN_NS(spin)
     mtile, ttile = _tiles(lmax)
+    if _rings_symmetric(rings):
+        tabs0 = _prep_dev(lmax, rings, mtile, ttile, ns, 0, fold=True)
+        tabs1 = _prep_dev(lmax, rings, mtile, ttile, ns, 1, fold=True)
+        par = _parity_grid(lmax)
+        fn = lambda ee, bb: _alm2map_spin_pl_fold_b_impl(
+            ee, bb, tabs0, tabs1, par, rings=rings, lmax=lmax,
+            interpret=interpret)
+        return _batched(
+            lambda ee, bb: jax.tree_util.tree_map(
+                lambda o: o[0], fn(ee[None], bb[None])),
+            fn, (ealm, balm), (1, 1), lmax,
+            lambda bshape: (jnp.zeros(
+                bshape + (rings.ntheta, rings.nphi), jnp.float32),) * 2,
+            pack=max(1, _pack(lmax) // 2))
     tabs_m = _prep_dev(lmax, rings, mtile, ttile, ns, 0)
     tabs_p = _prep_dev(lmax, rings, mtile, ttile, ns, 1)
     return _batched(

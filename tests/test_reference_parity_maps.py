@@ -263,3 +263,37 @@ def test_stamp_pixcov_pol_matches_reference():
     # absolute is 1e-8 relative to scale)
     np.testing.assert_allclose(np.asarray(tcov), np.asarray(rcov),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_mapgen_pol_covsqrt_matches_reference(geoms):
+    """(3,3,L) TEB cov: exercises the matrix-sqrt (eigen) path of
+    spec2flat on both sides."""
+    shape, wcs, geom = geoms
+    cl = _ps_table()
+    ps = np.zeros((3, 3, cl.size))
+    ps[0, 0] = cl
+    ps[1, 1] = 0.3 * cl
+    ps[2, 2] = 0.05 * cl
+    ps[0, 1] = ps[1, 0] = 0.25 * cl
+    rmg = rmaps.MapGen((3,) + shape, wcs, cov=ps.copy())
+    tmg = tmaps.MapGen(geom, ps, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(tmg.covsqrt),
+                               np.asarray(rmg.covsqrt),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_f1power_matches_reference(geoms):
+    """Half-FFTed power: map1 real, kmap2 already transformed."""
+    shape, wcs, geom = geoms
+    rng = np.random.default_rng(10)
+    m1 = rng.standard_normal(shape)
+    m2 = rng.standard_normal(shape)
+    rfc = rmaps.FourierCalc((1,) + shape, wcs)
+    _, _, rk2 = rfc.power2d(shim_enmap.enmap(m2[None], wcs))
+    rp, rk1 = rfc.f1power(shim_enmap.enmap(m1[None], wcs), rk2)
+    tfc = tmaps.FourierCalc(geom)
+    _, _, tk2 = tfc.power2d(jnp.asarray(m2))
+    tp, tk1 = tfc.f1power(jnp.asarray(m1), tk2)
+    np.testing.assert_allclose(np.asarray(tp),
+                               np.squeeze(np.asarray(rp)),
+                               rtol=1e-6, atol=1e-10)
