@@ -297,3 +297,46 @@ def test_f1power_matches_reference(geoms):
     np.testing.assert_allclose(np.asarray(tp),
                                np.squeeze(np.asarray(rp)),
                                rtol=1e-6, atol=1e-10)
+
+
+# ---------------------------------------------------------------------
+# ILC: standard and constrained combinations + their noise
+# ---------------------------------------------------------------------
+
+def _ilc_inputs(seed=20, nfreq=4, n=24):
+    rng = np.random.default_rng(seed)
+    kmaps = (rng.standard_normal((nfreq, n, n))
+             + 1j * rng.standard_normal((nfreq, n, n)))
+    A = rng.standard_normal((nfreq, nfreq)) * 0.3
+    cov0 = A @ A.T + np.eye(nfreq)
+    scale = 1.0 + rng.uniform(0.1, 1.0, (n, n))
+    cov = cov0[:, :, None, None] * scale[None, None]
+    cinv = np.moveaxis(np.linalg.inv(np.moveaxis(cov, (0, 1), (-2, -1))),
+                       (-2, -1), (0, 1))
+    ra = np.ones(nfreq)
+    rb = rng.uniform(0.5, 3.0, nfreq)
+    return kmaps, cinv, ra, rb
+
+
+def test_silc_and_noise_match_reference():
+    from orphics_tpu.models import ilc as tilc
+    kmaps, cinv, ra, rb = _ilc_inputs()
+    rout = rmaps.silc(kmaps.copy(), cinv.copy())
+    tout = np.asarray(tilc.silc(jnp.asarray(kmaps), jnp.asarray(cinv)))
+    np.testing.assert_allclose(tout, rout, rtol=1e-5, atol=1e-8)
+    rn = rmaps.silc_noise(cinv.copy())
+    tn = np.asarray(tilc.silc_noise(jnp.asarray(cinv)))
+    np.testing.assert_allclose(tn, rn, rtol=1e-5, atol=1e-10)
+
+
+def test_cilc_and_noise_match_reference():
+    from orphics_tpu.models import ilc as tilc
+    kmaps, cinv, ra, rb = _ilc_inputs(seed=21)
+    rout = rmaps.cilc(kmaps.copy(), cinv.copy(), ra, rb)
+    tout = np.asarray(tilc.cilc(jnp.asarray(kmaps), jnp.asarray(cinv),
+                                jnp.asarray(ra), jnp.asarray(rb)))
+    np.testing.assert_allclose(tout, rout, rtol=1e-5, atol=1e-8)
+    rn = rmaps.cilc_noise(cinv.copy(), ra, rb)
+    tn = np.asarray(tilc.cilc_noise(jnp.asarray(cinv), jnp.asarray(ra),
+                                    jnp.asarray(rb)))
+    np.testing.assert_allclose(tn, rn, rtol=1e-5, atol=1e-10)
