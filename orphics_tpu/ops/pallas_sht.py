@@ -102,7 +102,9 @@ ROOFLINE (measured v5e-1, this kernel, 2026-08):
     carry handling of the accumulator tiles beats the ~23-op/step
     saving) — reverted there. Chunk-level (UNROLL, mtile) table loads
     instead of per-step row slices: no change (Mosaic already
-    pipelines the dynamic sublane reads).
+    pipelines the dynamic sublane reads). Ring tile 512 instead of
+    256: 11% SLOWER at lmax 2047 (432 -> 478 ms roundtrip) — keep
+    _tiles at (128, 256).
   * SPIN transforms fold too (round 4, wrapper-level): the Wigner-d
     reflection d(pi-th) = (-1)^(l+m) d_{n->-n}(th) couples n <-> -n,
     so each half-ring launch contracts [own-n north, other-n flipped
