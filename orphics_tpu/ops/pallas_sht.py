@@ -117,9 +117,22 @@ ROOFLINE (measured v5e-1, this kernel, 2026-08):
     contraction-dominated. On-chip accuracy identical to the scan.
   * remaining improvement paths: (1) per-(ring, m) first-significant-l
     bounds (ducc's ring skip, finer than the tile-granular
-    _lend_table); (2) restructure the 3-term recurrence as blocked
-    matrix products to ride the MXU (libsharp's SIMD blocking taken to
-    systolic form — large rewrite, highest ceiling).
+    _lend_table). Worked design for round 5: make the seed tables
+    per-(ring, m) at l_s(th, m) = max(m, m/sin th - buffer) instead of
+    l0 = m — the kernel already injects per-lane seeds, it just needs
+    (a) l0 as a (ttile, mtile) grid instead of a (1, mtile) row,
+    (b) four seed mantissa tables (Lambda_{ls-1}, Lambda_ls hi+lo)
+    instead of two (the generalized seed has a nonzero previous value),
+    (c) the per-tile fori_loop START raised to min(l_s)/UNROLL over
+    the tile. Seeds at arbitrary l have no closed form; precompute
+    them ONCE per (lmax, rings) with a capture-at-l_s lax.scan of the
+    existing dd recurrence (sht._lambda_scan structure) — one
+    analysis-priced device pass, cached like the tables. Estimated
+    ~36% fewer steps at lmax 2047 (the polar-quadrant waste) -> ~1.4x
+    on top of the fold, clearing 3 rt/s. (2) restructure the 3-term
+    recurrence as blocked matrix products to ride the MXU (libsharp's
+    SIMD blocking taken to systolic form — large rewrite, highest
+    ceiling).
 """
 from __future__ import annotations
 
