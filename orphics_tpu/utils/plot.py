@@ -23,8 +23,10 @@ _SCHEMES = {
     "Pk": (r"$k$ (Mpc$^{-1}$)", r"$P(k)$ (Mpc$^3$)", "loglog", lambda x: 1),
     "CL": (r"$L$", r"$C_{L}$", "linlog", lambda x: 1),
     "LCL": (r"$L$", r"$LC_{L}$", "linlin", lambda x: x),
-    "rCell": (r"$\ell$", r"$\Delta C_{\ell}/C_{\ell}$", "linlin", lambda x: 1),
-    "rCl": (r"$\ell$", r"$\Delta C_{\ell}/C_{\ell}$", "linlin", lambda x: 1),
+    "rCell": (r"$\ell$", r"$\Delta C_{\ell} / C_{\ell}$", "linlin",
+              lambda x: 1),
+    "rCl": (r"$\ell$", r"$\Delta C_{\ell} / C_{\ell}$", "linlin",
+            lambda x: 1),
     "dCell": (r"$\ell$", r"$\Delta C_{\ell}$", "linlin", lambda x: 1),
     "dCl": (r"$\ell$", r"$\Delta C_{\ell}$", "linlin", lambda x: 1),
     "rCL": (r"$L$", r"$\Delta C_{L}/C_{L}$", "linlin", lambda x: 1),

@@ -340,3 +340,91 @@ def test_cilc_and_noise_match_reference():
     tn = np.asarray(tilc.cilc_noise(jnp.asarray(cinv), jnp.asarray(ra),
                                     jnp.asarray(rb)))
     np.testing.assert_allclose(tn, rn, rtol=1e-5, atol=1e-10)
+
+
+# ---------------------------------------------------------------------
+# windows / beams / small utilities
+# ---------------------------------------------------------------------
+
+def test_get_taper_matches_reference(geoms):
+    shape, wcs, geom = geoms
+    from orphics_tpu.ops.windows import get_taper, get_taper_deg
+    rt, rw2 = rmaps.get_taper(shape, wcs, taper_percent=12.0,
+                              pad_percent=3.0)
+    tt, tw2 = get_taper(geom, taper_percent=12.0, pad_percent=3.0)
+    np.testing.assert_allclose(np.asarray(tt), np.asarray(rt),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(tw2), float(rw2), rtol=1e-6)
+    rt2, rw22 = rmaps.get_taper_deg(shape, wcs, taper_width_degrees=1.0)
+    tt2, tw22 = get_taper_deg(geom, taper_width_degrees=1.0)
+    np.testing.assert_allclose(np.asarray(tt2), np.asarray(rt2),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(tw22), float(rw22), rtol=1e-6)
+
+
+def test_gauss_beam_and_sigma_fwhm_match_reference():
+    from orphics_tpu.ops import fourier as F
+    from orphics_tpu.ops.windows import sigma_from_fwhm, fwhm_from_sigma
+    ells = np.arange(2.0, 6000.0, 13.0)
+    np.testing.assert_allclose(np.asarray(F.gauss_beam(ells, 1.4)),
+                               rmaps.gauss_beam(ells, 1.4), rtol=2e-6)
+    np.testing.assert_allclose(sigma_from_fwhm(1.4),
+                               rmaps.sigma_from_fwhm(1.4), rtol=1e-12)
+    np.testing.assert_allclose(fwhm_from_sigma(0.6),
+                               rmaps.fwhm_from_sigma(0.6), rtol=1e-12)
+
+
+def test_cosine_taper_and_minimum_ell_match_reference(geoms):
+    shape, wcs, geom = geoms
+    from orphics_tpu.models.mapstools import (cosine_taper,
+                                              minimum_ell)
+    ls = np.arange(0.0, 3000.0, 7.0)
+    np.testing.assert_allclose(np.asarray(cosine_taper(ls, 300, 100)),
+                               rmaps.cosine_taper(ls, 300, 100),
+                               rtol=1e-6, atol=1e-8)
+    assert int(minimum_ell(geom)) == int(rmaps.minimum_ell(shape, wcs))
+
+
+def test_filter_map_matches_reference(geoms):
+    shape, wcs, geom = geoms
+    from orphics_tpu.ops import fourier as F
+    rng = np.random.default_rng(30)
+    m = rng.standard_normal(shape)
+    kfilt = (np.asarray(shim_enmap.modlmap(shape, wcs)) < 2000).astype(float)
+    rout = rmaps.filter_map(shim_enmap.enmap(m, wcs),
+                            shim_enmap.enmap(kfilt, wcs))
+    tout = np.asarray(F.kfilter(jnp.asarray(m), jnp.asarray(kfilt), geom))
+    np.testing.assert_allclose(tout, np.asarray(rout), rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_interp_matches_reference():
+    from orphics_tpu import maps as _tm
+    x = np.linspace(0, 100, 50)
+    y = np.sin(x / 10.0)
+    xq = np.linspace(-10, 110, 77)       # includes out-of-range
+    rf = rmaps.interp(x, y)
+    tf = _tm.interp(x, y)
+    np.testing.assert_allclose(np.asarray(tf(xq)), rf(xq), rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_plotter_schemes_match_reference(tmp_path):
+    """The reference io.Plotter is pixell-free: construct both and
+    compare the axes labels/scales and the scheme scale functions."""
+    import orphics.io as rio_
+    from orphics_tpu.utils import plot as uplot
+    ells = np.arange(2.0, 500.0)
+    for scheme in ("Dell", "Cell", "Pk", "CL", "LCL", "rCell"):
+        rp = rio_.Plotter(scheme=scheme)
+        tp = uplot.Plotter(scheme=scheme)
+        assert tp._ax.get_xscale() == rp._ax.get_xscale(), scheme
+        assert tp._ax.get_yscale() == rp._ax.get_yscale(), scheme
+        assert tp._ax.get_xlabel() == rp._ax.get_xlabel(), scheme
+        assert tp._ax.get_ylabel() == rp._ax.get_ylabel(), scheme
+        rs = rp.scalefn(ells) if rp.scalefn else 1
+        np.testing.assert_allclose(np.asarray(tp.scalefn(ells)) * ells ** 0,
+                                   np.asarray(rs) * ells ** 0,
+                                   rtol=1e-12, err_msg=scheme)
+        rp._plt.close("all") if hasattr(rp, "_plt") else None
+        tp._plt.close(tp._fig)
