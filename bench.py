@@ -45,6 +45,15 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     jax.config.update("jax_platforms", "cpu")
 
 
+_RESULTS = []
+
+
+def _emit(obj):
+    """Print one benchmark JSON line and record it for the final summary."""
+    _RESULTS.append(obj)
+    print(json.dumps(obj), flush=True)
+
+
 def _sync_scalar(x):
     """Force execution on axon (block_until_ready is a no-op there)."""
     return float(np.asarray(x).ravel()[0])
@@ -165,12 +174,12 @@ def bench_headline():
             _ = np.asarray(out)
             dt = time.perf_counter() - t0
         rate = nrep * batch / dt
-        print(json.dumps({
+        _emit({
             "metric": f"grf_fft_bin_pipelines_per_sec_{n}x{n}_fp32",
             "value": round(rate, 2),
             "unit": "pipelines/s",
             "vs_baseline": round(rate / 1000.0, 4),
-        }), flush=True)
+        })
         return
 
     def power_pair(key):
@@ -219,12 +228,12 @@ def bench_headline():
         dt = time.perf_counter() - t0
     rate = nrep * batch / dt
 
-    print(json.dumps({
+    _emit({
         "metric": f"grf_fft_bin_pipelines_per_sec_{n}x{n}_fp32",
         "value": round(rate, 2),
         "unit": "pipelines/s",
         "vs_baseline": round(rate / 1000.0, 4),
-    }), flush=True)
+    })
 
 
 def bench_masked_cross():
@@ -283,10 +292,10 @@ def bench_masked_cross():
         _sync_scalar(out[0])
         dt = time.perf_counter() - t0
     rate = nrep * (batch // 2) / dt
-    print(json.dumps({
+    _emit({
         "metric": f"masked_cross_spectra_per_sec_{n}x{n}_fp32",
         "value": round(rate, 2), "unit": "cross-spectra/s",
-        "vs_baseline": round(rate, 2)}), flush=True)
+        "vs_baseline": round(rate, 2)})
 
 
 def bench_qe_recon():
@@ -381,10 +390,10 @@ def bench_qe_recon():
             _sync_scalar(out)
             dt = time.perf_counter() - t0
         rate = nrep * batch / dt
-        print(json.dumps({
+        _emit({
             "metric": f"qe_tt_recon_only_per_sec_{n}x{n}_fp32",
             "value": round(rate, 2), "unit": "recons/s",
-            "vs_baseline": round(rate, 2)}), flush=True)
+            "vs_baseline": round(rate, 2)})
         return
 
     covsqrt_h = grf.covsqrt_half(geom, ells, cltt, dtype=jnp.float32)
@@ -409,10 +418,10 @@ def bench_qe_recon():
         _sync_scalar(out)
         dt = time.perf_counter() - t0
     rate = nrep * batch / dt
-    print(json.dumps({
+    _emit({
         "metric": f"qe_tt_recon_only_per_sec_{n}x{n}_fp32",
         "value": round(rate, 2), "unit": "recons/s",
-        "vs_baseline": round(rate, 2)}), flush=True)
+        "vs_baseline": round(rate, 2)})
 
 
 def bench_lensed_e2e():
@@ -443,10 +452,10 @@ def bench_lensed_e2e():
         _sync_scalar(out)
         dt = time.perf_counter() - t0
     rate = nrep * batch / dt
-    print(json.dumps({
+    _emit({
         "metric": f"lensed_sim_plus_qe_recon_per_sec_{n}x{n}_fp32",
         "value": round(rate, 2), "unit": "sim+recon/s",
-        "vs_baseline": round(rate, 2)}), flush=True)
+        "vs_baseline": round(rate, 2)})
 
 
 def bench_ilc():
@@ -563,10 +572,10 @@ def bench_ilc():
         sync(out)
         dt = time.perf_counter() - t0
     rate = nrep * batch / dt
-    print(json.dumps({
+    _emit({
         "metric": f"ilc_6band_deproj_coadds_per_sec_{n}x{n}_fp32",
         "value": round(rate, 2), "unit": "coadds/s",
-        "vs_baseline": round(rate, 2)}), flush=True)
+        "vs_baseline": round(rate, 2)})
 
 
 def bench_stack():
@@ -641,10 +650,10 @@ def bench_stack():
         _sync_scalar(out)
         dt = time.perf_counter() - t0
     rate = nrep * nstamp / dt
-    print(json.dumps({
+    _emit({
         "metric": f"stack_inpaint_nfwfit_stamps_per_sec_{npix}x{npix}",
         "value": round(rate, 2), "unit": "stamps/s",
-        "vs_baseline": round(rate, 2)}), flush=True)
+        "vs_baseline": round(rate, 2)})
 
 
 def bench_sht():
@@ -688,10 +697,10 @@ def bench_sht():
     rate = nrep * batch / dt
     tag = f"sht_roundtrips_per_sec_lmax{lmax}" \
         + (f"_batch{batch}" if batch > 1 else "")
-    print(json.dumps({
+    _emit({
         "metric": tag,
         "value": round(rate, 3), "unit": "roundtrips/s",
-        "vs_baseline": round(rate, 3)}), flush=True)
+        "vs_baseline": round(rate, 3)})
 
 
 def bench_curved_mc():
@@ -746,35 +755,61 @@ def bench_curved_mc():
         _sync_scalar(jnp.abs(cls).max())
         dt = time.perf_counter() - t0
     rate = nrep * batch / dt
-    print(json.dumps({
+    _emit({
         "metric": f"curved_masked_cl_sims_per_sec_lmax{lmax}_batch{batch}",
         "value": round(rate, 3), "unit": "sims/s",
-        "vs_baseline": round(rate, 3)}), flush=True)
+        "vs_baseline": round(rate, 3)})
 
 
 def main():
+    import warnings
     configs = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8").split(",")
     fns = {"1": bench_headline, "2": bench_masked_cross,
            "3": bench_qe_recon, "4": bench_ilc, "5": bench_stack,
            "6": bench_lensed_e2e, "7": bench_sht, "8": bench_curved_mc}
     ok = 0
-    for c in configs:
-        c = c.strip()
-        if not c:
-            continue
-        try:
-            fns[c]()
-            ok += 1
-        except Exception as e:  # one config must not kill the others
-            print(json.dumps({"metric": f"config{c}_error",
-                              "value": 0.0, "unit": "error",
-                              "vs_baseline": 0.0,
-                              "error": f"{type(e).__name__}: {e}"[:300]}),
-                  file=sys.stderr)
+    # Self-check: no config may request device float64 on an x64-off
+    # runtime (jax warns and silently truncates — binner-edge hazard).
+    trunc = []
+    with warnings.catch_warnings(record=True) as wrec:
+        warnings.simplefilter("always")
+        for c in configs:
+            c = c.strip()
+            if not c:
+                continue
+            try:
+                fns[c]()
+                ok += 1
+            except Exception as e:  # one config must not kill the others
+                print(json.dumps({"metric": f"config{c}_error",
+                                  "value": 0.0, "unit": "error",
+                                  "vs_baseline": 0.0,
+                                  "error": f"{type(e).__name__}: {e}"[:300]}),
+                      file=sys.stderr)
+        trunc = [str(w.message)[:160] for w in wrec
+                 if "float64" in str(w.message)
+                 and "truncat" in str(w.message).lower()]
     if ok == 0:
         # every config failed: no JSON on stdout — make that observable
         # to exit-status gates instead of reporting success with no data
         sys.exit(1)
+    # Final line = the headline (config 1) so artifact collectors that keep
+    # only the LAST parsed JSON record the headline, with every other
+    # config's number embedded alongside it.
+    head = next((r for r in _RESULTS
+                 if r["metric"].startswith("grf_fft_bin_pipelines")),
+                _RESULTS[0])
+    summary = dict(head)
+    summary["all"] = {r["metric"]: r["value"] for r in _RESULTS}
+    summary["float64_truncation_warnings"] = len(trunc)
+    if trunc:
+        summary["truncation_warning_samples"] = trunc[:3]
+    print(json.dumps(summary), flush=True)
+    if trunc:
+        print(f"BENCH SELF-CHECK FAILED: {len(trunc)} float64-truncation "
+              "warnings (device f64 requested on an x64-off runtime)",
+              file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

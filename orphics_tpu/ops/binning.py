@@ -171,9 +171,12 @@ class RfftBin2D:
     """
 
     def __init__(self, geom, bin_edges, strategy: str = None):
-        import jax.numpy as _jnp
         self.strategy = strategy or _default_strategy()
-        full = np.asarray(geom.modlmap(_jnp.float64), dtype=np.float64)
+        # Host-f64 end to end: ``geom.modlmap(jnp.float64)`` silently
+        # truncates to fp32 on an x64-off runtime (and warns), which can
+        # move edge-collision pixels between bins. modlmap_np never
+        # touches the device.
+        full = geom.modlmap_np()
         half = full[:, :geom.nx // 2 + 1]
         bin_edges = np.asarray(bin_edges, dtype=np.float64)
         self.bin_edges = bin_edges

@@ -232,6 +232,49 @@ def test_rfft_binner_matches_full_plane(geom, th):
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), rtol=1e-5)
 
 
+def test_rfft_binner_edge_collision_f64(geom):
+    """RfftBin2D digitizes the host-float64 |l| grid bit-identically to
+    np.digitize on the f64 rfft half-plane — including pixels whose |l|
+    sits exactly on a bin edge, where an fp32-truncated grid (the old
+    ``geom.modlmap(jnp.float64)`` device path, silently fp32 under
+    x64-off) moves pixels across the edge (VERDICT r4 item 2)."""
+    from orphics_tpu.ops.binning import RfftBin2D
+    half64 = geom.modlmap_r_np()                       # host f64, exact
+    half32 = half64.astype(np.float32).astype(np.float64)
+    # Pick edges that land EXACTLY on grid |l| values whose fp32 rounding
+    # moves them across the edge (collision pixels).
+    moved_up = (half32 > half64) & (half64 > 0)
+    assert moved_up.any(), "geometry has no fp32-rounds-up |l| values"
+    vals = np.unique(half64[moved_up])
+    edges = np.sort(np.concatenate([[vals[0] - 1.0], vals[:6],
+                                    [vals[:6].max() + 50.0]]))
+    b = RfftBin2D(geom, edges)
+    want = np.digitize(half64.reshape(-1), edges, right=True)
+    got = np.asarray(b._dig_dev)
+    np.testing.assert_array_equal(got, want.astype(np.int32))
+    # teeth: the fp32 grid really would disagree on the collision pixels
+    wrong = np.digitize(half32.reshape(-1), edges, right=True)
+    assert (wrong != want).any()
+
+
+def test_binner_construction_emits_no_truncation_warnings(geom):
+    """Constructing the bench-path binners must not request device float64
+    (jax warns + truncates under x64-off); guards the 'warning-free bench'
+    claim (VERDICT r4 item 2)."""
+    import warnings
+    from orphics_tpu.ops.binning import RfftBin2D
+    edges = np.arange(80, 4000, 160.0)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        RfftBin2D(geom, edges)
+        Bin2D(geom.modlmap_np(), edges)
+        Bin2D(geom.modrmap_np(), np.linspace(0, 0.05, 16))
+    bad = [str(w.message) for w in rec
+           if "float64" in str(w.message)
+           and "truncat" in str(w.message).lower()]
+    assert not bad, bad
+
+
 def test_pallas_bin_interpret_mode(geom):
     """The MXU one-hot bin kernel agrees with the rowcum path (interpreter
     mode on CPU)."""
