@@ -180,10 +180,13 @@ def _dd_step(l, tabs, vals, carry):
     """One l-step of the full-dd recurrence on a (ttile, mtile) tile.
     ``tabs`` = (Ah, Bh, Ch, Al, Bl, Cl) refs in (l, m) layout, sliced
     at row l (dynamic sublane access); ``vals`` = (x (ttile, 1), xlo,
-    sm (ttile, mtile), sl, se, l0v (1, mtile)) tile values. Returns
-    (new_carry, weighted Lambda)."""
+    sm (ttile, mtile), sl, smP, slP, se, l0v) tile values: the
+    captured-seed pair Lambda_{ls} (sm/sl) and Lambda_{ls-1} (smP/slP)
+    injects mid-stream at the per-(ring, m) first-significant l0v
+    grid (see :func:`_captured_seeds`). Returns (new_carry, weighted
+    Lambda)."""
     Ah, Bh, Ch, Al, Bl, Cl = tabs
-    x, xlo, sm, sl, se, l0v = vals
+    x, xlo, sm, sl, smP, slP, se, l0v = vals
     lam_p, lam_c, lam_pl, lam_cl, e = carry
     a = Ah[pl.ds(l, 1), :]
     b = Bh[pl.ds(l, 1), :]
@@ -200,12 +203,13 @@ def _dd_step(l, tabs, vals, carry):
     lo = ((p * lam_cl + c * lam_pl)
           + ((pe * lam_c + cl_ * lam_p) + (s_e + (e1 + e2))))
     lam_n, lam_nl = _twosum(s, lo)
-    # seed injection where l == l0(m)
-    is_seed = l0v == l                      # (1, mtile) bool
+    # captured-seed injection where l == l0(ring, m): the PAIR
+    # (Lambda_{ls-1}, Lambda_{ls}) restarts the recurrence mid-stream
+    is_seed = l0v == l                      # (ttile, mtile) bool
     lam_n = jnp.where(is_seed, sm, lam_n)
     lam_nl = jnp.where(is_seed, sl, lam_nl)
-    lam_pn = jnp.where(is_seed, jnp.zeros_like(lam_c), lam_c)
-    lam_pnl = jnp.where(is_seed, jnp.zeros_like(lam_cl), lam_cl)
+    lam_pn = jnp.where(is_seed, smP, lam_c)
+    lam_pnl = jnp.where(is_seed, slP, lam_cl)
     e = jnp.where(is_seed, se, e)
     # unwind the extended exponent as values climb
     big = (jnp.abs(lam_n) > _TH) & (e > 0)
@@ -227,7 +231,7 @@ def _dd_step_hot(l, tabs, vals, carry):
     arithmetic core is IDENTICAL, so hot and cold chunks produce
     bit-equal Lambdas."""
     Ah, Bh, Ch, Al, Bl, Cl = tabs
-    x, xlo, sm, sl, se, l0v = vals
+    x, xlo, sm, sl, smP, slP, se, l0v = vals
     lam_p, lam_c, lam_pl, lam_cl, e = carry
     a = Ah[pl.ds(l, 1), :]
     b = Bh[pl.ds(l, 1), :]
@@ -262,7 +266,7 @@ def _dd_step_rows(l, j, rows, vals, carry, hot=False):
     the seed/rescale/weight epilogue (valid once the chunk has no
     seeds and every exponent has unwound)."""
     A8, B8, C8, Al8, Bl8, Cl8 = rows
-    x, xlo, sm, sl, se, l0v = vals
+    x, xlo, sm, sl, smP, slP, se, l0v = vals
     lam_p, lam_c, lam_pl, lam_cl, e = carry
     a = A8[j:j + 1, :]
     b = B8[j:j + 1, :]
@@ -285,8 +289,8 @@ def _dd_step_rows(l, j, rows, vals, carry, hot=False):
     is_seed = l0v == l
     lam_n = jnp.where(is_seed, sm, lam_n)
     lam_nl = jnp.where(is_seed, sl, lam_nl)
-    lam_pn = jnp.where(is_seed, jnp.zeros_like(lam_c), lam_c)
-    lam_pnl = jnp.where(is_seed, jnp.zeros_like(lam_cl), lam_cl)
+    lam_pn = jnp.where(is_seed, smP, lam_c)
+    lam_pnl = jnp.where(is_seed, slP, lam_cl)
     e = jnp.where(is_seed, se, e)
     big = (jnp.abs(lam_n) > _TH) & (e > 0)
     lam_n = jnp.where(big, lam_n * _INV, lam_n)
@@ -299,22 +303,32 @@ def _dd_step_rows(l, j, rows, vals, carry, hot=False):
     return (lam_pn, lam_n, lam_pnl, lam_nl, e), lam_n * w
 
 
-def _seed_hi(mtile):
-    """First chunk index past every possible seed of this m-tile
-    (seeds land at l0 = m in [im*mtile, (im+1)*mtile))."""
-    return (pl.program_id(0) + 1) * (mtile // _UNROLL)
+def _lo(bounds):
+    """Per-(m-tile, ring-tile) first l-chunk with any live lane: the
+    minimum captured l_s over the tile (see :func:`_captured_seeds`) —
+    every lane is identically zero before it, so the loop skips the
+    whole evanescent region (ducc's ring skip at per-(ring, m)
+    granularity, floored to the tile). ``bounds`` is a (3*n_im, n_jt)
+    int32 SMEM table: rows [0, n_im) = lstart, [n_im, 2 n_im) = lend,
+    [2 n_im, 3 n_im) = seed-hi."""
+    return bounds[pl.program_id(0), pl.program_id(1)]
 
 
-def _lstart(mtile):
-    """First l-chunk with any live lane in this m-tile: Lambda is
-    identically zero until the seed at l0 = max(m, |n|) >= m, so the
-    recurrence can start at the tile's base m — skipping on average
-    half of all (m, ring, l) steps across the m-grid."""
-    return pl.program_id(0) * (mtile // _UNROLL)
+def _hi(bounds):
+    """Per-tile one-past-last live l-chunk (the dead-tile table)."""
+    n_im = bounds.shape[0] // 3
+    return bounds[n_im + pl.program_id(0), pl.program_id(1)]
 
 
-def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
-                Gr, Gi, outr, outi, *, Lp, ttile, mtile):
+def _shi(bounds):
+    """First chunk past every captured seed of this tile (hot/cold
+    switch point for the single-map analysis kernel)."""
+    n_im = bounds.shape[0] // 3
+    return bounds[2 * n_im + pl.program_id(0), pl.program_id(1)]
+
+
+def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
+                l0, bounds, Gr, Gi, outr, outi, *, Lp, ttile, mtile):
     jt = pl.program_id(1)
 
     @pl.when(jt == 0)
@@ -323,7 +337,7 @@ def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
         outi[...] = jnp.zeros((Lp, mtile), jnp.float32)
 
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
-    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     gr = Gr[:]
     gi = Gi[:]
     z = jnp.zeros((ttile, mtile), jnp.float32)
@@ -345,13 +359,13 @@ def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
             outi[pl.ds(base, _UNROLL), :] + ri
         return carry
 
-    jax.lax.fori_loop(_lstart(mtile), Lp // _UNROLL, chunk, carry0)
+    jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
 
 
-def _syn_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
-                ar, ai, outr, outi, *, Lp, ttile, mtile):
+def _syn_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
+                l0, bounds, ar, ai, outr, outi, *, Lp, ttile, mtile):
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
-    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     z = jnp.zeros((ttile, mtile), jnp.float32)
     carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32), z, z)
 
@@ -365,13 +379,14 @@ def _syn_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
             acci = acci + lw * ai[pl.ds(base + j, 1), :]
         return lam_carry + (accr, acci)
 
-    out = jax.lax.fori_loop(_lstart(mtile), Lp // _UNROLL, chunk, carry0)
+    out = jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
     outr[...] = out[5]
     outi[...] = out[6]
 
 
-def _ana_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
-                  Gr, Gi, outr, outi, *, Lp, ttile, mtile, nmaps):
+def _ana_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
+                  l0, bounds, Gr, Gi, outr, outi, *, Lp, ttile, mtile,
+                  nmaps):
     """Packed analysis: one l-recurrence contracts ``nmaps`` maps
     (G refs and outputs carry a leading maps dim) — the recurrence
     cost (~40 VPU flops per (m, ring, l)) amortizes over the batch."""
@@ -383,7 +398,7 @@ def _ana_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
         outi[...] = jnp.zeros((nmaps, Lp, mtile), jnp.float32)
 
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
-    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     gr = Gr[:]                                   # (nmaps, ttile, mtile)
     gi = Gi[:]
     z = jnp.zeros((ttile, mtile), jnp.float32)
@@ -405,14 +420,15 @@ def _ana_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
             outi[:, pl.ds(base, _UNROLL), :] + ri
         return carry
 
-    jax.lax.fori_loop(_lstart(mtile), Lp // _UNROLL, chunk, carry0)
+    jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
 
 
-def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
-                  ar, ai, outr, outi, *, Lp, ttile, mtile, nmaps):
+def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
+                  l0, bounds, ar, ai, outr, outi, *, Lp, ttile, mtile,
+                  nmaps):
     """Packed synthesis: one l-recurrence drives ``nmaps`` alm sets."""
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
-    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     z = jnp.zeros((ttile, mtile), jnp.float32)
     zb = jnp.zeros((nmaps, ttile, mtile), jnp.float32)
     carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32), zb, zb)
@@ -427,7 +443,7 @@ def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
             acci = acci + lw[None] * ai[:, pl.ds(base + j, 1), :]
         return lam_carry + (accr, acci)
 
-    out = jax.lax.fori_loop(_lstart(mtile), Lp // _UNROLL, chunk, carry0)
+    out = jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
     outr[...] = out[5]
     outi[...] = out[6]
 
@@ -443,8 +459,8 @@ def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
 # (m, ring, l) step count halves.
 # ---------------------------------------------------------------------
 
-def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
-                  lend, S0r, S0i, S1r, S1i, outr, outi, *,
+def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
+                  l0, bounds, S0r, S0i, S1r, S1i, outr, outi, *,
                   Lp, ttile, mtile):
     jt = pl.program_id(1)
 
@@ -454,7 +470,7 @@ def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
         outi[...] = jnp.zeros((Lp, mtile), jnp.float32)
 
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
-    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     g = ((S0r[:], S0i[:]), (S1r[:], S1i[:]))
     z = jnp.zeros((ttile, mtile), jnp.float32)
     carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
@@ -476,7 +492,7 @@ def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
             outi[pl.ds(base, _UNROLL), :] + jnp.concatenate(acci, axis=0)
         return carry
 
-    sh = _seed_hi(mtile)
+    sh = _shi(bounds)
 
     def chunk(ic, carry):
         # hot/cold split: past the tile's seeds with all exponents
@@ -486,16 +502,14 @@ def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
                             lambda c: body(True, ic, c),
                             lambda c: body(False, ic, c), carry)
 
-    jax.lax.fori_loop(_lstart(mtile),
-                      lend[pl.program_id(0), pl.program_id(1)],
-                      chunk, carry0)
+    jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
 
 
-def _syn_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
-                  lend, sgn0, ar, ai, outNr, outNi, outSr, outSi, *,
-                  Lp, ttile, mtile):
+def _syn_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
+                  l0, bounds, sgn0, ar, ai, outNr, outNi, outSr, outSi,
+                  *, Lp, ttile, mtile):
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
-    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     sg = sgn0[:]                             # (1, mtile): +1 even m, -1 odd
     z = jnp.zeros((ttile, mtile), jnp.float32)
     carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32),
@@ -532,9 +546,7 @@ def _syn_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
     def chunk(ic, carry):
         return body(ic, carry)
 
-    out = jax.lax.fori_loop(
-        _lstart(mtile), lend[pl.program_id(0), pl.program_id(1)],
-        chunk, carry0)
+    out = jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
     aEr, aEi, aOr, aOi = out[5:]
     outNr[...] = aEr + aOr
     outNi[...] = aEi + aOi
@@ -542,8 +554,8 @@ def _syn_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
     outSi[...] = sg * (aEi - aOi)
 
 
-def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
-                   lend, S0r, S0i, S1r, S1i, outr, outi, *,
+def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP,
+                   se, l0, bounds, S0r, S0i, S1r, S1i, outr, outi, *,
                    Lp, ttile, mtile, nmaps):
     jt = pl.program_id(1)
 
@@ -553,7 +565,7 @@ def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
         outi[...] = jnp.zeros((nmaps, Lp, mtile), jnp.float32)
 
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
-    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     g = ((S0r[:], S0i[:]), (S1r[:], S1i[:]))   # (nmaps, ttile, mtile)
     z = jnp.zeros((ttile, mtile), jnp.float32)
     carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
@@ -581,16 +593,14 @@ def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
     def chunk(ic, carry):
         return body(ic, carry)
 
-    jax.lax.fori_loop(_lstart(mtile),
-                      lend[pl.program_id(0), pl.program_id(1)],
-                      chunk, carry0)
+    jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
 
 
-def _syn_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
-                   lend, sgn0, ar, ai, outNr, outNi, outSr, outSi, *,
-                   Lp, ttile, mtile, nmaps):
+def _syn_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP,
+                   se, l0, bounds, sgn0, ar, ai, outNr, outNi, outSr,
+                   outSi, *, Lp, ttile, mtile, nmaps):
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
-    vals = (x[:], xlo[:], sm[:], sl[:], se[:], l0[:])
+    vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     sg = sgn0[:]
     z = jnp.zeros((ttile, mtile), jnp.float32)
     zb = jnp.zeros((nmaps, ttile, mtile), jnp.float32)
@@ -622,9 +632,7 @@ def _syn_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, se, l0,
     def chunk(ic, carry):
         return body(ic, carry)              # see _syn_kernel_f note
 
-    out = jax.lax.fori_loop(
-        _lstart(mtile), lend[pl.program_id(0), pl.program_id(1)],
-        chunk, carry0)
+    out = jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
     aEr, aEi, aOr, aOi = out[5:]
     outNr[...] = aEr + aOr
     outNi[...] = aEi + aOi
@@ -714,6 +722,158 @@ def _rings_symmetric(rings):
     return bool(np.allclose(th + th[::-1], np.pi, rtol=0, atol=1e-12))
 
 
+def _capture_scan(Ah, Bh, Ch, Al, Bl, Cl, xh, xl, sm, sl, se, l0row):
+    """Run the fp32 dd l-recurrence (the EXACT :func:`_dd_step`
+    algebra — the two must never drift) over the full (ring, m) grid
+    once, and capture, per lane, the post-rescale carry at the first l
+    where the extended exponent has unwound to e <= 1 — the first l
+    whose output weight is nonzero. The captured pair
+    (Lambda_{ls-1}, Lambda_ls) re-seeds the kernel mid-stream at l_s,
+    so every step below l_s (the evanescent region below the Legendre
+    turning point l sin(theta) ~ m, whose outputs are exactly zero
+    under the kernel's weighting) can be skipped — ducc's per-ring
+    skip at full per-(ring, m) granularity.
+
+    Inputs: l-tables (L1, M1) fp32 hi/lo; xh/xl (T, 1); the l0 = m
+    seed tables sm/sl (T, M1) fp32, se (T, M1) int32; l0row (1, M1)
+    int32 (-1 on padded lanes). Returns (capP, capC, capPl, capCl,
+    capE, capL) each (T, M1); capL = -1 where the lane never emerges
+    (its Lambda contributes 0 everywhere)."""
+    T, M1 = sm.shape
+    z = jnp.zeros((T, M1), jnp.float32)
+    zi = jnp.zeros((T, M1), jnp.int32)
+    carry0 = (z, z, z, z, zi,
+              jnp.zeros((T, M1), jnp.bool_),
+              z, z, z, z, zi,
+              jnp.full((T, M1), -1, jnp.int32))
+
+    def step(carry, row):
+        a, b, c, al_, bl_, cl_, l = row
+        (lam_p, lam_c, lam_pl, lam_cl, e,
+         done, capP, capC, capPl, capCl, capE, capL) = carry
+        ax, axe = _twoprod(a, xh)
+        p, pse = _twosum(ax, b)
+        pe = (a * xl + al_ * xh + bl_) + (axe + pse)
+        t1, e1 = _twoprod(p, lam_c)
+        t2, e2 = _twoprod(c, lam_p)
+        s, s_e = _twosum(t1, t2)
+        lo = ((p * lam_cl + c * lam_pl)
+              + ((pe * lam_c + cl_ * lam_p) + (s_e + (e1 + e2))))
+        lam_n, lam_nl = _twosum(s, lo)
+        is_seed = l0row == l
+        lam_n = jnp.where(is_seed, sm, lam_n)
+        lam_nl = jnp.where(is_seed, sl, lam_nl)
+        lam_pn = jnp.where(is_seed, jnp.zeros_like(lam_c), lam_c)
+        lam_pnl = jnp.where(is_seed, jnp.zeros_like(lam_cl), lam_cl)
+        e = jnp.where(is_seed, se, e)
+        big = (jnp.abs(lam_n) > _TH) & (e > 0)
+        lam_n = jnp.where(big, lam_n * _INV, lam_n)
+        lam_nl = jnp.where(big, lam_nl * _INV, lam_nl)
+        lam_pn = jnp.where(big, lam_pn * _INV, lam_pn)
+        lam_pnl = jnp.where(big, lam_pnl * _INV, lam_pnl)
+        e = jnp.where(big, e - 1, e)
+        fire = ((~done) & (e <= 1) & (l >= l0row) & (l0row >= 0))
+        capP = jnp.where(fire, lam_pn, capP)
+        capC = jnp.where(fire, lam_n, capC)
+        capPl = jnp.where(fire, lam_pnl, capPl)
+        capCl = jnp.where(fire, lam_nl, capCl)
+        capE = jnp.where(fire, e, capE)
+        capL = jnp.where(fire, l, capL)
+        done = done | fire
+        return (lam_pn, lam_n, lam_pnl, lam_nl, e,
+                done, capP, capC, capPl, capCl, capE, capL), None
+
+    L1 = Ah.shape[0]
+    rows = (Ah, Bh, Ch, Al, Bl, Cl, jnp.arange(L1, dtype=jnp.int32))
+    out, _ = jax.lax.scan(step, carry0, rows)
+    return out[6:]
+
+
+_capture_scan_jit = jax.jit(_capture_scan)
+
+
+@functools.lru_cache(maxsize=8)
+def _captured_seeds(lmax, rings, ns, ni, fold):
+    """Per-(ring, m) mid-stream seeds from :func:`_capture_scan`, as
+    host numpy (T, M1) arrays (one analysis-priced device pass, cached
+    per (lmax, rings, n) like the tables). Falls back to the l0 = m
+    closed-form seeds (capP = 0, capL = l0) if the device pass fails —
+    that reproduces the round-4 kernel behavior exactly."""
+    import warnings
+    tab, theta, mant, e_np = _prep_raw(lmax, rings, ns)
+    L1 = M1 = lmax + 1
+    T = rings.ntheta
+    if fold:
+        T = (T + 1) // 2
+        theta = theta[:T]
+    A64 = np.asarray(tab["A"][ni], np.float64)
+    B64 = np.asarray(tab["B"][ni], np.float64)
+    C64 = np.asarray(tab["C"][ni], np.float64)
+    x64 = np.cos(theta)
+    sm64 = mant[ni][:, :T].T                 # (T, M1) float64
+    se_np = e_np[ni][:, :T].T.astype(np.int32)
+    sm32 = sm64.astype(np.float32)
+    sl32 = (sm64 - sm32).astype(np.float32)
+    x32 = x64.astype(np.float32)
+    l0row = np.asarray(tab["l0"][ni], np.int32).reshape(1, -1)
+    fallback = (np.zeros((T, M1), np.float32), sm32,
+                np.zeros((T, M1), np.float32), sl32, se_np,
+                np.broadcast_to(l0row, (T, M1)).astype(np.int32).copy())
+    try:
+        with jax.ensure_compile_time_eval():
+            outs = _capture_scan_jit(
+                jnp.asarray(A64.astype(np.float32)),
+                jnp.asarray(B64.astype(np.float32)),
+                jnp.asarray(C64.astype(np.float32)),
+                jnp.asarray((A64 - A64.astype(np.float32))
+                            .astype(np.float32)),
+                jnp.asarray((B64 - B64.astype(np.float32))
+                            .astype(np.float32)),
+                jnp.asarray((C64 - C64.astype(np.float32))
+                            .astype(np.float32)),
+                jnp.asarray(x32.reshape(-1, 1)),
+                jnp.asarray((x64 - x32).astype(np.float32)
+                            .reshape(-1, 1)),
+                jnp.asarray(sm32), jnp.asarray(sl32),
+                jnp.asarray(se_np), jnp.asarray(l0row))
+            return tuple(np.asarray(o) for o in outs)
+    except Exception as exc:                  # pragma: no cover
+        warnings.warn(
+            f"SHT seed-capture pass failed ({type(exc).__name__}: "
+            f"{exc}); falling back to l0=m seeds (correct, slower)")
+        return fallback
+
+
+def _bounds_table(capL, lmax, theta, mtile, ttile, Lp, Tp, Mp):
+    """(3*n_im, n_jt) int32 loop-bound table from the captured l_s
+    grid: per (m-tile, ring-tile) the first live chunk (min l_s), the
+    one-past-last live chunk (:func:`_lend_table`), and the first
+    all-seeded chunk (max l_s, hot/cold switch)."""
+    T, M1 = capL.shape
+    n_im = Mp // mtile
+    n_jt = Tp // ttile
+    nch = Lp // _UNROLL
+    lend = _lend_table(lmax, theta, mtile, ttile, Lp, Tp)
+    pad = np.full((Tp, Mp), -1, np.int32)
+    pad[:T, :M1] = capL
+    tiles = pad.reshape(n_jt, ttile, n_im, mtile)
+    live = tiles >= 0
+    any_live = live.any(axis=(1, 3))                    # (n_jt, n_im)
+    big = np.where(live, tiles, np.int32(2 ** 30))
+    lsmin = big.min(axis=(1, 3))
+    lsmax = np.where(live, tiles, -1).max(axis=(1, 3))
+    # tiles with no live lane (incl. those the conservative lend margin
+    # still marks live) run ZERO chunks: lstart = lend
+    lstart = np.where(any_live, lsmin // _UNROLL, 2 ** 30) \
+        .T.astype(np.int64)
+    shi = np.where(any_live, lsmax // _UNROLL + 1, 2 ** 30) \
+        .T.astype(np.int64)
+    lend = np.minimum(lend, nch)
+    lstart = np.minimum(lstart, lend).astype(np.int32)
+    shi = np.minimum(shi, lend).astype(np.int32)
+    return np.concatenate([lstart, lend, shi], axis=0)
+
+
 def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0, fold=False):
     """Host tables in the kernel layout: l-tables (Lp, Mp) — l on
     sublanes so the per-l row slice is a legal dynamic sublane access —
@@ -721,14 +881,14 @@ def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0, fold=False):
     select the Wigner n column (spin-s uses ns=(-s, s) with
     ni = 0 / 1). With ``fold`` the ring tiles cover only the northern
     half (incl. the equator for odd T) — the folded kernels contract
-    even/odd north-south combinations there."""
+    even/odd north-south combinations there. Seeds are the captured
+    per-(ring, m) mid-stream pair from :func:`_captured_seeds`, and
+    ``bounds`` carries the per-tile loop bounds they imply."""
     tab, theta, mant, e_np = _prep_raw(lmax, rings, ns)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile,
                                          fold=fold)
     if fold:
         theta = theta[:T]
-        mant = {ni: mant[ni][:, :T]}
-        e_np = {ni: e_np[ni][:, :T]}
 
     def padlm(A):                           # (L1, M1) -> (Lp, Mp)
         return np.pad(A, ((0, Lp - L1), (0, Mp - M1))).astype(np.float32)
@@ -737,14 +897,16 @@ def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0, fold=False):
     B64 = np.asarray(tab["B"][ni], np.float64)
     C64 = np.asarray(tab["C"][ni], np.float64)
     x64 = np.cos(theta)
-    sm = mant[ni]                           # (M1, T)
-    se = e_np[ni]
+    capP, capC, capPl, capCl, capE, capL = _captured_seeds(
+        lmax, rings, ns, ni, fold)
 
-    def padtm(A, dtype=np.float32):         # (M1, T) -> (Tp, Mp)
-        return np.pad(A.T, ((0, Tp - T), (0, Mp - M1))).astype(dtype)
+    def padtm(A, dtype=np.float32, const=0):   # (T, M1) -> (Tp, Mp)
+        return np.pad(A, ((0, Tp - T), (0, Mp - M1)),
+                      constant_values=const).astype(dtype)
 
     return dict(
-        lend=_lend_table(lmax, theta, mtile, ttile, Lp, Tp),
+        bounds=_bounds_table(capL, lmax, theta, mtile, ttile, Lp, Tp,
+                             Mp),
         Ah=padlm(A64.astype(np.float32)),
         Bh=padlm(B64.astype(np.float32)),
         Ch=padlm(C64.astype(np.float32)),
@@ -754,12 +916,13 @@ def _prep(lmax, rings, mtile, ttile, ns=(0,), ni=0, fold=False):
         x=np.pad(x64.astype(np.float32), (0, Tp - T)).reshape(-1, 1),
         xlo=np.pad((x64 - x64.astype(np.float32)).astype(np.float32),
                    (0, Tp - T)).reshape(-1, 1),
-        sm=padtm(sm.astype(np.float32)),
-        sl=padtm((sm - sm.astype(np.float32)).astype(np.float32)),
-        se=padtm(se, np.int32),
-        # padded m rows get l0 = -1: never seeded, Lambda stays 0
-        l0=np.pad(np.asarray(tab["l0"][ni], np.int32), (0, Mp - M1),
-                  constant_values=-1).reshape(1, -1),
+        sm=padtm(capC),
+        sl=padtm(capCl),
+        smP=padtm(capP),
+        slP=padtm(capPl),
+        se=padtm(capE, np.int32),
+        # padded rows get l0 = -1: never seeded, Lambda stays 0
+        l0=padtm(capL, np.int32, const=-1),
     ), L1, M1, Lp, Mp, T, Tp
 
 
@@ -811,22 +974,24 @@ def supported(lmax, rings, dtype):
             and hasattr(rings, "ntheta"))
 
 
-def _specs(mtile, ttile, Lp, Tp):
+def _specs(mtile, ttile, Lp, Tp, n_im, n_jt):
     tablm = pl.BlockSpec((Lp, mtile), lambda im, jt: (0, im),
                          memory_space=pltpu.VMEM)
     tvec = pl.BlockSpec((ttile, 1), lambda im, jt: (jt, 0),
                         memory_space=pltpu.VMEM)
     tm = pl.BlockSpec((ttile, mtile), lambda im, jt: (jt, im),
                       memory_space=pltpu.VMEM)
-    mrow = pl.BlockSpec((1, mtile), lambda im, jt: (0, im),
-                        memory_space=pltpu.VMEM)
-    return [tablm] * 6 + [tvec, tvec, tm, tm, tm, mrow], tablm, tm
+    bspec = pl.BlockSpec((3 * n_im, n_jt), lambda im, jt: (0, 0),
+                         memory_space=pltpu.SMEM)
+    return ([tablm] * 6 + [tvec, tvec] + [tm] * 6 + [bspec],
+            tablm, tm)
 
 
 def _lambda_args(tabs):
     return (tabs["Ah"], tabs["Bh"], tabs["Ch"], tabs["Al"], tabs["Bl"],
             tabs["Cl"], tabs["x"], tabs["xlo"], tabs["sm"], tabs["sl"],
-            tabs["se"], tabs["l0"])
+            tabs["smP"], tabs["slP"], tabs["se"], tabs["l0"],
+            tabs["bounds"])
 
 
 def _batched(fn_one, fn_pack, xs, ndim_cores, lmax, empty, pack=None):
@@ -938,26 +1103,24 @@ def _leg_ana(G, tabs, rings, lmax, interpret, fold=False):
     mtile, ttile = _tiles(lmax)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile,
                                          fold=fold)
-    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
+    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp,
+                                 Mp // mtile, Tp // ttile)
     if fold:
         S0, S1 = _fold_G(G, rings.ntheta, M1)
         ops = [jnp.pad(p, ((0, Tp - T), (0, Mp - M1)))
                .astype(jnp.float32)
                for p in (jnp.real(S0), jnp.imag(S0),
                          jnp.real(S1), jnp.imag(S1))]
-        lendspec = pl.BlockSpec((Mp // mtile, Tp // ttile),
-                                lambda im, jt: (0, 0),
-                                memory_space=pltpu.SMEM)
         outr, outi = pl.pallas_call(
             functools.partial(_ana_kernel_f, Lp=Lp, ttile=ttile,
                               mtile=mtile),
             grid=(Mp // mtile, Tp // ttile),
-            in_specs=in_specs + [lendspec, tm, tm, tm, tm],
+            in_specs=in_specs + [tm, tm, tm, tm],
             out_specs=[tablm, tablm],
             out_shape=[jax.ShapeDtypeStruct((Lp, Mp), jnp.float32)] * 2,
             compiler_params=_cparams(lmax, extra_tm=2),
             interpret=interpret,
-        )(*_lambda_args(tabs), tabs["lend"], *ops)
+        )(*_lambda_args(tabs), *ops)
         return (outr[:L1, :M1] + 1j * outi[:L1, :M1]) \
             .astype(jnp.complex64)
     Gr = jnp.pad(jnp.real(G), ((0, Tp - T), (0, Mp - M1)))
@@ -986,24 +1149,21 @@ def _leg_syn(mat, tabs, rings, lmax, interpret, fold=False):
                  ((0, Lp - L1), (0, Mp - M1))).astype(jnp.float32)
     ai = jnp.pad(jnp.imag(mat),
                  ((0, Lp - L1), (0, Mp - M1))).astype(jnp.float32)
-    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
+    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp,
+                                 Mp // mtile, Tp // ttile)
     if fold:
         mrow = pl.BlockSpec((1, mtile), lambda im, jt: (0, im),
                             memory_space=pltpu.VMEM)
-        lendspec = pl.BlockSpec((Mp // mtile, Tp // ttile),
-                                lambda im, jt: (0, 0),
-                                memory_space=pltpu.SMEM)
         aNr, aNi, aSr, aSi = pl.pallas_call(
             functools.partial(_syn_kernel_f, Lp=Lp, ttile=ttile,
                               mtile=mtile),
             grid=(Mp // mtile, Tp // ttile),
-            in_specs=in_specs + [lendspec, mrow, tablm, tablm],
+            in_specs=in_specs + [mrow, tablm, tablm],
             out_specs=[tm, tm, tm, tm],
             out_shape=[jax.ShapeDtypeStruct((Tp, Mp), jnp.float32)] * 4,
             compiler_params=_cparams(lmax, extra_tm=4),
             interpret=interpret,
-        )(*_lambda_args(tabs), tabs["lend"], jnp.asarray(_sgn0_row(Mp)),
-          ar, ai)
+        )(*_lambda_args(tabs), jnp.asarray(_sgn0_row(Mp)), ar, ai)
         accr = _unfold_acc(aNr[:T], aSr[:T], rings.ntheta)
         acci = _unfold_acc(aNi[:T], aSi[:T], rings.ntheta)
         return (accr[:, :M1] + 1j * acci[:, :M1]).astype(jnp.complex64)
@@ -1030,7 +1190,8 @@ def _leg_ana_b(G, tabs, rings, lmax, interpret, fold=False, half=False):
     mtile, ttile = _tiles(lmax)
     L1, M1, Lp, Mp, T, Tp = _prep_shapes(lmax, rings, mtile, ttile,
                                          fold=fold or half)
-    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
+    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp,
+                                 Mp // mtile, Tp // ttile)
     btm = pl.BlockSpec((nmaps, ttile, mtile), lambda im, jt: (0, jt, im),
                        memory_space=pltpu.VMEM)
     btab = pl.BlockSpec((nmaps, Lp, mtile), lambda im, jt: (0, 0, im),
@@ -1041,20 +1202,17 @@ def _leg_ana_b(G, tabs, rings, lmax, interpret, fold=False, half=False):
                .astype(jnp.float32)
                for p in (jnp.real(S0), jnp.imag(S0),
                          jnp.real(S1), jnp.imag(S1))]
-        lendspec = pl.BlockSpec((Mp // mtile, Tp // ttile),
-                                lambda im, jt: (0, 0),
-                                memory_space=pltpu.SMEM)
         outr, outi = pl.pallas_call(
             functools.partial(_ana_kernel_fb, Lp=Lp, ttile=ttile,
                               mtile=mtile, nmaps=nmaps),
             grid=(Mp // mtile, Tp // ttile),
-            in_specs=in_specs + [lendspec, btm, btm, btm, btm],
+            in_specs=in_specs + [btm, btm, btm, btm],
             out_specs=[btab, btab],
             out_shape=[jax.ShapeDtypeStruct((nmaps, Lp, Mp),
                                             jnp.float32)] * 2,
             compiler_params=_cparams(lmax, nmaps, extra_tm=2),
             interpret=interpret,
-        )(*_lambda_args(tabs), tabs["lend"], *ops)
+        )(*_lambda_args(tabs), *ops)
         return (outr[:, :L1, :M1] + 1j * outi[:, :L1, :M1]) \
             .astype(jnp.complex64)
     Gr = jnp.pad(jnp.real(G), ((0, 0), (0, Tp - T), (0, Mp - M1)))
@@ -1089,7 +1247,8 @@ def _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=False,
         .astype(jnp.float32)
     ai = jnp.pad(jnp.imag(mat), ((0, 0), (0, Lp - L1), (0, Mp - M1))) \
         .astype(jnp.float32)
-    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp)
+    in_specs, tablm, tm = _specs(mtile, ttile, Lp, Tp,
+                                 Mp // mtile, Tp // ttile)
     btm = pl.BlockSpec((nmaps, ttile, mtile), lambda im, jt: (0, jt, im),
                        memory_space=pltpu.VMEM)
     btab = pl.BlockSpec((nmaps, Lp, mtile), lambda im, jt: (0, 0, im),
@@ -1097,21 +1256,17 @@ def _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=False,
     if fold:
         mrow = pl.BlockSpec((1, mtile), lambda im, jt: (0, im),
                             memory_space=pltpu.VMEM)
-        lendspec = pl.BlockSpec((Mp // mtile, Tp // ttile),
-                                lambda im, jt: (0, 0),
-                                memory_space=pltpu.SMEM)
         aNr, aNi, aSr, aSi = pl.pallas_call(
             functools.partial(_syn_kernel_fb, Lp=Lp, ttile=ttile,
                               mtile=mtile, nmaps=nmaps),
             grid=(Mp // mtile, Tp // ttile),
-            in_specs=in_specs + [lendspec, mrow, btab, btab],
+            in_specs=in_specs + [mrow, btab, btab],
             out_specs=[btm, btm, btm, btm],
             out_shape=[jax.ShapeDtypeStruct((nmaps, Tp, Mp),
                                             jnp.float32)] * 4,
             compiler_params=_cparams(lmax, nmaps, extra_tm=4),
             interpret=interpret,
-        )(*_lambda_args(tabs), tabs["lend"], jnp.asarray(_sgn0_row(Mp)),
-          ar, ai)
+        )(*_lambda_args(tabs), jnp.asarray(_sgn0_row(Mp)), ar, ai)
         accr = _unfold_acc(aNr[:, :T], aSr[:, :T], rings.ntheta)
         acci = _unfold_acc(aNi[:, :T], aSi[:, :T], rings.ntheta)
         return (accr[..., :M1] + 1j * acci[..., :M1]) \

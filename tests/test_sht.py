@@ -606,11 +606,17 @@ class TestFoldedKernel:
     def test_dead_tile_table(self):
         """At large lmax some polar-ring-tile x high-m-tile programs are
         marked dead; every live tile runs the full chunk count; and the
-        margin keeps everything below the turning point."""
+        margin keeps everything below the turning point. Round 5: the
+        bounds table also carries the per-tile captured-seed loop START
+        (min l_s over the tile) — it must never precede the old m-base
+        start, and must beat it on polar tiles (the ring skip)."""
         from orphics_tpu.ops import pallas_sht as ps
         lmax = 2047
         rings = sht.gauss_legendre_rings(lmax)
-        tab = ps._prep_host(lmax, rings, 128, 256, fold=True)["lend"]
+        bounds = ps._prep_host(lmax, rings, 128, 256, fold=True)["bounds"]
+        n_im = bounds.shape[0] // 3
+        lstart, tab, shi = (bounds[:n_im], bounds[n_im:2 * n_im],
+                            bounds[2 * n_im:])
         nch = -(-(lmax + 1) // ps._UNROLL)
         assert set(np.unique(tab)) <= {0, nch}
         assert (tab == 0).any()            # some dead tiles at 2047
@@ -623,6 +629,25 @@ class TestFoldedKernel:
                 if tab[im, jt] == 0:
                     rows = th[jt * 256: (jt + 1) * 256]
                     assert im * 128 > lmax * np.max(np.sin(rows))
+        # captured-seed starts: never before the old m-base start, and
+        # strictly later on the polar ring tile at moderate-to-high m
+        live = tab > 0
+        old_start = (np.arange(n_im) * 128 // ps._UNROLL)[:, None]
+        assert np.all(lstart[live] >= np.broadcast_to(
+            old_start, lstart.shape)[live])
+        assert np.all(lstart <= tab)
+        assert np.all(shi <= tab) and np.all(shi[live] >= lstart[live])
+        polar = lstart[n_im // 2, 0]       # m ~ lmax/2, most-polar rings
+        assert polar > old_start[n_im // 2, 0], \
+            "per-(ring,m) l_s start did not engage on the polar tile"
+        # the skip must claim a real fraction of the total work at 2047
+        tot_old = np.sum(np.maximum(tab - np.broadcast_to(
+            old_start, lstart.shape), 0)[live])
+        tot_new = np.sum((tab - lstart)[live])
+        # measured 0.858 at (mtile, ttile) = (128, 256): the tile min
+        # over 256 rings x 128 m's limits the skip (per-lane ideal is
+        # 0.68); guard that at least ~2/3 of that gain stays
+        assert tot_new < 0.9 * tot_old, (tot_new, tot_old)
 
 
 class TestFoldedSpin:
