@@ -74,12 +74,26 @@ def planck(nu_hz, T):
 
 def g_tsz(nu_ghz, T_cmb=TCMB):
     """tSZ spectral function x coth(x/2) - 4 (dimensionless); the
-    coth form is overflow-free for any x."""
-    x = (hplanck * np.asarray(nu_ghz) * 1e9) / (kboltz * T_cmb)
+    coth form is overflow-free for any x. Uses the CODATA h/k the
+    reference's ``g_tsz`` takes from scipy.constants (:72-74)."""
+    x = (6.62607015e-34 * np.asarray(nu_ghz) * 1e9) / (1.380649e-23 * T_cmb)
     return x / np.tanh(x / 2.0) - 4.0
 
 
-ffunc = g_tsz  # reference's alias (foregrounds.py:603)
+# same spectral function, CGS constant set — the reference keeps BOTH
+# (``ffunc``, :603, with H_CGS/K_CGS, feeds power_y_template; ``g_tsz``
+# with CODATA h/k feeds cltsz), and they differ in the 6th digit
+H_CGS = 6.62608e-27
+K_CGS = 1.3806488e-16
+
+
+def ffunc(nu, tcmb=None):
+    """tSZ frequency function with the szar CGS constants (reference
+    ``foregrounds.py:603``)."""
+    if tcmb is None:
+        tcmb = default_constants['TCMB']
+    mu = H_CGS * (1e9 * np.asarray(nu)) / (K_CGS * tcmb)
+    return mu / np.tanh(mu / 2.0) - 4.0
 
 
 def cltsz(atsz, nu1, nu2, clyy):
@@ -456,7 +470,9 @@ def get_ilc_noise(exp, scale_noise=1.0, ellmax=25000):
     noises = {
         's4': np.array([12.4, 2.0, 2.0, 6.9, 16.7]),
         'so': np.array([36., 8., 10., 22., 54.]),
-        'hd': np.array([3.4, 0.73, 0.79, 2., 4.6]),
+        # CMB-HD-like: the reference derives this as s4 * 0.5/1.8
+        # (foregrounds.py:562)
+        'hd': np.array([12.4, 2.0, 2.0, 6.9, 16.7]) * 0.5 / 1.8,
     }[exp] * scale_noise
     # per-experiment flux cuts (reference keeps a dict: CMB-HD resolves
     # far deeper sources than SO/S4)
@@ -653,30 +669,54 @@ def quick_fit(ell, cl_dict, freqs, dT_guess, beams, lknees, alphas, fsky,
                   verbose)
 
 
-def evaluate_model_dict(ell, params, freqs, beams, dT_guess, lknees, alphas,
-                        theory=None):
-    """Per-pair model curves from a fitted parameter dict
-    (reference :1146)."""
+def _rn(params, freq):
+    """Noise-scale lookup tolerant to key formatting: the reference keys
+    ``rN_{nu}`` with the raw float (``rN_93.0``), our fitters key with
+    ``int`` (``rN_93``)."""
+    for key in (f"rN_{freq}", f"rN_{int(freq)}", f"rN_{float(freq)}"):
+        if key in params:
+            return params[key]
+    raise KeyError(f"rN_{freq}")
+
+
+def evaluate_model_dict(ell, best, freqs, dT_guess, beams, lknees, alphas,
+                        cl_cmb_tmpl=None, cl_yy=None, theory=None):
+    """Per-pair model curves from a fitted parameter dict, broken into
+    ``{'total'|'cmb'|'foreground'|'noise': {(i, j): C_ell}}`` blocks
+    (reference ``foregrounds.py:1146``). ``cl_cmb_tmpl``/``cl_yy``
+    default to the shipped theory / Battaglia templates."""
     from .theory import default_theory
     from ..ops.fourier import gauss_beam
-    th = theory if theory is not None else default_theory()
     freqs = np.asarray(freqs)
     ell = np.asarray(ell, dtype=float)
     if callable(beams[0]):
         beam_fns = beams
     else:
         beam_fns = [lambda x, b=b: np.asarray(gauss_beam(x, b)) for b in beams]
-    cl_cmb = np.asarray(th.lCl('TT', ell))
-    cl_yy = power_y_template(ell)
-    out = {}
+    if cl_cmb_tmpl is None:
+        th = theory if theory is not None else default_theory()
+        cl_cmb_tmpl = np.asarray(th.lCl('TT', ell))
+    if cl_yy is None:
+        cl_yy = power_y_template(ell)
+
+    def _clean(y):
+        y = np.asarray(y, dtype=float).copy()
+        y[ell < 2] = 0
+        return y
+
+    out = {'total': {}, 'cmb': {}, 'foreground': {}, 'noise': {}}
     for i, j in itertools.combinations_with_replacement(range(len(freqs)), 2):
         b1, b2 = beam_fns[i](ell), beam_fns[j](ell)
-        mod = (params["A_cmb"] * cl_cmb
-               + fg_cl(ell, params, i, j, cl_yy, freqs)) * b1 * b2
-        sig_i = dT_guess[i] * params[f"rN_{int(freqs[i])}"]
-        sig_j = dT_guess[j] * params[f"rN_{int(freqs[j])}"]
-        out[(i, j)] = mod + get_noise(ell, i, j, sig_i, sig_j, lknees,
-                                      alphas, params.get("Aatm_corr", 0.0))
+        cmb = best["A_cmb"] * np.asarray(cl_cmb_tmpl)
+        fg = fg_cl(ell, best, i, j, cl_yy, freqs)
+        sig_i = dT_guess[i] * _rn(best, freqs[i])
+        sig_j = dT_guess[j] * _rn(best, freqs[j])
+        noise = get_noise(ell, i, j, sig_i, sig_j, lknees, alphas,
+                          best.get("Aatm_corr", 0.0))
+        out['total'][(i, j)] = _clean((cmb + fg) * b1 * b2 + noise)
+        out['cmb'][(i, j)] = _clean(cmb)
+        out['foreground'][(i, j)] = _clean(fg)
+        out['noise'][(i, j)] = _clean(noise + np.zeros_like(ell))
     return out
 
 
@@ -695,8 +735,8 @@ def model_vec(all_params, params, ell, freqs, dT_guess, beams, lknees,
                + fg_cl(ell, p, i, j, cl_tsz_tmpl, freqs)) * b1 * b2
         # per-LEG noise amplitudes (cross pairs carry sig_i, sig_j —
         # cf. evaluate_model_dict; a single sig biased Aatm_corr fits)
-        sig1 = dT_guess[i] * p[f"rN_{int(freqs[i])}"]
-        sig2 = dT_guess[j] * p[f"rN_{int(freqs[j])}"]
+        sig1 = dT_guess[i] * _rn(p, freqs[i])
+        sig2 = dT_guess[j] * _rn(p, freqs[j])
         mod = mod + get_noise(ell, i, j, sig1, sig2, lknees, alphas,
                               p["Aatm_corr"])
         blocks.append(mod)
