@@ -133,45 +133,82 @@ class PlanckLensing:
 
 
 class CAMBInterface:
-    """Ini-rewriting subprocess driver for a Fortran CAMB executable
-    (reference ``interfaces.py:323``). Only useful when a ``camb`` binary
-    is installed; the framework's default theory path uses shipped tables
-    instead."""
+    """Ini-rewriting subprocess driver for a Fortran CAMB (Sources)
+    executable, drop-in for the reference ``interfaces.py:323-423``:
+    copies the template to ``<template>_itemp_<uid>.ini``, sets
+    ``output_root``, rewrites ``param=value`` lines with a whitespace-
+    insensitive prefix match (appending missing keys; the
+    ``transfer_redshift`` quirk appends without a separating blank
+    line), runs ``<camb_loc>/camb <ini>`` with cwd=camb_loc, and parses
+    ``<root>_scalCovCls.dat`` into an (N, N, nell) L(L+1)C/2pi cube.
+    Only useful when a ``camb`` binary is installed; the framework's
+    default theory path uses shipped tables instead."""
 
-    def __init__(self, ini_template, camb_loc="camb"):
-        self.ini_template = _require(ini_template)
+    def __init__(self, ini_template, camb_loc):
+        self.ifile = (ini_template.strip()[:-4]
+                      + "_itemp_" + str(os.geteuid()) + ".ini")
+        _require(ini_template)
+        with open(ini_template) as src, open(self.ifile, "w") as dst:
+            dst.write(src.read())
+        self.out_name = "itemp_" + str(os.geteuid())
+        self.set_param("output_root", self.out_name)
         self.camb_loc = camb_loc
-        with open(ini_template) as f:
-            self._ini = f.read()
 
-    def set_param(self, name, value, add=False):
-        import re
-        # escape the name (CAMB keys like transfer_redshift(1) contain
-        # regex metacharacters) and fail loudly when the template has
-        # no such key — a silent no-op runs CAMB with stale values.
-        # ``add=True`` appends a missing key instead (the reference's
-        # behavior, needed to add new source windows to a template).
-        pat = rf"(?m)^{re.escape(name)}\s*=.*$"
-        new, nsub = re.subn(pat, f"{name} = {value}", self._ini)
-        if nsub == 0:
-            if not add:
-                raise KeyError(f"parameter {name!r} not found in the ini "
-                               "template (pass add=True to append)")
-            new = self._ini.rstrip("\n") + f"\n{name} = {value}\n"
-        self._ini = new
+    def set_param(self, param, value):
+        """Rewrite (or append) ``param=value`` in the working ini."""
+        self._replace(self.ifile, param, subst=param + "=" + str(value))
 
-    def call(self, workdir="."):
-        ini = os.path.join(workdir, "params_run.ini")
-        with open(ini, "w") as f:
-            f.write(self._ini)
-        # cwd=workdir: pass the ini BASENAME, not the joined path —
-        # a relative workdir would otherwise be applied twice
-        subprocess.run([self.camb_loc, os.path.basename(ini)],
-                       check=True, cwd=workdir)
+    def call(self, suppress=True):
+        """Run CAMB on the working ini."""
+        cmd = [os.path.join(self.camb_loc, "camb"), self.ifile]
+        if suppress:
+            subprocess.call(cmd, stdout=subprocess.DEVNULL,
+                            cwd=self.camb_loc)
+        else:
+            subprocess.call(cmd, cwd=self.camb_loc)
 
-    def get_cls(self, root, workdir="."):
-        from .models.theory import load_theory_from_camb
-        return load_theory_from_camb(os.path.join(workdir, root))
+    def get_cls(self):
+        """(ells, cls[(N+3), (N+3), nell]) from the CAMB Sources
+        ``_scalCovCls.dat`` output; components are CMB T, CMB E,
+        CMB phi, then the redshift windows."""
+        filename = os.path.join(self.camb_loc,
+                                self.out_name + "_scalCovCls.dat")
+        clarr = np.loadtxt(filename)
+        ells = clarr[:, 0]
+        ncomps = int(np.sqrt(clarr.shape[1] - 1))
+        if ncomps ** 2 != clarr.shape[1] - 1:
+            raise ValueError("malformed scalCovCls table")
+        cls = np.swapaxes(clarr[:, 1:], 0, 1)
+        return ells, cls.reshape((ncomps, ncomps, ells.size))
+
+    @staticmethod
+    def _replace(file_path, pattern, subst):
+        # whitespace-insensitive "pattern=" prefix match, line by line;
+        # missing keys append at EOF (transfer_redshift without the
+        # separating blank line) — reference interfaces.py:397-420
+        lines = []
+        flag = False
+        with open(file_path) as old:
+            for line in old:
+                if "".join(line.split())[:len(pattern) + 1] == pattern + "=":
+                    line = subst + "\n"
+                    flag = True
+                lines.append(line)
+        if not flag and "transfer_redshift" in pattern:
+            lines.append(subst + "\n")
+            flag = True
+        if not flag:
+            lines.append("\n" + subst + "\n")
+        tmp = file_path + ".tmp"
+        with open(tmp, "w") as new:
+            new.writelines(lines)
+        os.replace(tmp, file_path)
+
+    def __del__(self):
+        try:
+            os.remove(self.ifile)
+        except (OSError, AttributeError):
+            pass
 
 
 def load_sdss_redmapper(path, lams=True, zs=True):

@@ -1,45 +1,89 @@
 """Time conversions for site-local observation bookkeeping.
 
-Facade for reference ``orphics.time`` (``time.py:8,49``): ctime <-> human
-time with site-local timezones. The ephemeris plot annotations of the
-reference depend on pixell.ephem and are out of scope; the conversion core
-is here.
+Reference ``orphics.time`` (``time.py:8,49``): ctime <-> human-readable
+local civil time at a (lat, lng). The reference resolves the IANA
+timezone with the ``timezonefinder`` package (polygon lookup);
+orphics_tpu resolves it natively: a built-in table of observatory
+sites (nearest within 10 deg great-circle) with a longitude-based
+``Etc/GMT±N`` fallback, then converts with stdlib ``zoneinfo``
+(DST-correct). At observatory coordinates the two agree exactly
+(``tests/test_reference_parity_time.py``).
 """
 from __future__ import annotations
 
 import datetime as _dt
+from zoneinfo import ZoneInfo
 
 import numpy as np
 
-__all__ = ["htime", "ctime", "hours_utc_offset"]
+__all__ = ["htime", "ctime", "timezone_at", "DEFAULT_SITE_LAT",
+           "DEFAULT_SITE_LON"]
 
-# site longitudes (deg) for solar-time offsets (ACT/ALMA site default)
-SITE_LONGITUDES = {"act": -67.7876, "so": -67.7876, "chile": -67.7876,
-                   "spt": 0.0}
+# pixell's default_site (the ACT / Simons Observatory site on Cerro
+# Toco, Chile) — the reference's default lat/lng (time.py:44)
+DEFAULT_SITE_LAT = -22.9585
+DEFAULT_SITE_LON = -67.7876
+
+# (lat, lng, IANA zone) for the observatory sites this library's users
+# actually point at; nearest-site lookup keeps htime/ctime DST-correct
+# there without a polygon database
+_SITE_ZONES = (
+    (-22.9585, -67.7876, "America/Santiago"),    # ACT / SO / CLASS
+    (-23.0229, -67.7548, "America/Santiago"),    # ALMA plateau
+    (-29.0146, -70.6926, "America/Santiago"),    # La Silla
+    (-30.1716, -70.8009, "America/Santiago"),    # Tololo / Rubin
+    (-90.0, 0.0, "Antarctica/South_Pole"),       # SPT / BICEP
+    (19.8207, -155.4681, "Pacific/Honolulu"),    # Mauna Kea
+    (38.4331, -79.8398, "America/New_York"),     # Green Bank
+    (50.5248, 6.8836, "Europe/Berlin"),          # Effelsberg
+    (-30.7215, 21.4110, "Africa/Johannesburg"),  # SKA Karoo
+    (-31.2749, 149.0672, "Australia/Sydney"),    # Siding Spring
+    (28.7569, -17.8925, "Atlantic/Canary"),      # La Palma
+    (37.2339, -118.2951, "America/Los_Angeles"), # OVRO
+    (32.7016, -109.8719, "America/Phoenix"),     # Mt Graham (no DST)
+    (40.8175, -121.4733, "America/Los_Angeles"), # Hat Creek
+    (13.1030, 77.5553, "Asia/Kolkata"),          # Bengaluru / RRI
+)
 
 
-def hours_utc_offset(site="act"):
-    """Approximate solar-time offset in hours from the site longitude."""
-    return SITE_LONGITUDES.get(site, 0.0) / 15.0
+def _gcdist_deg(lat1, lng1, lat2, lng2):
+    p1, p2 = np.deg2rad(lat1), np.deg2rad(lat2)
+    dl = np.deg2rad(lng2 - lng1)
+    c = (np.sin(p1) * np.sin(p2) + np.cos(p1) * np.cos(p2) * np.cos(dl))
+    return np.rad2deg(np.arccos(np.clip(c, -1.0, 1.0)))
 
 
-def htime(ctimes, site="act"):
-    """Unix ctime(s) -> site-local civil datetime(s) (reference
-    ``time.py:8``)."""
-    off = _dt.timedelta(hours=hours_utc_offset(site))
-    scalar = np.isscalar(ctimes)
-    cts = np.atleast_1d(np.asarray(ctimes, dtype=float))
-    out = [(_dt.datetime.fromtimestamp(c, _dt.timezone.utc) + off)
-           for c in cts]
-    return out[0] if scalar else out
+def timezone_at(lat=None, lng=None):
+    """IANA timezone name for a coordinate: nearest known observatory
+    site within 10 deg, else the longitude's ``Etc/GMT±N`` zone (note
+    the POSIX sign inversion: UTC-5 is ``Etc/GMT+5``)."""
+    lat = DEFAULT_SITE_LAT if lat is None else float(lat)
+    lng = DEFAULT_SITE_LON if lng is None else float(lng)
+    dists = [_gcdist_deg(lat, lng, slat, slng)
+             for slat, slng, _ in _SITE_ZONES]
+    i = int(np.argmin(dists))
+    if dists[i] <= 10.0:
+        return _SITE_ZONES[i][2]
+    off = int(np.round(lng / 15.0))
+    return "Etc/GMT" if off == 0 else f"Etc/GMT{-off:+d}"
 
 
-def ctime(year, month, day, hour=0, minute=0, second=0, site="act"):
-    """Site-local civil time -> unix ctime (reference ``time.py:49``)."""
-    off = _dt.timedelta(hours=hours_utc_offset(site))
-    t = _dt.datetime(year, month, day, hour, minute, second,
-                     tzinfo=_dt.timezone.utc) - off
-    return t.timestamp()
+def htime(ctime, lat=None, lng=None, el=None):
+    """UNIX timestamp -> local civil time string "YYYY-MM-DD HH:MM:SS"
+    at (lat, lng) (reference ``time.py:8``; ``el`` accepted for
+    signature compatibility)."""
+    tz = ZoneInfo(timezone_at(lat, lng))
+    return _dt.datetime.fromtimestamp(float(ctime), tz).strftime(
+        "%Y-%m-%d %H:%M:%S")
+
+
+def ctime(timestr, lat=None, lng=None):
+    """Local civil time string "YYYY-MM-DD HH:MM:SS" at (lat, lng) ->
+    UNIX timestamp (reference ``time.py:49``; inverse of htime)."""
+    tz = ZoneInfo(timezone_at(lat, lng))
+    local = _dt.datetime.strptime(timestr, "%Y-%m-%d %H:%M:%S").replace(
+        tzinfo=tz)
+    return local.timestamp()
 
 
 def get_columns(obs, keys):
@@ -89,7 +133,9 @@ def body_circle_annotations(ctime1, ctime2, bodies=None,
     rows (degrees)."""
     from . import ephem
     if bodies is None:
-        bodies = list(BODY_PERIOD.keys())
+        # the reference's default ordering (time.py:173) — Sun first
+        bodies = ["Sun", "Moon", "Mercury", "Venus", "Mars", "Jupiter",
+                  "Saturn", "Uranus", "Neptune"]
     dt = float(ctime2 - ctime1)
     annotations = []
     for body in bodies:

@@ -191,9 +191,14 @@ def test_bisection_search():
 
 def test_time_roundtrip():
     from orphics_tpu import time_utils as tu
-    ct = tu.ctime(2024, 3, 1, 12, 0, 0)
-    back = tu.htime(ct)
-    assert back.hour == 12 and back.day == 1
+    # reference API (time.py:49): local time string + site coords
+    ct = tu.ctime("2024-03-01 12:00:00")
+    assert tu.htime(ct) == "2024-03-01 12:00:00"
+    # explicit coordinates (Mauna Kea, no DST)
+    ct = tu.ctime("2024-07-04 08:30:00", lat=19.8207, lng=-155.4681)
+    assert tu.htime(ct, lat=19.8207, lng=-155.4681) == "2024-07-04 08:30:00"
+    # open-ocean fallback zone is fixed-offset
+    assert tu.timezone_at(0.0, -37.5).startswith("Etc/GMT")
 
 
 def test_io_roundtrips(tmp_path):
