@@ -1,5 +1,7 @@
 """Shim ``astropy.io.fits``: read-only ``open`` over FITS binary
-tables, backed by orphics_tpu.utils.fitsio (a from-scratch reader)."""
+tables, backed by the shim's own self-contained reader
+(``_minifits.py``) — independent of orphics_tpu, so reference-side
+reads share only the file bytes with the code under test."""
 import numpy as np
 
 
@@ -41,7 +43,7 @@ def ColDefs(cols):
 
 
 def open(path, **kw):  # noqa: A001 - astropy's own name
-    from orphics_tpu.utils.fitsio import read_bintable
+    from ._minifits import read_bintable
     cols = read_bintable(path)
     names = list(cols.keys())
     rec = np.rec.fromarrays([np.asarray(cols[n]).ravel() for n in names],

@@ -272,8 +272,14 @@ def map_mul(mat, vec):
     mat = np.asanyarray(mat)
     if mat.ndim <= 3:
         return mat * vec
-    return samewcs(np.einsum("...abyx,...byx->...ayx", mat,
-                             np.asarray(vec)), mat, vec)
+    v = np.asarray(vec)
+    squeeze = v.ndim == 2          # pixell reshapes a flat map to (1,ny,nx)
+    if squeeze:
+        v = v[None]
+    out = np.einsum("...abyx,...byx->...ayx", mat, v)
+    if squeeze:
+        out = out.reshape(np.asarray(vec).shape)
+    return samewcs(out, mat, vec)
 
 
 def harm2map(kmap, iau=False, spin=2, keep_imag=False):

@@ -67,10 +67,13 @@ def test_binned_map_matches_at_pixel_centers(geoms):
 
 
 def test_load_boss_matches_reference(tmp_path):
-    """Two synthetic BOSS files written by the native FITS writer,
-    loaded by BOTH loaders (reference via the astropy shim ->
-    orphics_tpu.utils.fitsio underneath; native via its own reader):
-    identical ras/decs/weights/zs after the z-cut + weight algebra."""
+    """Two synthetic BOSS files written by the INDEPENDENT in-test
+    packer (tests/_ref_shims/astropy/io/_minifits.py), loaded by BOTH
+    loaders (reference via the astropy shim's own reader; native via
+    orphics_tpu.utils.fitsio): the two sides share only the file
+    bytes. Identical ras/decs/weights/zs after the z-cut + weight
+    algebra."""
+    from astropy.io import _minifits
     rng = np.random.default_rng(1)
     files = []
     for i in range(2):
@@ -84,7 +87,7 @@ def test_load_boss_matches_reference(tmp_path):
             "WEIGHT_CP": rng.uniform(0.9, 1.1, n),
         }
         f = str(tmp_path / f"boss{i}.fits")
-        fitsio.write_bintable(f, cols)
+        _minifits.write_bintable(f, cols)
         files.append(f)
     rras, rdecs, rw, rzs = rcat.load_boss(files, 0.2, 0.6, True)
     tras, tdecs, tw, tzs = tcat.load_boss(files, 0.2, 0.6, True)
@@ -96,15 +99,38 @@ def test_load_boss_matches_reference(tmp_path):
 
 
 def test_load_fits_matches_reference(tmp_path):
+    from astropy.io import _minifits
     rng = np.random.default_rng(2)
     cols = {"RA": rng.uniform(0, 360, 100), "DEC": rng.uniform(-5, 5, 100)}
     f = str(tmp_path / "cat.fits")
-    fitsio.write_bintable(f, cols)
+    _minifits.write_bintable(f, cols)   # independent packer
     rout = rcat.load_fits(f, ["RA", "DEC"])
     tout = tcat.load_fits(f, ["RA", "DEC"])
     for k in ("RA", "DEC"):
         np.testing.assert_allclose(rout[k], cols[k], rtol=1e-12)
         np.testing.assert_allclose(tout[k], rout[k], rtol=1e-12)
+
+
+def test_fits_writers_and_readers_cross_validate(tmp_path):
+    """Both directions across implementations: the native writer's file
+    parses identically under the independent reader, and the
+    independent packer's file parses identically under the native
+    reader — so neither side's round-trip is self-certified."""
+    from astropy.io import _minifits
+    rng = np.random.default_rng(7)
+    cols = {"RA": rng.uniform(0, 360, 64),
+            "DEC": rng.uniform(-5, 5, 64).astype(np.float32),
+            "IDX": np.arange(64, dtype=np.int64),
+            "FLAG": rng.integers(0, 5, 64).astype(np.int32)}
+    f_native = str(tmp_path / "native.fits")
+    f_indep = str(tmp_path / "indep.fits")
+    fitsio.write_bintable(f_native, cols)
+    _minifits.write_bintable(f_indep, cols)
+    a = _minifits.read_bintable(f_native)
+    b = fitsio.read_bintable(f_indep)
+    for k, v in cols.items():
+        np.testing.assert_array_equal(np.asarray(a[k]).ravel(), v, err_msg=k)
+        np.testing.assert_array_equal(np.asarray(b[k]).ravel(), v, err_msg=k)
 
 
 def test_split_samples_and_optimize_matches_reference():

@@ -111,7 +111,7 @@ def test_spline_displacement_matches_scipy(geoms):
     alpha = np.asarray(mlensing.alpha_from_kappa(jnp.asarray(kappa), geom))
     iy, ix = np.mgrid[0:shape[0], 0:shape[1]].astype(float)
     pix = np.stack([iy + alpha[0] / geom.dy, ix + alpha[1] / geom.dx])
-    ref = np.asarray(shim_lensing.displace_map(
+    ref = np.asarray(shim_lensing.displace_map_abs_pix(
         shim_enmap.enmap(imap, wcs), pix, order=3))
     got = np.asarray(mlensing.lens_map_spline(jnp.asarray(imap),
                                               jnp.asarray(alpha), geom,
@@ -136,11 +136,11 @@ def test_lens_cov_matches_reference(geoms):
     ucov = A @ A.T + np.eye(geom.npix)
     kappa = _smooth_field(geom, 7, amp=0.05)
     alpha = np.asarray(mlensing.alpha_from_kappa(jnp.asarray(kappa), geom))
-    iy, ix = np.mgrid[0:shape[0], 0:shape[1]].astype(float)
-    pix = np.stack([iy + alpha[0] / geom.dy, ix + alpha[1] / geom.dx])
     kbeam = np.asarray(F.gauss_beam(jnp.asarray(geom.modlmap_np()), 10.0))
+    # both sides take the sky-coordinate deflection field (real
+    # pixell displace_map semantics)
     rcov = np.asarray(rlensing.lens_cov(
-        shape, wcs, shim_enmap.enmap(ucov.copy(), wcs), pix,
+        shape, wcs, shim_enmap.enmap(ucov.copy(), wcs), alpha,
         lens_order=3, kbeam=shim_enmap.enmap(kbeam, wcs)))
     tcov = np.asarray(mnfw.lens_cov(jnp.asarray(ucov), jnp.asarray(alpha),
                                     geom, lens_order=3,
@@ -166,3 +166,53 @@ def test_small_utilities_match_reference():
     rs = rlensing.sanitizePower(nl.copy())
     ts = tlensing.sanitizePower(nl.copy())
     np.testing.assert_allclose(np.asarray(ts), rs, rtol=1e-10)
+
+
+def test_flat_lensing_sims_get_sim_end_to_end(geoms, monkeypatch):
+    """The full reference FlatLensingSims.get_sim chain (GRF CMB ->
+    alpha from kappa -> order-5 spline displacement [shim: scipy] ->
+    beam -> + noise, lensing.py:499-516) vs the native
+    FlatLensingSims.get_sim, with IDENTICAL (unlensed, kappa, noise)
+    maps injected on both sides. Caveat (PARITY.md): the shim's
+    displace_map is scipy's spline interpolator, not pixell's compiled
+    bicubic — boundary handling differs in the outermost pixels, so
+    the comparison trims a 8-pixel border."""
+    import types
+    import orphics.cosmology as rcosmo
+    from orphics_tpu.models.theory import default_theory as t_theory
+
+    shape, wcs, geom = geoms
+    rth = rcosmo.default_theory(lpad=9000)
+    tth = t_theory(lpad=9000)
+
+    rls = rlensing.FlatLensingSims(shape, wcs, rth, beam_arcmin=1.4,
+                                   noise_uk_arcmin=0.0)
+    # draw the shared inputs from the REFERENCE generators
+    np.random.seed(11)
+    unlensed = np.asarray(rls.get_unlensed(seed=1))
+    kappa = np.asarray(rls.get_kappa(seed=2)) * 2.0  # boost the signal
+    noise = np.zeros_like(unlensed)
+
+    monkeypatch.setattr(rls, "update_kappa", rls.update_kappa)
+    rls.mgen.get_map = lambda seed=None: shim_enmap.ndmap(unlensed.copy(),
+                                                          wcs)
+    rls.kgen.get_map = lambda seed=None: shim_enmap.ndmap(kappa.copy(), wcs)
+    rls.ngen.get_map = lambda seed=None: shim_enmap.ndmap(noise.copy(), wcs)
+    r_obs = np.asarray(rls.get_sim(lens_order=5))
+
+    tls = mlensing.FlatLensingSims(geom, tth, beam_arcmin=1.4,
+                                   noise_uk_arcmin=0.0, lens_order=5,
+                                   dtype=jnp.float64)
+    tls.get_unlensed = lambda key: jnp.asarray(unlensed)
+    tls.get_kappa = lambda key: jnp.asarray(kappa)
+    tls.ngen = types.SimpleNamespace(get_map=lambda key: jnp.asarray(noise))
+    import jax
+    t_obs = np.asarray(tls.get_sim(jax.random.PRNGKey(0)))
+
+    r_in = np.squeeze(r_obs)[8:-8, 8:-8]
+    t_in = np.squeeze(t_obs)[8:-8, 8:-8]
+    scale = np.std(r_in)
+    assert scale > 0
+    np.testing.assert_allclose(t_in, r_in, atol=2e-3 * scale)
+    # the chain did something: observed differs from beamed-unlensed
+    assert np.std(np.squeeze(r_obs) - unlensed) > 0.01 * scale
