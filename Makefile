@@ -1,6 +1,8 @@
 CXX ?= g++
 CXXFLAGS ?= -O3 -march=native -fPIC -shared -fopenmp -std=c++17
 
+.PHONY: all test quick examples tpu-test
+
 all: orphics_tpu/csrc/liborphics_healpix.so
 
 orphics_tpu/csrc/liborphics_healpix.so: orphics_tpu/csrc/healpix.cpp

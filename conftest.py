@@ -25,6 +25,14 @@ if not RUN_TPU:
         os.environ["XLA_FLAGS"] = (
             _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent XLA compile cache: the suite is compile-bound on repeat
+# runs (round-close verification re-runs everything), and jax 0.9
+# caches CPU executables too — 2-3x off warm full-suite latency.
+_CACHE_DIR = os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 import jax  # noqa: E402
 
 if not RUN_TPU:

@@ -153,3 +153,75 @@ def test_load_theory_from_camb_alias(th):
     assert callable(cosmology.loadTheorySpectraFromCAMB)
     assert cosmology.loadTheorySpectraFromCAMB is \
         cosmology.load_theory_from_camb
+
+
+def test_rdn0_mcn0_call_surface(geom, th):
+    """Round-4/5 QE debias surface: rdn0(qe, est, kdata, sim_kmaps,
+    bin_edges) / mcn0(qe, est, sim_kmaps, bin_edges) — signature guard
+    with a tiny 2-sim ensemble (numerics are validated against the
+    analytic N0 in tests/test_qe_mv.py)."""
+    from orphics_tpu.models import qe as mqe
+    ctot = lensing.lensing_noise_2d(geom, th, 1.5, 7.0)
+    q = lensing.qest(geom, th, ctot,
+                     xmask=maps.mask_kspace(geom, lmin=100, lmax=2000),
+                     kmask=maps.mask_kspace(geom, lmin=40, lmax=400))
+    ells = np.arange(th.lpad + 1)
+    ps = np.asarray(th.lCl("TT", ells)).reshape((1, 1, -1))
+    mg = maps.MapGen(geom, ps)
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    fc = maps.FourierCalc(geom)
+    kmaps = jnp.stack([fc.fft(mg.get_map(k)) for k in keys])
+    bin_edges = np.arange(80, 400, 80.0)
+    cents, r, mc = mqe.rdn0(q, "TT", kmaps[0], kmaps[1:], bin_edges)
+    assert np.all(np.isfinite(np.asarray(r)))
+    cents2, m = mqe.mcn0(q, "TT", kmaps[1:], bin_edges)
+    np.testing.assert_allclose(np.asarray(cents2), np.asarray(cents))
+    assert np.asarray(m).shape == np.asarray(r).shape
+
+
+def test_fastcl_call_surface():
+    """FastCl(geom, ells, cl1d, bin_edges) + sim_bandpowers(key) /
+    map_bandpowers(map) — the fused sim->power->bin engine's public
+    spellings (interpret mode on CPU)."""
+    from orphics_tpu.models.fastcl import FastCl
+    g = maps.rect_geometry(width_deg=4.0, px_res_arcmin=4.0 * 60 / 256)
+    assert g.shape == (256, 256)
+    ells = np.arange(4000.0)
+    cl1d = 100.0 / (ells + 50.0) ** 2
+    edges = np.arange(200, 2000, 300.0)
+    fcl = FastCl(g, ells, cl1d, bin_edges=edges)
+    p1d = np.asarray(fcl.sim_bandpowers(jax.random.PRNGKey(0), batch=2))
+    assert p1d.shape == (2, len(edges) - 1) and np.all(np.isfinite(p1d))
+    rng = np.random.default_rng(0)
+    p2 = np.asarray(fcl.map_bandpowers(
+        jnp.asarray(rng.standard_normal(g.shape), jnp.float32)))
+    assert p2.shape == (1, len(edges) - 1) and np.all(np.isfinite(p2))
+
+
+def test_load_mv_alms_call_surface(tmp_path):
+    """PlanckLensing(root).load_mv_alms(est=, lmin=, lmax=) spelling
+    (numerics in tests/test_surveys.py)."""
+    from orphics_tpu.utils import fitsio
+    from orphics_tpu.interfaces import PlanckLensing
+    ls, ms = np.array([2, 3, 3]), np.array([0, 0, 2])
+    d = tmp_path / "MV"
+    d.mkdir()
+    fitsio.write_bintable(str(d / "dat_klm.fits"),
+                          {"index": (ls * ls + ls + ms + 1).astype(np.int64),
+                           "real": np.ones(3), "imag": np.zeros(3)})
+    alm = PlanckLensing(root=str(tmp_path)).load_mv_alms(est="MV", lmin=2,
+                                                         lmax=3)
+    assert alm.dtype == np.complex128 and alm.size == 10
+
+
+def test_class_cls_gates_like_reference():
+    """class_cls runs only with the optional classy package (the
+    reference's own gate); absent classy it must raise an informative
+    ImportError, not a silent wrong answer."""
+    try:
+        import classy  # noqa: F401
+        pytest.skip("classy installed; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises((ImportError, ModuleNotFoundError)):
+        cosmology.class_cls(lmax=100, zmin=0.2, zmax=0.4, bias=1.6)

@@ -26,6 +26,11 @@ def _env():
     env["JAX_PLATFORMS"] = "cpu"
     env["ORPHICS_TPU_EXAMPLE_QUICK"] = "1"
     env["MPLBACKEND"] = "Agg"
+    # share the repo's persistent XLA cache: the example tier is
+    # compile-bound, and warm-cache runs are ~2.5x faster (1-core box)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     flags = [f for f in env.get("XLA_FLAGS", "").split()
              if "xla_force_host_platform_device_count" not in f]
     flags.append("--xla_force_host_platform_device_count=8")
