@@ -4,7 +4,8 @@ from .models.lensing import (
     lens_map_spline, taylens, FlatLensingSims, gnfw, f_c, fnfw, rho_nfw,
     proj_rho_nfw, projected_rho, kappa_nfw_generic, kappa_generic,
     nfw_kappa_profile, sanitize_power, fill_low_ell)
-from .models.qe import QE, NlGenerator, lensing_noise_2d, rdn0, mcn0
+from .models.qe import (QE, NlGenerator, lensing_noise_2d, rdn0, mcn0,
+                        n1_tt)
 from .models.splitlens import SplitLensing
 from .models.nfwfit import (binned_nfw, fit_nfw_profile, filter_bin_kappa2d,
                             nfw_kappa, NFWkappa, lens_cov, beam_cov)

@@ -49,7 +49,8 @@ from ..geometry import Geometry, arcmin
 from ..ops import fourier as F
 from ..ops.binning import Bin2D
 
-__all__ = ["QE", "NlGenerator", "lensing_noise_2d", "rdn0", "mcn0"]
+__all__ = ["QE", "NlGenerator", "lensing_noise_2d", "rdn0", "mcn0",
+           "n1_tt"]
 
 ESTIMATORS = ("TT", "TE", "EE", "EB", "TB")
 LEG_FIELDS = {"TT": ("T", "T"), "TE": ("T", "E"), "EE": ("E", "E"),
@@ -877,6 +878,201 @@ def rdn0(qe: "QE", est: str, kdata, sim_kmaps, bin_edges,
     t_data, t_mc = run(kdata, sim_kmaps)
     cents = binner.centers
     return cents, np.asarray(t_data - t_mc), np.asarray(t_mc)
+
+
+def _iso_profile(geom, grid2d):
+    """(l, value) samples of an isotropic 2D Fourier grid, taken along
+    its ly=0 row — exact whenever the grid is a function of modlmap
+    (interpolated 1D spectra, annulus masks, A_L for isotropic
+    filters). Sorted and deduped for ``jnp.interp``."""
+    ml = np.asarray(geom.modlmap_np())[0]
+    vals = np.asarray(grid2d)[0]
+    order = np.argsort(ml, kind="stable")
+    lu, idx = np.unique(ml[order], return_index=True)
+    return lu, vals[order][idx]
+
+
+def _embed_pad(P, pad):
+    """Zero-embed FFT-ordered l-lattice grids into a ``pad``-times finer
+    Brillouin zone (same dl, pad*Nyquist): fftshift -> symmetric zero
+    pad -> ifftshift. Every original lattice point keeps its frequency,
+    so transforms on the embedded lattice are EXACT continuations."""
+    if pad == 1:
+        return P
+    ny, nx = P.shape[-2:]
+    wy = (ny * (pad - 1)) // 2
+    wx = (nx * (pad - 1)) // 2
+    Pc = jnp.fft.fftshift(P, axes=(-2, -1))
+    width = [(0, 0)] * (P.ndim - 2) + [(wy, wy), (wx, wx)]
+    return jnp.fft.ifftshift(jnp.pad(Pc, width), axes=(-2, -1))
+
+
+def n1_tt(qe: "QE", Ls, clkk, ells=None, pad: int = 2):
+    """Flat-sky N1 lensing bias of the TT estimator, kappa convention.
+
+    The O(C^phiphi) connected-trispectrum bias of Kesden, Cooray &
+    Kamionkowski 2003 (eq. 12) — the debias term the reference
+    ecosystem takes from quicklens/LensingBiases-style codes and that
+    its tutorials stop short of (``tt_verification.ipynb`` subtracts
+    N0 only; the 1-3 percent low-L excess it sees IS this term):
+
+      N1(L) = 2 A(L)^2 int d^2l1/(2pi)^2 d^2l3/(2pi)^2
+              F(l1,l2) F(l3,l4) C^pp(|l1+l3|) f(l1,l3) f(l2,l4)
+
+    with l2 = L - l1, l4 = -L - l3, f the TT lensing response and F
+    the estimator's own filtered weights (leg masks and total spectra
+    taken straight from the engine). Evaluated EXACTLY on the
+    estimator's Fourier lattice: f(l1,l3) and f(l2,l4) split into 6
+    separable (u_a(l1) v_a(l3)) components each, the C^pp coupling is
+    opened with its transform C~(x), and every l-integral collapses to
+    a 2D FFT — 6 batched-(6) FFT pairs per L instead of a 4D
+    quadrature. The x-space sum implements the lattice Kronecker
+    delta, so ``pad=2`` doubles the Brillouin zone (same dl) to keep
+    l1+l3 un-aliased; with it the result is bit-comparable to the
+    direct 4D lattice sum (asserted to ~1e-10 by the brute-force
+    parity test in tests/test_qe_n1.py).
+
+    Isotropy note: L is taken along the x axis and the engine's leg
+    masks / total spectra are radialized from their ly=0 row — exact
+    for the annulus masks and 1D-interpolated spectra every reference
+    workflow uses; anisotropic custom filters are outside this fast
+    path.
+
+    Parameters
+    ----------
+    Ls : 1D array of output multipoles (within the lattice band).
+    clkk : 1D lensing-convergence input spectrum C_L^kk over ``ells``
+        (default ``arange(len(clkk))``); converted internally to
+        C^phiphi = 4 C^kk / L^4.
+    pad : Brillouin-zone factor for the C^pp coupling (2 = exact).
+
+    Returns
+    -------
+    (Ls, n1_kk) : numpy arrays; N1 in kappa convention
+        (L^4/4) N1^phiphi.
+    """
+    geom = qe.geom
+    dtype = qe.dtype
+    clkk = np.asarray(clkk, np.float64)
+    ells = (np.arange(clkk.size, dtype=np.float64) if ells is None
+            else np.asarray(ells, np.float64))
+    lsafe = np.where(ells > 0, ells, 1.0)
+    clpp = np.where(ells > 0, 4.0 * clkk / lsafe ** 4, 0.0)
+
+    # 1D profiles of the engine's own weights (see isotropy note)
+    lt_c, cltt_t = _iso_profile(geom, qe.cl2d["TT"])
+    ct_l, ct_v = _iso_profile(geom, qe.ctot["TT"])
+    if qe.field_masks is not None:
+        m1_l, m1_v = _iso_profile(geom, qe.field_masks["T"])
+        m2_l, m2_v = m1_l, m1_v
+    else:
+        m1_l, m1_v = _iso_profile(geom, qe.gmask)
+        m2_l, m2_v = _iso_profile(geom, qe.ymask)
+    w1_t = np.where(ct_v > 0, m1_v / np.where(ct_v > 0, ct_v, 1.0), 0.0)
+    w2_t = np.where(ct_v > 0, m2_v / np.where(ct_v > 0, ct_v, 1.0), 0.0)
+
+    def _cl(m):
+        return np.interp(m, lt_c, cltt_t, left=0.0, right=0.0)
+
+    def _w1(m):
+        return np.interp(m, m1_l, w1_t, left=0.0, right=0.0)
+
+    def _w2(m):
+        return np.interp(m, m2_l, w2_t, left=0.0, right=0.0)
+
+    ny, nx = geom.shape
+    ml_np = np.asarray(geom.modlmap_np())    # host f64 (never device f64)
+    dly, dlx = float(ml_np[1, 0]), float(ml_np[0, 1])
+    iy = np.fft.fftfreq(ny) * ny
+    ix = np.fft.fftfreq(nx) * nx
+    ly_np = (dly * iy)[:, None] + 0.0 * ix[None, :]
+    lx_np = 0.0 * iy[:, None] + (dlx * ix)[None, :]
+    # C^pp on the pad-times Brillouin zone (same dl): this is where
+    # |l1+l3| lands, un-aliased for pad >= 2
+    fy = np.fft.fftfreq(pad * ny) * pad * ny * dly
+    fx = np.fft.fftfreq(pad * nx) * pad * nx * dlx
+    ml_pad = np.hypot(fy[:, None], fx[None, :])
+    cpp_pad = np.interp(ml_pad, ells, clpp, left=0.0, right=0.0)
+    npdt = np.dtype(str(jnp.dtype(dtype)))
+
+    npix_pad = pad * pad * geom.npix
+    pref = 2.0 * (npix_pad / float(geom.area)) ** 2
+
+    # L-independent l1/l3-side factors of the separable split
+    # f(la, lb) = C(la)(|la|^2 + la.lb) + C(lb)(|lb|^2 + la.lb)
+    # = sum_a u_a(la) v_a(lb) with the component pairing below
+    C1 = _cl(ml_np)
+    W1g = _w1(ml_np)
+    one = np.ones_like(ml_np)
+    U = np.stack([C1 * ml_np ** 2, C1 * lx_np, C1 * ly_np,
+                  lx_np, ly_np, one])
+    V = np.stack([one, lx_np, ly_np, C1 * lx_np, C1 * ly_np,
+                  C1 * ml_np ** 2])
+
+    def _put(x):
+        """device_put with retries: the axon tunnel sporadically
+        reports UNIMPLEMENTED on individual host->device transfers
+        (probed 2026-08: the same shape/dtype succeeds on retry)."""
+        import time as _time
+        for attempt in range(5):
+            try:
+                return jnp.asarray(x)
+            except Exception:
+                if attempt == 4:
+                    raise
+                _time.sleep(0.3)
+
+    Uc = _put(U.astype(npdt))
+    Vc = _put(V.astype(npdt))
+    cpp_d = _put(cpp_pad.astype(npdt))
+
+    @jax.jit
+    def core(grids, Ug, Vg, cpp):
+        """Device side: 6 batched-(6) FFT pairs + the C~(x)-weighted
+        x-sum. All grid construction stays on the host (numpy) and
+        everything arrives as REAL arguments — device-side interp,
+        eager complex math and complex host<->device transfers are
+        not portable to every backend (axon); the complex C~(x) table
+        is therefore produced INSIDE the jit from the real C^pp grid
+        (one extra (pad*ny, pad*nx) FFT per call, negligible)."""
+        F12, F34 = grids[0], grids[1]
+        U2, V2 = grids[2:8], grids[8:14]
+        cph = jnp.fft.ifft2(cpp)
+        acc = jnp.zeros((), dtype)
+        for a in range(6):
+            Ia = jnp.fft.ifft2(_embed_pad(F12 * Ug[a] * U2, pad))
+            Ja = jnp.fft.ifft2(_embed_pad(F34 * Vg[a] * V2, pad))
+            acc = acc + (cph * (Ia * Ja).sum(0)).sum().real
+        return pref * acc
+
+    Ls = np.asarray(Ls, np.float64)
+    aL = np.empty(Ls.size)
+    n1_phi = np.empty(Ls.size)
+    for i, Lx in enumerate(Ls):
+        l2x = Lx - lx_np
+        l4x = -Lx - lx_np
+        ml2 = np.hypot(l2x, ly_np)
+        ml4 = np.hypot(l4x, ly_np)
+        C2, C4 = _cl(ml2), _cl(ml4)
+        F12 = 0.5 * (C1 * (Lx * lx_np) + C2 * (Lx * l2x)) \
+            * W1g * _w2(ml2)
+        F34 = 0.5 * (C1 * (-Lx * lx_np) + C4 * (-Lx * l4x)) \
+            * W1g * _w2(ml4)
+        # A_L directly on the host from the same radialized tables
+        # (== qe.A_L row for the isotropic filters this fast path
+        # assumes, evaluated exactly at this L instead of a row
+        # interp; avoids touching qe.A_L's device cache, whose cold
+        # eager path is not portable to every backend)
+        f12 = C1 * (Lx * lx_np) + C2 * (Lx * l2x)
+        invA = (f12 * F12).sum() / float(geom.area)
+        aL[i] = 1.0 / invA if invA != 0 else 0.0
+        grids = np.stack(
+            [F12, F34,
+             C2 * ml2 ** 2, C2 * l2x, C2 * (-ly_np), l2x, -ly_np, one,
+             one, l4x, -ly_np, C4 * l4x, C4 * (-ly_np), C4 * ml4 ** 2])
+        n1_phi[i] = float(core(_put(grids.astype(npdt)), Uc, Vc,
+                               cpp_d))
+    return Ls, (Ls ** 4 / 4.0) * aL ** 2 * n1_phi
 
 
 def mcn0(qe: "QE", est: str, sim_kmaps, bin_edges, pair_shift: int = 1):

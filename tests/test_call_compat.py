@@ -179,6 +179,20 @@ def test_rdn0_mcn0_call_surface(geom, th):
     assert np.asarray(m).shape == np.asarray(r).shape
 
 
+def test_n1_tt_call_surface(geom, th):
+    """Round-5 N1 surface: lensing.n1_tt(qe, Ls, clkk[, ells, pad])
+    returns (Ls, n1_kk) numpy arrays (numerics pinned against the 4D
+    lattice sum in tests/test_qe_n1.py)."""
+    ctot = lensing.lensing_noise_2d(geom, th, 1.5, 7.0)
+    q = lensing.qest(geom, th, ctot,
+                     xmask=maps.mask_kspace(geom, lmin=100, lmax=2000))
+    ells = np.arange(th.lpad + 1)
+    clkk = np.asarray(th.gCl("kk", ells))
+    Ls, n1 = lensing.n1_tt(q, np.array([200.0, 400.0]), clkk, ells=ells)
+    assert n1.shape == (2,) and np.all(np.isfinite(n1))
+    assert np.all(n1 > 0)
+
+
 def test_fastcl_call_surface():
     """FastCl(geom, ells, cl1d, bin_edges) + sim_bandpowers(key) /
     map_bandpowers(map) — the fused sim->power->bin engine's public
