@@ -133,6 +133,34 @@ ROOFLINE (measured v5e-1, this kernel, 2026-08):
     recurrence as blocked matrix products to ride the MXU (libsharp's
     SIMD blocking taken to systolic form — large rewrite, highest
     ceiling).
+
+ROUND-5 MEASUREMENTS (v5e-1, this kernel):
+  * The captured-seed build of path (1) landed (commit "Per-(ring,m)
+    captured-seed SHT") but realized only ~5% (2.31 -> 2.43 rt/s at
+    lmax 2047): the loop bound is the MIN l_s over a (256-ring,
+    128-m) tile, and the equator-side rings of each tile pull it back
+    near m — the predicted 36% needs per-LANE zero-skipping the
+    hardware cannot do, not per-tile bounds. Estimate-vs-artifact
+    recorded per the round-4 verdict's process note.
+  * fast=True (plain-fp32 recurrence, dd compensation off — same
+    seeds/bounds/folds, ~8 VPU ops/step instead of ~40): single rt
+    1023: 79.2 ms vs 95.5 dd (1.21x, maxerr 1.8e-3 vs 2.6e-6);
+    single rt 2047: 312.4 vs 436.5 ms (1.40x, 3.20 rt/s, maxerr
+    6.4e-3 vs 3.2e-6); packed-16 rt 1023: 128.5 vs 143.3 ms (1.12x);
+    spin-8 fold 1023: 174.7 vs 209.1 ms (1.20x). A 5x arithmetic
+    reduction buying only 1.2-1.4x CONFIRMS the roofline's scheduling
+    claim: the VPU step is bound by the dynamic-sublane table reads,
+    the int32 seed/rescale select chains (still present in fast
+    mode's cold region), and the cross-sublane contraction reductions
+    — not by the dd float math. Config 7's dd ceiling therefore
+    stands at ~2.4 rt/s @2047 on v5e unless the contraction moves to
+    the MXU (path (2)); fast mode is the measured speed/accuracy
+    escape hatch for fp32 Monte-Carlo pipelines.
+  * Packed spin fold crossover (see :func:`_spin_fold_packed_ok`):
+    batch-8 @2047 fold 1854.5 ms vs unfolded 1411.4 (0.76x — the
+    halved pack splits the batch) -> the wrapper now folds packed
+    spin only while the full 16-map pack holds (lmax < 1024);
+    single-map spin keeps the fold everywhere.
 """
 from __future__ import annotations
 
@@ -251,6 +279,69 @@ def _dd_step_hot(l, tabs, vals, carry):
     return (lam_c, lam_n, lam_cl, lam_nl, e), lam_n
 
 
+def _fast_step(l, tabs, vals, carry):
+    """Plain-fp32 l-step (``fast=True``): the dd-compensation channels
+    are dropped — the 3-term recurrence runs straight in fp32 with the
+    SAME captured-seed injection and extended-exponent rescale as
+    :func:`_dd_step` (hi tables only; the lo tables/refs are unread).
+    ~8 VPU ops instead of ~40: accuracy falls from ~3e-6 to the fp32
+    random-walk of the recurrence (measured in the module docstring);
+    the speed/accuracy trade is the caller's, via ``fast=`` on the
+    public entry points (default stays dd)."""
+    Ah, Bh, Ch = tabs[:3]
+    x, xlo, sm, sl, smP, slP, se, l0v = vals
+    lam_p, lam_c, e = carry
+    a = Ah[pl.ds(l, 1), :]
+    b = Bh[pl.ds(l, 1), :]
+    c = Ch[pl.ds(l, 1), :]
+    lam_n = (a * x + b) * lam_c + c * lam_p
+    is_seed = l0v == l
+    lam_n = jnp.where(is_seed, sm, lam_n)
+    lam_pn = jnp.where(is_seed, smP, lam_c)
+    e = jnp.where(is_seed, se, e)
+    big = (jnp.abs(lam_n) > _TH) & (e > 0)
+    lam_n = jnp.where(big, lam_n * _INV, lam_n)
+    lam_pn = jnp.where(big, lam_pn * _INV, lam_pn)
+    e = jnp.where(big, e - 1, e)
+    w = jnp.where(e == 0, jnp.float32(1.0),
+                  jnp.where(e == 1, jnp.float32(_INV), jnp.float32(0.0)))
+    return (lam_pn, lam_n, e), lam_n * w
+
+
+def _fast_step_rows(l, j, rows, vals, carry, hot=False):
+    """:func:`_fast_step` on statically-indexed pre-loaded table rows
+    (cf. :func:`_dd_step_rows`); ``hot`` drops the seed/rescale/weight
+    epilogue once valid — in fast mode that epilogue dominates the
+    4-op arithmetic core, so the hot body is ~3 ops."""
+    A8, B8, C8 = rows[:3]
+    x, xlo, sm, sl, smP, slP, se, l0v = vals
+    lam_p, lam_c, e = carry
+    a = A8[j:j + 1, :]
+    b = B8[j:j + 1, :]
+    c = C8[j:j + 1, :]
+    lam_n = (a * x + b) * lam_c + c * lam_p
+    if hot:
+        return (lam_c, lam_n, e), lam_n
+    is_seed = l0v == l
+    lam_n = jnp.where(is_seed, sm, lam_n)
+    lam_pn = jnp.where(is_seed, smP, lam_c)
+    e = jnp.where(is_seed, se, e)
+    big = (jnp.abs(lam_n) > _TH) & (e > 0)
+    lam_n = jnp.where(big, lam_n * _INV, lam_n)
+    lam_pn = jnp.where(big, lam_pn * _INV, lam_pn)
+    e = jnp.where(big, e - 1, e)
+    w = jnp.where(e == 0, jnp.float32(1.0),
+                  jnp.where(e == 1, jnp.float32(_INV), jnp.float32(0.0)))
+    return (lam_pn, lam_n, e), lam_n * w
+
+
+def _lam0(ttile, mtile, fast):
+    """Initial recurrence carry: (lam_p, lam_c[, lo channels], e)."""
+    z = jnp.zeros((ttile, mtile), jnp.float32)
+    ze = jnp.zeros((ttile, mtile), jnp.int32)
+    return (z, z, ze) if fast else (z, z, z, z, ze)
+
+
 def _chunk_rows(tabs, base):
     """One dynamic (UNROLL, mtile) sublane slice per table per CHUNK
     (instead of one (1, mtile) slice per table per STEP): the unrolled
@@ -328,7 +419,8 @@ def _shi(bounds):
 
 
 def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
-                l0, bounds, Gr, Gi, outr, outi, *, Lp, ttile, mtile):
+                l0, bounds, Gr, Gi, outr, outi, *, Lp, ttile, mtile,
+                fast=False):
     jt = pl.program_id(1)
 
     @pl.when(jt == 0)
@@ -337,18 +429,18 @@ def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
         outi[...] = jnp.zeros((Lp, mtile), jnp.float32)
 
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    step = _fast_step if fast else _dd_step
     vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     gr = Gr[:]
     gi = Gi[:]
-    z = jnp.zeros((ttile, mtile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
+    carry0 = _lam0(ttile, mtile, fast)
 
     def chunk(ic, carry):
         base = ic * _UNROLL
         accr = []
         acci = []
         for j in range(_UNROLL):
-            carry, lw = _dd_step(base + j, tabs, vals, carry)
+            carry, lw = step(base + j, tabs, vals, carry)
             accr.append(jnp.sum(lw * gr, axis=0, keepdims=True))
             acci.append(jnp.sum(lw * gi, axis=0, keepdims=True))
         rr = jnp.concatenate(accr, axis=0)   # (_UNROLL, mtile)
@@ -363,30 +455,32 @@ def _ana_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
 
 
 def _syn_kernel(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
-                l0, bounds, ar, ai, outr, outi, *, Lp, ttile, mtile):
+                l0, bounds, ar, ai, outr, outi, *, Lp, ttile, mtile,
+                fast=False):
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    step = _fast_step if fast else _dd_step
     vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     z = jnp.zeros((ttile, mtile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32), z, z)
+    carry0 = _lam0(ttile, mtile, fast) + (z, z)
 
     def chunk(ic, carry):
-        lam_carry = carry[:5]
-        accr, acci = carry[5], carry[6]
+        lam_carry = carry[:-2]
+        accr, acci = carry[-2], carry[-1]
         base = ic * _UNROLL
         for j in range(_UNROLL):
-            lam_carry, lw = _dd_step(base + j, tabs, vals, lam_carry)
+            lam_carry, lw = step(base + j, tabs, vals, lam_carry)
             accr = accr + lw * ar[pl.ds(base + j, 1), :]
             acci = acci + lw * ai[pl.ds(base + j, 1), :]
         return lam_carry + (accr, acci)
 
     out = jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
-    outr[...] = out[5]
-    outi[...] = out[6]
+    outr[...] = out[-2]
+    outi[...] = out[-1]
 
 
 def _ana_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
                   l0, bounds, Gr, Gi, outr, outi, *, Lp, ttile, mtile,
-                  nmaps):
+                  nmaps, fast=False):
     """Packed analysis: one l-recurrence contracts ``nmaps`` maps
     (G refs and outputs carry a leading maps dim) — the recurrence
     cost (~40 VPU flops per (m, ring, l)) amortizes over the batch."""
@@ -398,18 +492,18 @@ def _ana_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
         outi[...] = jnp.zeros((nmaps, Lp, mtile), jnp.float32)
 
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    step = _fast_step if fast else _dd_step
     vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     gr = Gr[:]                                   # (nmaps, ttile, mtile)
     gi = Gi[:]
-    z = jnp.zeros((ttile, mtile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
+    carry0 = _lam0(ttile, mtile, fast)
 
     def chunk(ic, carry):
         base = ic * _UNROLL
         accr = []
         acci = []
         for j in range(_UNROLL):
-            carry, lw = _dd_step(base + j, tabs, vals, carry)
+            carry, lw = step(base + j, tabs, vals, carry)
             accr.append(jnp.sum(lw[None] * gr, axis=1, keepdims=True))
             acci.append(jnp.sum(lw[None] * gi, axis=1, keepdims=True))
         rr = jnp.concatenate(accr, axis=1)       # (nmaps, UNROLL, mtile)
@@ -425,27 +519,27 @@ def _ana_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
 
 def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
                   l0, bounds, ar, ai, outr, outi, *, Lp, ttile, mtile,
-                  nmaps):
+                  nmaps, fast=False):
     """Packed synthesis: one l-recurrence drives ``nmaps`` alm sets."""
     tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    step = _fast_step if fast else _dd_step
     vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
-    z = jnp.zeros((ttile, mtile), jnp.float32)
     zb = jnp.zeros((nmaps, ttile, mtile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32), zb, zb)
+    carry0 = _lam0(ttile, mtile, fast) + (zb, zb)
 
     def chunk(ic, carry):
-        lam_carry = carry[:5]
-        accr, acci = carry[5], carry[6]
+        lam_carry = carry[:-2]
+        accr, acci = carry[-2], carry[-1]
         base = ic * _UNROLL
         for j in range(_UNROLL):
-            lam_carry, lw = _dd_step(base + j, tabs, vals, lam_carry)
+            lam_carry, lw = step(base + j, tabs, vals, lam_carry)
             accr = accr + lw[None] * ar[:, pl.ds(base + j, 1), :]
             acci = acci + lw[None] * ai[:, pl.ds(base + j, 1), :]
         return lam_carry + (accr, acci)
 
     out = jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
-    outr[...] = out[5]
-    outi[...] = out[6]
+    outr[...] = out[-2]
+    outi[...] = out[-1]
 
 
 # ---------------------------------------------------------------------
@@ -461,7 +555,7 @@ def _syn_kernel_b(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
 
 def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
                   l0, bounds, S0r, S0i, S1r, S1i, outr, outi, *,
-                  Lp, ttile, mtile):
+                  Lp, ttile, mtile, fast=False):
     jt = pl.program_id(1)
 
     @pl.when(jt == 0)
@@ -469,11 +563,11 @@ def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
         outr[...] = jnp.zeros((Lp, mtile), jnp.float32)
         outi[...] = jnp.zeros((Lp, mtile), jnp.float32)
 
-    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    tabs = (Ah, Bh, Ch) if fast else (Ah, Bh, Ch, Al, Bl, Cl)
+    step_rows = _fast_step_rows if fast else _dd_step_rows
     vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     g = ((S0r[:], S0i[:]), (S1r[:], S1i[:]))
-    z = jnp.zeros((ttile, mtile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
+    carry0 = _lam0(ttile, mtile, fast)
 
     def body(hot, ic, carry):
         base = ic * _UNROLL
@@ -481,8 +575,8 @@ def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
         accr = []
         acci = []
         for j in range(_UNROLL):
-            carry, lw = _dd_step_rows(base + j, j, rows, vals, carry,
-                                      hot=hot)
+            carry, lw = step_rows(base + j, j, rows, vals, carry,
+                                  hot=hot)
             gr, gi = g[j % 2]               # static: base is even
             accr.append(jnp.sum(lw * gr, axis=0, keepdims=True))
             acci.append(jnp.sum(lw * gi, axis=0, keepdims=True))
@@ -496,8 +590,9 @@ def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
 
     def chunk(ic, carry):
         # hot/cold split: past the tile's seeds with all exponents
-        # unwound, the cheap steady-state step is exact
-        hot = (ic >= sh) & jnp.all(carry[4] == 0)
+        # unwound, the cheap steady-state step is exact (carry[-1] is
+        # the exponent tile in both dd and fast carries)
+        hot = (ic >= sh) & jnp.all(carry[-1] == 0)
         return jax.lax.cond(hot,
                             lambda c: body(True, ic, c),
                             lambda c: body(False, ic, c), carry)
@@ -507,24 +602,24 @@ def _ana_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
 
 def _syn_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
                   l0, bounds, sgn0, ar, ai, outNr, outNi, outSr, outSi,
-                  *, Lp, ttile, mtile):
-    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+                  *, Lp, ttile, mtile, fast=False):
+    tabs = (Ah, Bh, Ch) if fast else (Ah, Bh, Ch, Al, Bl, Cl)
+    step_rows = _fast_step_rows if fast else _dd_step_rows
     vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     sg = sgn0[:]                             # (1, mtile): +1 even m, -1 odd
     z = jnp.zeros((ttile, mtile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32),
-              z, z, z, z)
+    carry0 = _lam0(ttile, mtile, fast) + (z, z, z, z)
 
     def body(ic, carry):
-        lam_carry = carry[:5]
-        aEr, aEi, aOr, aOi = carry[5:]
+        lam_carry = carry[:-4]
+        aEr, aEi, aOr, aOi = carry[-4:]
         base = ic * _UNROLL
         rows = _chunk_rows(tabs, base)
         ar8 = ar[pl.ds(base, _UNROLL), :]   # one dynamic slice per chunk
         ai8 = ai[pl.ds(base, _UNROLL), :]
         for j in range(_UNROLL):
-            lam_carry, lw = _dd_step_rows(base + j, j, rows, vals,
-                                          lam_carry)
+            lam_carry, lw = step_rows(base + j, j, rows, vals,
+                                      lam_carry)
             cr = lw * ar8[j:j + 1, :]
             ci = lw * ai8[j:j + 1, :]
             # accumulate by STATIC l parity — the north/south combine
@@ -547,7 +642,7 @@ def _syn_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
         return body(ic, carry)
 
     out = jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
-    aEr, aEi, aOr, aOi = out[5:]
+    aEr, aEi, aOr, aOi = out[-4:]
     outNr[...] = aEr + aOr
     outNi[...] = aEi + aOi
     outSr[...] = sg * (aEr - aOr)
@@ -556,7 +651,7 @@ def _syn_kernel_f(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP, se,
 
 def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP,
                    se, l0, bounds, S0r, S0i, S1r, S1i, outr, outi, *,
-                   Lp, ttile, mtile, nmaps):
+                   Lp, ttile, mtile, nmaps, fast=False):
     jt = pl.program_id(1)
 
     @pl.when(jt == 0)
@@ -564,11 +659,11 @@ def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP,
         outr[...] = jnp.zeros((nmaps, Lp, mtile), jnp.float32)
         outi[...] = jnp.zeros((nmaps, Lp, mtile), jnp.float32)
 
-    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+    tabs = (Ah, Bh, Ch) if fast else (Ah, Bh, Ch, Al, Bl, Cl)
+    step_rows = _fast_step_rows if fast else _dd_step_rows
     vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     g = ((S0r[:], S0i[:]), (S1r[:], S1i[:]))   # (nmaps, ttile, mtile)
-    z = jnp.zeros((ttile, mtile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32))
+    carry0 = _lam0(ttile, mtile, fast)
 
     def body(ic, carry):
         base = ic * _UNROLL
@@ -576,7 +671,7 @@ def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP,
         accr = []
         acci = []
         for j in range(_UNROLL):
-            carry, lw = _dd_step_rows(base + j, j, rows, vals, carry)
+            carry, lw = step_rows(base + j, j, rows, vals, carry)
             gr, gi = g[j % 2]
             accr.append(jnp.sum(lw[None] * gr, axis=1, keepdims=True))
             acci.append(jnp.sum(lw[None] * gi, axis=1, keepdims=True))
@@ -598,25 +693,24 @@ def _ana_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP,
 
 def _syn_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP,
                    se, l0, bounds, sgn0, ar, ai, outNr, outNi, outSr,
-                   outSi, *, Lp, ttile, mtile, nmaps):
-    tabs = (Ah, Bh, Ch, Al, Bl, Cl)
+                   outSi, *, Lp, ttile, mtile, nmaps, fast=False):
+    tabs = (Ah, Bh, Ch) if fast else (Ah, Bh, Ch, Al, Bl, Cl)
+    step_rows = _fast_step_rows if fast else _dd_step_rows
     vals = (x[:], xlo[:], sm[:], sl[:], smP[:], slP[:], se[:], l0[:])
     sg = sgn0[:]
-    z = jnp.zeros((ttile, mtile), jnp.float32)
     zb = jnp.zeros((nmaps, ttile, mtile), jnp.float32)
-    carry0 = (z, z, z, z, jnp.zeros((ttile, mtile), jnp.int32),
-              zb, zb, zb, zb)
+    carry0 = _lam0(ttile, mtile, fast) + (zb, zb, zb, zb)
 
     def body(ic, carry):
-        lam_carry = carry[:5]
-        aEr, aEi, aOr, aOi = carry[5:]
+        lam_carry = carry[:-4]
+        aEr, aEi, aOr, aOi = carry[-4:]
         base = ic * _UNROLL
         rows = _chunk_rows(tabs, base)
         ar8 = ar[:, pl.ds(base, _UNROLL), :]
         ai8 = ai[:, pl.ds(base, _UNROLL), :]
         for j in range(_UNROLL):
-            lam_carry, lw = _dd_step_rows(base + j, j, rows, vals,
-                                          lam_carry)
+            lam_carry, lw = step_rows(base + j, j, rows, vals,
+                                      lam_carry)
             cr = lw[None] * ar8[:, j:j + 1, :]
             ci = lw[None] * ai8[:, j:j + 1, :]
             # static l-parity accumulators (see _syn_kernel_f): halves
@@ -633,7 +727,7 @@ def _syn_kernel_fb(Ah, Bh, Ch, Al, Bl, Cl, x, xlo, sm, sl, smP, slP,
         return body(ic, carry)              # see _syn_kernel_f note
 
     out = jax.lax.fori_loop(_lo(bounds), _hi(bounds), chunk, carry0)
-    aEr, aEi, aOr, aOi = out[5:]
+    aEr, aEi, aOr, aOi = out[-4:]
     outNr[...] = aEr + aOr
     outNi[...] = aEi + aOi
     outSr[...] = sg[None] * (aEr - aOr)
@@ -1020,18 +1114,26 @@ def _batched(fn_one, fn_pack, xs, ndim_cores, lmax, empty, pack=None):
     return jax.tree_util.tree_map(cat, *outs)
 
 
-def map2alm_pl(maps, rings, lmax: int, interpret: bool = False):
+def map2alm_pl(maps, rings, lmax: int, interpret: bool = False,
+               fast: bool = False):
     """Pallas analysis: (..., ntheta, nphi) fp32 map -> healpy-packed
-    alm (parity with :func:`..sht.map2alm` in "full" mode)."""
+    alm (parity with :func:`..sht.map2alm` in "full" mode).
+    ``fast=True`` runs the plain-fp32 recurrence (see
+    :func:`_fast_step`): same seeds/bounds/fold, dd compensation off —
+    measured ~2-4e-5 roundtrip error at lmax 1023/2047 vs the dd
+    path's ~2e-7/3e-6, for Monte-Carlo workloads where the maps are
+    fp32 anyway."""
     mtile, ttile = _tiles(lmax)
     fold = _rings_symmetric(rings)
     tabs = _prep_dev(lmax, rings, mtile, ttile, fold=fold)
     nalm = (lmax + 1) * (lmax + 2) // 2
     return _batched(
         lambda m: _map2alm_pl_impl(m, tabs, rings=rings, lmax=lmax,
-                                   interpret=interpret, fold=fold),
+                                   interpret=interpret, fold=fold,
+                                   fast=fast),
         lambda m: _map2alm_pl_b_impl(m, tabs, rings=rings, lmax=lmax,
-                                     interpret=interpret, fold=fold),
+                                     interpret=interpret, fold=fold,
+                                     fast=fast),
         (_check_f32(jnp.asarray(maps), "maps").astype(jnp.float32),),
         (2,), lmax,
         lambda bshape: jnp.zeros(bshape + (nalm,), jnp.complex64))
@@ -1097,7 +1199,7 @@ def _sgn0_row(Mp):
         .astype(np.float32).reshape(1, -1)
 
 
-def _leg_ana(G, tabs, rings, lmax, interpret, fold=False):
+def _leg_ana(G, tabs, rings, lmax, interpret, fold=False, fast=False):
     """Core Legendre analysis: weighted ring-coefficient matrix
     G (T, M+1) complex -> (L+1, M+1) complex64 a-matrix."""
     mtile, ttile = _tiles(lmax)
@@ -1113,7 +1215,7 @@ def _leg_ana(G, tabs, rings, lmax, interpret, fold=False):
                          jnp.real(S1), jnp.imag(S1))]
         outr, outi = pl.pallas_call(
             functools.partial(_ana_kernel_f, Lp=Lp, ttile=ttile,
-                              mtile=mtile),
+                              mtile=mtile, fast=fast),
             grid=(Mp // mtile, Tp // ttile),
             in_specs=in_specs + [tm, tm, tm, tm],
             out_specs=[tablm, tablm],
@@ -1126,7 +1228,8 @@ def _leg_ana(G, tabs, rings, lmax, interpret, fold=False):
     Gr = jnp.pad(jnp.real(G), ((0, Tp - T), (0, Mp - M1)))
     Gi = jnp.pad(jnp.imag(G), ((0, Tp - T), (0, Mp - M1)))
     outr, outi = pl.pallas_call(
-        functools.partial(_ana_kernel, Lp=Lp, ttile=ttile, mtile=mtile),
+        functools.partial(_ana_kernel, Lp=Lp, ttile=ttile, mtile=mtile,
+                          fast=fast),
         grid=(Mp // mtile, Tp // ttile),
         in_specs=in_specs + [tm, tm],
         out_specs=[tablm, tablm],
@@ -1139,7 +1242,7 @@ def _leg_ana(G, tabs, rings, lmax, interpret, fold=False):
         .astype(jnp.complex64)                       # (L+1, M+1)
 
 
-def _leg_syn(mat, tabs, rings, lmax, interpret, fold=False):
+def _leg_syn(mat, tabs, rings, lmax, interpret, fold=False, fast=False):
     """Core Legendre synthesis: (L+1, M+1) complex a-matrix ->
     (T, M+1) complex64 ring-coefficient matrix."""
     mtile, ttile = _tiles(lmax)
@@ -1156,7 +1259,7 @@ def _leg_syn(mat, tabs, rings, lmax, interpret, fold=False):
                             memory_space=pltpu.VMEM)
         aNr, aNi, aSr, aSi = pl.pallas_call(
             functools.partial(_syn_kernel_f, Lp=Lp, ttile=ttile,
-                              mtile=mtile),
+                              mtile=mtile, fast=fast),
             grid=(Mp // mtile, Tp // ttile),
             in_specs=in_specs + [mrow, tablm, tablm],
             out_specs=[tm, tm, tm, tm],
@@ -1168,7 +1271,8 @@ def _leg_syn(mat, tabs, rings, lmax, interpret, fold=False):
         acci = _unfold_acc(aNi[:T], aSi[:T], rings.ntheta)
         return (accr[:, :M1] + 1j * acci[:, :M1]).astype(jnp.complex64)
     accr, acci = pl.pallas_call(
-        functools.partial(_syn_kernel, Lp=Lp, ttile=ttile, mtile=mtile),
+        functools.partial(_syn_kernel, Lp=Lp, ttile=ttile, mtile=mtile,
+                          fast=fast),
         grid=(Mp // mtile, Tp // ttile),
         in_specs=in_specs + [tablm, tablm],
         out_specs=[tm, tm],
@@ -1180,7 +1284,8 @@ def _leg_syn(mat, tabs, rings, lmax, interpret, fold=False):
         .astype(jnp.complex64)                       # (T, M+1)
 
 
-def _leg_ana_b(G, tabs, rings, lmax, interpret, fold=False, half=False):
+def _leg_ana_b(G, tabs, rings, lmax, interpret, fold=False, half=False,
+               fast=False):
     """Packed Legendre analysis: G (nmaps, T, M+1) complex ->
     (nmaps, L+1, M+1) complex64 (one recurrence, nmaps contractions).
     ``half``: G covers only the NORTHERN rings and the plain kernel
@@ -1204,7 +1309,7 @@ def _leg_ana_b(G, tabs, rings, lmax, interpret, fold=False, half=False):
                          jnp.real(S1), jnp.imag(S1))]
         outr, outi = pl.pallas_call(
             functools.partial(_ana_kernel_fb, Lp=Lp, ttile=ttile,
-                              mtile=mtile, nmaps=nmaps),
+                              mtile=mtile, nmaps=nmaps, fast=fast),
             grid=(Mp // mtile, Tp // ttile),
             in_specs=in_specs + [btm, btm, btm, btm],
             out_specs=[btab, btab],
@@ -1219,7 +1324,7 @@ def _leg_ana_b(G, tabs, rings, lmax, interpret, fold=False, half=False):
     Gi = jnp.pad(jnp.imag(G), ((0, 0), (0, Tp - T), (0, Mp - M1)))
     outr, outi = pl.pallas_call(
         functools.partial(_ana_kernel_b, Lp=Lp, ttile=ttile,
-                          mtile=mtile, nmaps=nmaps),
+                          mtile=mtile, nmaps=nmaps, fast=fast),
         grid=(Mp // mtile, Tp // ttile),
         in_specs=in_specs + [btm, btm],
         out_specs=[btab, btab],
@@ -1234,7 +1339,7 @@ def _leg_ana_b(G, tabs, rings, lmax, interpret, fold=False, half=False):
 
 
 def _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=False,
-               half=False):
+               half=False, fast=False):
     """Packed Legendre synthesis: (nmaps, L+1, M+1) complex a-matrices
     -> (nmaps, T, M+1) complex64 ring coefficients. ``half``: run on
     northern-half tables, returning (nmaps, Th, M+1) (see
@@ -1258,7 +1363,7 @@ def _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=False,
                             memory_space=pltpu.VMEM)
         aNr, aNi, aSr, aSi = pl.pallas_call(
             functools.partial(_syn_kernel_fb, Lp=Lp, ttile=ttile,
-                              mtile=mtile, nmaps=nmaps),
+                              mtile=mtile, nmaps=nmaps, fast=fast),
             grid=(Mp // mtile, Tp // ttile),
             in_specs=in_specs + [mrow, btab, btab],
             out_specs=[btm, btm, btm, btm],
@@ -1273,7 +1378,7 @@ def _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=False,
             .astype(jnp.complex64)
     accr, acci = pl.pallas_call(
         functools.partial(_syn_kernel_b, Lp=Lp, ttile=ttile,
-                          mtile=mtile, nmaps=nmaps),
+                          mtile=mtile, nmaps=nmaps, fast=fast),
         grid=(Mp // mtile, Tp // ttile),
         in_specs=in_specs + [btab, btab],
         out_specs=[btm, btm],
@@ -1287,44 +1392,51 @@ def _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=False,
 
 
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
-                                              "fold"))
+                                              "fold", "fast"))
 def _map2alm_pl_impl(maps, tabs, *, rings, lmax: int,
-                     interpret: bool = False, fold: bool = False):
+                     interpret: bool = False, fold: bool = False,
+                     fast: bool = False):
     w = jnp.asarray(rings.weights_array(), jnp.float32) \
         * jnp.float32(2.0 * np.pi / rings.nphi)
     F = _sht._ring_analysis(maps, rings, lmax)       # (T, M+1)
     G = F * w[:, None]                               # (T, M+1)
-    mat = _leg_ana(G, tabs, rings, lmax, interpret, fold=fold)
+    mat = _leg_ana(G, tabs, rings, lmax, interpret, fold=fold,
+                   fast=fast)
     return _sht._mat2alm(mat, lmax)
 
 
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
-                                              "fold"))
+                                              "fold", "fast"))
 def _map2alm_pl_b_impl(maps, tabs, *, rings, lmax: int,
-                       interpret: bool = False, fold: bool = False):
+                       interpret: bool = False, fold: bool = False,
+                       fast: bool = False):
     """Packed analysis of (nmaps, ntheta, nphi) maps."""
     w = jnp.asarray(rings.weights_array(), jnp.float32) \
         * jnp.float32(2.0 * np.pi / rings.nphi)
     F = _sht._ring_analysis(maps, rings, lmax)       # (nmaps, T, M+1)
     G = F * w[None, :, None]                         # (nmaps, T, M+1)
-    mat = _leg_ana_b(G, tabs, rings, lmax, interpret, fold=fold)
+    mat = _leg_ana_b(G, tabs, rings, lmax, interpret, fold=fold,
+                     fast=fast)
     return _sht._mat2alm(mat, lmax)
 
 
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
-                                              "fold"))
+                                              "fold", "fast"))
 def _alm2map_pl_b_impl(alm, tabs, *, rings, lmax: int,
-                       interpret: bool = False, fold: bool = False):
+                       interpret: bool = False, fold: bool = False,
+                       fast: bool = False):
     """Packed synthesis of (nmaps, nalm) alms."""
     mat = _sht._alm2mat(alm, lmax)                   # (nmaps, L+1, M+1)
-    acc = _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=fold)
+    acc = _leg_syn_b(mat, tabs, rings, lmax, interpret, fold=fold,
+                     fast=fast)
     return _sht._ring_synthesis(acc, rings, real=True) \
         .astype(jnp.float32)
 
 
-def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False):
+def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False,
+               fast: bool = False):
     """Pallas synthesis: healpy-packed alm (leading batch dims ok) ->
-    (..., ntheta, nphi) fp32 map."""
+    (..., ntheta, nphi) fp32 map. ``fast``: see :func:`map2alm_pl`."""
     from . import alm as almops
     alm = _check_f32(jnp.asarray(alm), "alm")
     if lmax is None:
@@ -1334,20 +1446,24 @@ def alm2map_pl(alm, rings, lmax: int = None, interpret: bool = False):
     tabs = _prep_dev(lmax, rings, mtile, ttile, fold=fold)
     return _batched(
         lambda a: _alm2map_pl_impl(a, tabs, rings=rings, lmax=lmax,
-                                   interpret=interpret, fold=fold),
+                                   interpret=interpret, fold=fold,
+                                   fast=fast),
         lambda a: _alm2map_pl_b_impl(a, tabs, rings=rings, lmax=lmax,
-                                     interpret=interpret, fold=fold),
+                                     interpret=interpret, fold=fold,
+                                     fast=fast),
         (alm,), (1,), lmax,
         lambda bshape: jnp.zeros(
             bshape + (rings.ntheta, rings.nphi), jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
-                                              "fold"))
+                                              "fold", "fast"))
 def _alm2map_pl_impl(alm, tabs, *, rings, lmax: int,
-                     interpret: bool = False, fold: bool = False):
+                     interpret: bool = False, fold: bool = False,
+                     fast: bool = False):
     mat = _sht._alm2mat(alm, lmax)                   # (L+1, M+1)
-    acc = _leg_syn(mat, tabs, rings, lmax, interpret, fold=fold)
+    acc = _leg_syn(mat, tabs, rings, lmax, interpret, fold=fold,
+                   fast=fast)
     return _sht._ring_synthesis(acc, rings, real=True) \
         .astype(jnp.float32)
 
@@ -1365,8 +1481,18 @@ def _parity_grid(lmax):
 _SPIN_NS = lambda spin: (-spin, spin)
 
 
+def _spin_fold_packed_ok(lmax):
+    """Measured v5e crossover for the PACKED spin fold: it wins while
+    the full pack (16 maps, lmax < 1024) rides one launch pair
+    (209 vs 224 ms dd batch-8 @1023) and loses once the VMEM-bounded
+    pack halves below the batch (1854 vs 1411 ms @2047 — two launch
+    pairs each at worse amortization). Single-map spin keeps the fold
+    at every lmax (1.17x @1023)."""
+    return _pack(lmax) >= 16
+
+
 def map2alm_spin_pl(qmap, umap, rings, lmax: int, spin: int = 2,
-                    interpret: bool = False):
+                    interpret: bool = False, fast: bool = False):
     """Pallas spin-s analysis: (Q, U) fp32 maps -> (E, B) alms.
     Two n = -s / +s Legendre transforms of F(Q+iU) / F(Q-iU);
     convention parity with :func:`..sht.map2alm_spin`."""
@@ -1375,6 +1501,8 @@ def map2alm_spin_pl(qmap, umap, rings, lmax: int, spin: int = 2,
     q = jnp.asarray(qmap, jnp.float32)
     u = jnp.asarray(umap, jnp.float32)
     nalm = (lmax + 1) * (lmax + 2) // 2
+    empty = lambda bshape: (jnp.zeros(bshape + (nalm,),
+                                      jnp.complex64),) * 2
     if _rings_symmetric(rings):
         # folded pair: each half-ring launch contracts 2 maps per input
         # map (north + the OTHER n's flipped south), assembling the
@@ -1386,49 +1514,63 @@ def map2alm_spin_pl(qmap, umap, rings, lmax: int, spin: int = 2,
         par = _parity_grid(lmax)
         fn = lambda qq, uu: _map2alm_spin_pl_fold_b_impl(
             qq, uu, tabs0, tabs1, par, rings=rings, lmax=lmax,
-            interpret=interpret)
+            interpret=interpret, fast=fast)
+        one = lambda qq, uu: jax.tree_util.tree_map(
+            lambda o: o[0], fn(qq[None], uu[None]))
+        if _spin_fold_packed_ok(lmax):
+            return _batched(one, fn, (q, u), (2, 2), lmax, empty,
+                            pack=max(1, _pack(lmax) // 2))
+        # measured v5e crossover (batch-8): the fold REGRESSES packed
+        # spin at lmax 2047 (1854 vs 1411 ms roundtrip — the halved
+        # pack splits the batch into more launch pairs) while single
+        # maps keep their 1.17x; route the batch through the unfolded
+        # packed kernels and keep the fold for singles.
+        tabs_m = _prep_dev(lmax, rings, mtile, ttile, ns, 0)
+        tabs_p = _prep_dev(lmax, rings, mtile, ttile, ns, 1)
         return _batched(
-            lambda qq, uu: jax.tree_util.tree_map(
-                lambda o: o[0], fn(qq[None], uu[None])),
-            fn, (q, u), (2, 2), lmax,
-            lambda bshape: (jnp.zeros(bshape + (nalm,),
-                                      jnp.complex64),) * 2,
-            pack=max(1, _pack(lmax) // 2))
+            one,
+            lambda qq, uu: _map2alm_spin_pl_b_impl(
+                qq, uu, tabs_m, tabs_p, rings=rings, lmax=lmax,
+                interpret=interpret, fast=fast),
+            (q, u), (2, 2), lmax, empty)
     tabs_m = _prep_dev(lmax, rings, mtile, ttile, ns, 0)
     tabs_p = _prep_dev(lmax, rings, mtile, ttile, ns, 1)
     return _batched(
         lambda qq, uu: _map2alm_spin_pl_impl(
             qq, uu, tabs_m, tabs_p, rings=rings, lmax=lmax,
-            interpret=interpret),
+            interpret=interpret, fast=fast),
         lambda qq, uu: _map2alm_spin_pl_b_impl(
             qq, uu, tabs_m, tabs_p, rings=rings, lmax=lmax,
-            interpret=interpret),
-        (q, u), (2, 2), lmax,
-        lambda bshape: (jnp.zeros(bshape + (nalm,), jnp.complex64),) * 2)
+            interpret=interpret, fast=fast),
+        (q, u), (2, 2), lmax, empty)
 
 
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
+                                              "fast"))
 def _map2alm_spin_pl_impl(qmap, umap, tabs_m, tabs_p, *, rings,
-                          lmax: int, interpret: bool = False):
+                          lmax: int, interpret: bool = False,
+                          fast: bool = False):
     Fp, Fm, w = _sht._spin_ring_analysis(qmap, umap, rings, lmax)
     Gp = Fp * w[:, None]                             # (T, M+1)
     Gm = Fm * w[:, None]
-    ap = _leg_ana(Gp, tabs_m, rings, lmax, interpret)  # (L+1, M+1)
-    am = _leg_ana(Gm, tabs_p, rings, lmax, interpret)
+    ap = _leg_ana(Gp, tabs_m, rings, lmax, interpret, fast=fast)
+    am = _leg_ana(Gm, tabs_p, rings, lmax, interpret, fast=fast)
     # E = -(a+ + a-)/2 ; B = i (a+ - a-)/2  (cf. sht._map2alm_spin_impl)
     return (_sht._mat2alm(-0.5 * (ap + am), lmax),
             _sht._mat2alm(0.5j * (ap - am), lmax))
 
 
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
+                                              "fast"))
 def _map2alm_spin_pl_b_impl(qmap, umap, tabs_m, tabs_p, *, rings,
-                            lmax: int, interpret: bool = False):
+                            lmax: int, interpret: bool = False,
+                            fast: bool = False):
     """Packed spin-s analysis of (nmaps, ntheta, nphi) Q/U maps."""
     Fp, Fm, w = _sht._spin_ring_analysis(qmap, umap, rings, lmax)
     Gp = Fp * w[None, :, None]                       # (nmaps, T, M+1)
     Gm = Fm * w[None, :, None]
-    ap = _leg_ana_b(Gp, tabs_m, rings, lmax, interpret)
-    am = _leg_ana_b(Gm, tabs_p, rings, lmax, interpret)
+    ap = _leg_ana_b(Gp, tabs_m, rings, lmax, interpret, fast=fast)
+    am = _leg_ana_b(Gm, tabs_p, rings, lmax, interpret, fast=fast)
     return (_sht._mat2alm(-0.5 * (ap + am), lmax),
             _sht._mat2alm(0.5j * (ap - am), lmax))
 
@@ -1447,10 +1589,12 @@ def _north_south(G, T):
     return Gn, Gs
 
 
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
+                                              "fast"))
 def _map2alm_spin_pl_fold_b_impl(qmap, umap, tabs0, tabs1, par, *,
                                  rings, lmax: int,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 fast: bool = False):
     """Folded packed spin analysis: a_n = sum_N Lambda_n G_n^N
     + (-1)^(l+m) sum_N Lambda_{-n} Gflip_n^S — two half-ring launches,
     each contracting [own-n north, other-n flipped south]."""
@@ -1462,19 +1606,21 @@ def _map2alm_spin_pl_fold_b_impl(qmap, umap, tabs0, tabs1, par, *,
     Gpn, Gps = _north_south(Gp, T)
     Gmn, Gms = _north_south(Gm, T)
     out0 = _leg_ana_b(jnp.concatenate([Gpn, Gms]), tabs0, rings, lmax,
-                      interpret, half=True)
+                      interpret, half=True, fast=fast)
     out1 = _leg_ana_b(jnp.concatenate([Gmn, Gps]), tabs1, rings, lmax,
-                      interpret, half=True)
+                      interpret, half=True, fast=fast)
     ap = out0[:nmaps] + par[None] * out1[nmaps:]
     am = out1[:nmaps] + par[None] * out0[nmaps:]
     return (_sht._mat2alm(-0.5 * (ap + am), lmax),
             _sht._mat2alm(0.5j * (ap - am), lmax))
 
 
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
+                                              "fast"))
 def _alm2map_spin_pl_fold_b_impl(ealm, balm, tabs0, tabs1, par, *,
                                  rings, lmax: int,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 fast: bool = False):
     """Folded packed spin synthesis: southern rows of S_n come from the
     OTHER n's half-ring synthesis of the parity-signed a-matrix."""
     nmaps = ealm.shape[0]
@@ -1485,9 +1631,9 @@ def _alm2map_spin_pl_fold_b_impl(ealm, balm, tabs0, tabs1, par, *,
     T = rings.ntheta
     half = T // 2
     out0 = _leg_syn_b(jnp.concatenate([ap, par[None] * am]), tabs0,
-                      rings, lmax, interpret, half=True)
+                      rings, lmax, interpret, half=True, fast=fast)
     out1 = _leg_syn_b(jnp.concatenate([am, par[None] * ap]), tabs1,
-                      rings, lmax, interpret, half=True)
+                      rings, lmax, interpret, half=True, fast=fast)
     Sp = jnp.concatenate(
         [out0[:nmaps], jnp.flip(out1[nmaps:, :half, :], axis=1)], axis=1)
     Sm = jnp.concatenate(
@@ -1500,7 +1646,7 @@ def _alm2map_spin_pl_fold_b_impl(ealm, balm, tabs0, tabs1, par, *,
 
 
 def alm2map_spin_pl(ealm, balm, rings, lmax: int = None, spin: int = 2,
-                    interpret: bool = False):
+                    interpret: bool = False, fast: bool = False):
     """Pallas spin-s synthesis: (E, B) alms -> (Q, U) fp32 maps.
     a_pm = -(E ± iB) through the n = -s / +s kernels; q_m = (Sp+Sm)/2,
     u_m = -i (Sp-Sm)/2; convention parity with
@@ -1512,43 +1658,54 @@ def alm2map_spin_pl(ealm, balm, rings, lmax: int = None, spin: int = 2,
         lmax = almops.getlmax(ealm.shape[-1])
     ns = _SPIN_NS(spin)
     mtile, ttile = _tiles(lmax)
+    empty = lambda bshape: (jnp.zeros(
+        bshape + (rings.ntheta, rings.nphi), jnp.float32),) * 2
     if _rings_symmetric(rings):
         tabs0 = _prep_dev(lmax, rings, mtile, ttile, ns, 0, fold=True)
         tabs1 = _prep_dev(lmax, rings, mtile, ttile, ns, 1, fold=True)
         par = _parity_grid(lmax)
         fn = lambda ee, bb: _alm2map_spin_pl_fold_b_impl(
             ee, bb, tabs0, tabs1, par, rings=rings, lmax=lmax,
-            interpret=interpret)
+            interpret=interpret, fast=fast)
+        one = lambda ee, bb: jax.tree_util.tree_map(
+            lambda o: o[0], fn(ee[None], bb[None]))
+        if _spin_fold_packed_ok(lmax):
+            return _batched(one, fn, (ealm, balm), (1, 1), lmax, empty,
+                            pack=max(1, _pack(lmax) // 2))
+        # packed-fold crossover: see _spin_fold_packed_ok
+        tabs_m = _prep_dev(lmax, rings, mtile, ttile, ns, 0)
+        tabs_p = _prep_dev(lmax, rings, mtile, ttile, ns, 1)
         return _batched(
-            lambda ee, bb: jax.tree_util.tree_map(
-                lambda o: o[0], fn(ee[None], bb[None])),
-            fn, (ealm, balm), (1, 1), lmax,
-            lambda bshape: (jnp.zeros(
-                bshape + (rings.ntheta, rings.nphi), jnp.float32),) * 2,
-            pack=max(1, _pack(lmax) // 2))
+            one,
+            lambda ee, bb: _alm2map_spin_pl_b_impl(
+                ee, bb, tabs_m, tabs_p, rings=rings, lmax=lmax,
+                interpret=interpret, fast=fast),
+            (ealm, balm), (1, 1), lmax, empty)
     tabs_m = _prep_dev(lmax, rings, mtile, ttile, ns, 0)
     tabs_p = _prep_dev(lmax, rings, mtile, ttile, ns, 1)
     return _batched(
         lambda ee, bb: _alm2map_spin_pl_impl(
             ee, bb, tabs_m, tabs_p, rings=rings, lmax=lmax,
-            interpret=interpret),
+            interpret=interpret, fast=fast),
         lambda ee, bb: _alm2map_spin_pl_b_impl(
             ee, bb, tabs_m, tabs_p, rings=rings, lmax=lmax,
-            interpret=interpret),
+            interpret=interpret, fast=fast),
         (ealm, balm), (1, 1), lmax,
         lambda bshape: (jnp.zeros(
             bshape + (rings.ntheta, rings.nphi), jnp.float32),) * 2)
 
 
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
+                                              "fast"))
 def _alm2map_spin_pl_impl(ealm, balm, tabs_m, tabs_p, *, rings,
-                          lmax: int, interpret: bool = False):
+                          lmax: int, interpret: bool = False,
+                          fast: bool = False):
     emat = _sht._alm2mat(ealm, lmax)                 # (L+1, M+1)
     bmat = _sht._alm2mat(balm, lmax)
     ap = -(emat + 1j * bmat)
     am = -(emat - 1j * bmat)
-    Sp = _leg_syn(ap, tabs_m, rings, lmax, interpret)  # (T, M+1)
-    Sm = _leg_syn(am, tabs_p, rings, lmax, interpret)
+    Sp = _leg_syn(ap, tabs_m, rings, lmax, interpret, fast=fast)
+    Sm = _leg_syn(am, tabs_p, rings, lmax, interpret, fast=fast)
     q_m = 0.5 * (Sp + Sm)
     u_m = -0.5j * (Sp - Sm)
     q = _sht._ring_synthesis(q_m, rings, real=True)
@@ -1556,16 +1713,18 @@ def _alm2map_spin_pl_impl(ealm, balm, tabs_m, tabs_p, *, rings,
     return q.astype(jnp.float32), u.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rings", "lmax", "interpret",
+                                              "fast"))
 def _alm2map_spin_pl_b_impl(ealm, balm, tabs_m, tabs_p, *, rings,
-                            lmax: int, interpret: bool = False):
+                            lmax: int, interpret: bool = False,
+                            fast: bool = False):
     """Packed spin-s synthesis of (nmaps, nalm) E/B alms."""
     emat = _sht._alm2mat(ealm, lmax)                 # (nmaps, L+1, M+1)
     bmat = _sht._alm2mat(balm, lmax)
     ap = -(emat + 1j * bmat)
     am = -(emat - 1j * bmat)
-    Sp = _leg_syn_b(ap, tabs_m, rings, lmax, interpret)  # (nmaps, T, M+1)
-    Sm = _leg_syn_b(am, tabs_p, rings, lmax, interpret)
+    Sp = _leg_syn_b(ap, tabs_m, rings, lmax, interpret, fast=fast)
+    Sm = _leg_syn_b(am, tabs_p, rings, lmax, interpret, fast=fast)
     q_m = 0.5 * (Sp + Sm)
     u_m = -0.5j * (Sp - Sm)
     q = _sht._ring_synthesis(q_m, rings, real=True)

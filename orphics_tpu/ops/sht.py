@@ -844,17 +844,22 @@ def _pallas_ok(rings, lmax, real_dtype):
     return True if mode == "pallas" else _pallas_probe_ok()
 
 
-def map2alm(maps, rings: RingGeom, lmax: int):
+def map2alm(maps, rings: RingGeom, lmax: int, fast: bool = False):
     """Analysis: (..., ntheta, nphi) real map(s) -> healpy-packed alm.
 
     Exact for band-limited inputs when ``rings`` carries an exact
     quadrature (Gauss-Legendre always; Clenshaw-Curtis for
     ``ntheta >= 2 lmax + 1``... see constructor docs).
+
+    ``fast=True`` selects the plain-fp32 Pallas recurrence (measured
+    accuracy/speed trade in ``pallas_sht``) WHERE THE PALLAS PATH RUNS;
+    the scan path (CPU / 64-bit inputs) ignores it — it is a kernel
+    mode, not a semantics switch.
     """
     maps = jnp.asarray(maps)
     if _pallas_ok(rings, lmax, maps.dtype):
         from . import pallas_sht
-        return pallas_sht.map2alm_pl(maps, rings, lmax)
+        return pallas_sht.map2alm_pl(maps, rings, lmax, fast=fast)
     tables = _tables_for(rings, lmax, (0,), maps.dtype)
     return _map2alm_impl(maps, tables, rings=rings, lmax=lmax)
 
@@ -883,8 +888,9 @@ def _map2alm_impl(maps, tables, *, rings: RingGeom, lmax: int):
     return _mat2alm(mat[..., : lmax + 1, :], lmax)
 
 
-def alm2map(alm, rings: RingGeom, lmax: int = None):
-    """Synthesis: healpy-packed alm -> real map(s) (..., ntheta, nphi)."""
+def alm2map(alm, rings: RingGeom, lmax: int = None, fast: bool = False):
+    """Synthesis: healpy-packed alm -> real map(s) (..., ntheta, nphi).
+    ``fast``: see :func:`map2alm`."""
     alm = jnp.asarray(alm)
     if lmax is None:
         lmax = almops.getlmax(alm.shape[-1])
@@ -893,7 +899,7 @@ def alm2map(alm, rings: RingGeom, lmax: int = None):
     rdt = np.zeros((), np.dtype(alm.dtype)).real.dtype
     if _pallas_ok(rings, lmax, rdt):
         from . import pallas_sht
-        return pallas_sht.alm2map_pl(alm, rings, lmax)
+        return pallas_sht.alm2map_pl(alm, rings, lmax, fast=fast)
     tables = _tables_for(rings, lmax, (0,), rdt)
     return _alm2map_impl(alm, tables, rings=rings, lmax=lmax)
 
@@ -924,7 +930,8 @@ def _alm2map_impl(alm, tables, *, rings: RingGeom, lmax: int):
 # Spin-s transforms (E/B <-> Q/U for s = 2)
 # ---------------------------------------------------------------------------
 
-def alm2map_spin(ealm, balm, rings: RingGeom, lmax: int = None, spin: int = 2):
+def alm2map_spin(ealm, balm, rings: RingGeom, lmax: int = None, spin: int = 2,
+                 fast: bool = False):
     """Synthesis of a spin-``s`` field: (E, B) alms -> (Q, U)-like maps.
 
     Convention: ``a_{±s} = -(E ± iB)``, ``(Q ± iU) = sum a_{±s} {}_{±s}Y``
@@ -941,7 +948,7 @@ def alm2map_spin(ealm, balm, rings: RingGeom, lmax: int = None, spin: int = 2):
     if _pallas_ok(rings, lmax, rdt):
         from . import pallas_sht
         return pallas_sht.alm2map_spin_pl(ealm, balm, rings, lmax,
-                                          spin=spin)
+                                          spin=spin, fast=fast)
     tables = _tables_for(rings, lmax, (-spin, spin), rdt)
     return _alm2map_spin_impl(ealm, balm, tables, rings=rings, lmax=lmax,
                               spin=spin)
@@ -978,7 +985,8 @@ def _alm2map_spin_impl(ealm, balm, tables, *, rings: RingGeom, lmax: int,
     return q.astype(rdt), u.astype(rdt)
 
 
-def map2alm_spin(qmap, umap, rings: RingGeom, lmax: int, spin: int = 2):
+def map2alm_spin(qmap, umap, rings: RingGeom, lmax: int, spin: int = 2,
+                 fast: bool = False):
     """Analysis of a spin-``s`` field: (Q, U)-like maps -> (E, B) alms.
     Even spins only (see :func:`alm2map_spin`)."""
     if spin % 2:
@@ -989,7 +997,7 @@ def map2alm_spin(qmap, umap, rings: RingGeom, lmax: int, spin: int = 2):
     if _pallas_ok(rings, lmax, qmap.dtype):
         from . import pallas_sht
         return pallas_sht.map2alm_spin_pl(qmap, umap, rings, lmax,
-                                          spin=spin)
+                                          spin=spin, fast=fast)
     tables = _tables_for(rings, lmax, (-spin, spin), qmap.dtype)
     return _map2alm_spin_impl(qmap, umap, tables, rings=rings, lmax=lmax,
                               spin=spin)

@@ -694,3 +694,67 @@ class TestFoldedSpin:
         s2 = float(jnp.abs(q_sc).max())
         assert float(jnp.abs(q_pl - q_sc).max()) < 2e-6 * s2
         assert float(jnp.abs(u_pl - u_sc).max()) < 2e-6 * s2
+
+
+class TestFastMode:
+    """The fast=True plain-fp32 recurrence (round 5): same seeds /
+    bounds / folds as the dd kernels with the compensation channels
+    dropped. Contract: close to the dd path (the fp32 random walk of
+    a ~lmax-step recurrence, measured ~6e-5 rel at lmax 127), exact
+    zero-batch/zero-map structure, and every code path (single,
+    packed, fold, spin-fold) accepts the flag."""
+
+    def test_fast_close_to_dd_all_paths(self):
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 63
+        rings = sht.gauss_legendre_rings(lmax)
+        a0 = _random_alm(jax.random.PRNGKey(21), lmax,
+                         dtype=jnp.complex64)
+        m_dd = ps.alm2map_pl(a0, rings, lmax, interpret=True)
+        m_f = ps.alm2map_pl(a0, rings, lmax, interpret=True, fast=True)
+        scale = float(jnp.abs(m_dd).max())
+        assert float(jnp.abs(m_f - m_dd).max()) < 2e-4 * scale
+        a_dd = ps.map2alm_pl(m_dd, rings, lmax, interpret=True)
+        a_f = ps.map2alm_pl(m_dd, rings, lmax, interpret=True,
+                            fast=True)
+        s2 = float(jnp.abs(a_dd).max())
+        assert float(jnp.abs(a_f - a_dd).max()) < 2e-4 * s2
+        # packed path agrees with its own single-map path
+        ab = jnp.stack([a0, 0.5 * a0, 2.0 * a0])
+        mb = ps.alm2map_pl(ab, rings, lmax, interpret=True, fast=True)
+        assert float(jnp.abs(mb[0] - m_f).max()) == 0.0
+
+    def test_fast_spin_fold(self):
+        from orphics_tpu.ops import pallas_sht as ps
+        lmax = 32
+        rings = sht.gauss_legendre_rings(lmax)
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.standard_normal(
+            (2,) + rings.shape).astype(np.float32))
+        u = jnp.asarray(rng.standard_normal(
+            (2,) + rings.shape).astype(np.float32))
+        e_dd, b_dd = ps.map2alm_spin_pl(q, u, rings, lmax,
+                                        interpret=True)
+        e_f, b_f = ps.map2alm_spin_pl(q, u, rings, lmax,
+                                      interpret=True, fast=True)
+        scale = float(jnp.abs(e_dd).max())
+        assert float(jnp.abs(e_f - e_dd).max()) < 2e-4 * scale
+        assert float(jnp.abs(b_f - b_dd).max()) < 2e-4 * scale
+        q2, u2 = ps.alm2map_spin_pl(e_dd, b_dd, rings, lmax,
+                                    interpret=True, fast=True)
+        q_dd, u_dd = ps.alm2map_spin_pl(e_dd, b_dd, rings, lmax,
+                                        interpret=True)
+        s2 = float(jnp.abs(q_dd).max())
+        assert float(jnp.abs(q2 - q_dd).max()) < 2e-4 * s2
+
+    def test_dispatcher_accepts_fast(self):
+        """sht.map2alm/alm2map take fast= (a no-op on the scan path)."""
+        lmax = 16
+        rings = sht.gauss_legendre_rings(lmax)
+        a0 = _random_alm(jax.random.PRNGKey(3), lmax,
+                         dtype=jnp.complex64)
+        m = sht.alm2map(a0, rings, lmax, fast=True)
+        a2 = sht.map2alm(m, rings, lmax, fast=True)
+        assert float(jnp.abs(a2 - a0).max()) < 1e-4
+        q, u = sht.alm2map_spin(a0, 0.5 * a0, rings, lmax, fast=True)
+        sht.map2alm_spin(q, u, rings, lmax, fast=True)
