@@ -701,6 +701,24 @@ def bench_sht():
         "metric": tag,
         "value": round(rate, 3), "unit": "roundtrips/s",
         "vs_baseline": round(rate, 3)})
+    # fast-mode leg (plain-fp32 recurrence): reported SEPARATELY with
+    # its measured roundtrip error — a speed/accuracy option, not the
+    # headline (dd above stays the ducc-accuracy comparison point)
+    a = a0
+    m = sht.alm2map(a0, rings, lmax, fast=True)
+    a2 = sht.map2alm(m, rings, lmax, fast=True)
+    err_f = _sync_scalar(maxerr(a2, a0))
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+        a = sht.map2alm(sht.alm2map(a, rings, lmax, fast=True),
+                        rings, lmax, fast=True)
+    _sync_scalar(maxerr(a, a0))
+    dt = time.perf_counter() - t0
+    rate_f = nrep * batch / dt
+    _emit({
+        "metric": tag + "_fast",
+        "value": round(rate_f, 3), "unit": "roundtrips/s",
+        "vs_baseline": round(rate_f, 3), "maxerr": float(err_f)})
 
 
 def bench_curved_mc():
@@ -733,22 +751,93 @@ def bench_curved_mc():
         jnp.float32)
     w2 = float(curved.wfactor(2, mask, rings))
 
+    def mkstep(fast):
+        @jax.jit
+        def step(key):
+            keys = jax.random.split(key, batch)
+            alms = jax.vmap(lambda k: almops.synalm(k, cltt,
+                                                    lmax=lmax))(keys)
+            m = sht.alm2map(almops.almxfl(alms, bl), rings, lmax,
+                            fast=fast)
+            a2 = sht.map2alm(m * mask, rings, lmax, fast=fast)
+            return jax.vmap(almops.alm2cl)(a2) / w2
+        return step
+
+    sel = (ells > 100) & (ells < lmax // 2)
+    want = (np.asarray(cltt) * np.asarray(bl) ** 2)[sel]
+    nrep = int(os.environ.get("BENCH8_REPS", 10))
+    for fast in (False, True):
+        step = mkstep(fast)
+        cls = step(jax.random.PRNGKey(0))     # warm + validate
+        _sync_scalar(jnp.abs(cls).max())
+        ratio = np.asarray(cls).mean(0)[sel] / want
+        assert abs(ratio.mean() - 1.0) < 0.2, (fast, ratio.mean())
+        with _maybe_trace("config8" + ("_fast" if fast else "")):
+            t0 = time.perf_counter()
+            for i in range(nrep):
+                cls = step(jax.random.PRNGKey(i + 1))
+            _sync_scalar(jnp.abs(cls).max())
+            dt = time.perf_counter() - t0
+        rate = nrep * batch / dt
+        _emit({
+            "metric": (f"curved_masked_cl_sims_per_sec_lmax{lmax}"
+                       f"_batch{batch}" + ("_fast" if fast else "")),
+            "value": round(rate, 3), "unit": "sims/s",
+            "vs_baseline": round(rate, 3)})
+
+
+def bench_curved_mc_pol():
+    """Config 8p: the spin-2 leg of config 8 — per sim an (E, B) synalm
+    pair with a Gaussian beam, ``alm2map_spin`` to (Q, U) on
+    Gauss-Legendre rings, galactic-strip masking, ``map2alm_spin``
+    back, and mask-debiased EE+BB (the leakage-invariant total; a pure
+    w2 debias does not separate E/B mixing). Exercises the folded
+    packed spin kernels the scalar config never touches (reference
+    role: ``cs.rand_map(..., pol)`` + ``hp.map2alm_spin`` loops)."""
+    import jax
+    import jax.numpy as jnp
+    from orphics_tpu.ops import sht
+    from orphics_tpu.ops import alm as almops
+    from orphics_tpu.models import curved, theory
+
+    lmax = int(os.environ.get("BENCH8_LMAX", 1023))
+    batch = int(os.environ.get("BENCH8_BATCH", 8))
+    rings = sht.gauss_legendre_rings(lmax)
+    th = theory.default_theory()
+    ells = np.arange(lmax + 1)
+    clee = np.asarray(th.lCl("EE", ells))
+    clbb = np.asarray(th.lCl("BB", ells))
+    clee_j = jnp.asarray(clee, jnp.float32)
+    clbb_j = jnp.asarray(clbb, jnp.float32)
+    fwhm = 10.0
+    sig = np.deg2rad(fwhm / 60.0) / np.sqrt(8.0 * np.log(2.0))
+    bl = jnp.asarray(np.exp(-0.5 * ells * (ells + 1.0) * sig * sig),
+                     jnp.float32)
+    mask = jnp.asarray(np.asarray(curved.galactic_mask_rings(
+        rings, np.deg2rad(76.0), np.deg2rad(104.0), coords="equ")),
+        jnp.float32)
+    w2 = float(curved.wfactor(2, mask, rings))
+
     @jax.jit
     def step(key):
-        keys = jax.random.split(key, batch)
-        alms = jax.vmap(lambda k: almops.synalm(k, cltt, lmax=lmax))(keys)
-        m = sht.alm2map(almops.almxfl(alms, bl), rings, lmax)
-        a2 = sht.map2alm(m * mask, rings, lmax)
-        return jax.vmap(almops.alm2cl)(a2) / w2
+        keys = jax.random.split(key, 2 * batch).reshape(batch, 2, 2)
+        ealm = jax.vmap(lambda k: almops.almxfl(
+            almops.synalm(k, clee_j, lmax=lmax), bl))(keys[:, 0])
+        balm = jax.vmap(lambda k: almops.almxfl(
+            almops.synalm(k, clbb_j, lmax=lmax), bl))(keys[:, 1])
+        q, u = sht.alm2map_spin(ealm, balm, rings, lmax)
+        e2, b2 = sht.map2alm_spin(q * mask, u * mask, rings, lmax)
+        return (jax.vmap(almops.alm2cl)(e2)
+                + jax.vmap(almops.alm2cl)(b2)) / w2
 
-    cls = step(jax.random.PRNGKey(0))         # warm + validate
+    cls = step(jax.random.PRNGKey(0))
     _sync_scalar(jnp.abs(cls).max())
     sel = (ells > 100) & (ells < lmax // 2)
-    ratio = np.asarray(cls).mean(0)[sel] \
-        / (np.asarray(cltt) * np.asarray(bl) ** 2)[sel]
+    want = ((clee + clbb) * np.asarray(bl) ** 2)[sel]
+    ratio = np.asarray(cls).mean(0)[sel] / want
     assert abs(ratio.mean() - 1.0) < 0.2, ratio.mean()
     nrep = int(os.environ.get("BENCH8_REPS", 10))
-    with _maybe_trace("config8"):
+    with _maybe_trace("config8p"):
         t0 = time.perf_counter()
         for i in range(nrep):
             cls = step(jax.random.PRNGKey(i + 1))
@@ -756,17 +845,19 @@ def bench_curved_mc():
         dt = time.perf_counter() - t0
     rate = nrep * batch / dt
     _emit({
-        "metric": f"curved_masked_cl_sims_per_sec_lmax{lmax}_batch{batch}",
+        "metric": f"curved_masked_pol_sims_per_sec_lmax{lmax}_batch{batch}",
         "value": round(rate, 3), "unit": "sims/s",
         "vs_baseline": round(rate, 3)})
 
 
 def main():
     import warnings
-    configs = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8").split(",")
+    configs = os.environ.get("BENCH_CONFIGS",
+                             "1,2,3,4,5,6,7,8,8p").split(",")
     fns = {"1": bench_headline, "2": bench_masked_cross,
            "3": bench_qe_recon, "4": bench_ilc, "5": bench_stack,
-           "6": bench_lensed_e2e, "7": bench_sht, "8": bench_curved_mc}
+           "6": bench_lensed_e2e, "7": bench_sht, "8": bench_curved_mc,
+           "8p": bench_curved_mc_pol}
     ok = 0
     # Self-check: no config may request device float64 on an x64-off
     # runtime (jax warns and silently truncates — binner-edge hazard).
